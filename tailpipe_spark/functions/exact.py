@@ -1,0 +1,54 @@
+"""Deterministic floating-point aggregation.
+
+Distributed ``SUM(double)`` is order-dependent: partial sums combine in
+whatever order partitions finish, so the last bits of a 600k-row sum can
+differ run-to-run (and differ from any single-threaded engine). The
+engine's contract (like the reference delegating to DuckDB's exact
+decimal arithmetic) is deterministic aggregates, so money/measure sums
+go through a decimal cast: per-row double→decimal rounding is
+deterministic and order-free, decimal addition is exact and associative,
+and the final cast back to double is a single deterministic rounding.
+
+Cost at scale: decimal sum is still a one-pass hash aggregate with
+map-side partial aggregation — no extra shuffle, slightly more CPU per
+row than a double add. Worth it for a reproducible engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# 18 digits / 6 decimal places holds any per-row product in the test
+# schema (prices < 1e7) and sums promote to decimal(38,6) before overflow.
+_DEC = "decimal(27,6)"
+
+
+def dsum(col: Column | str, alias: str | None = None) -> Column:
+    """Exact, order-independent sum of a double expression."""
+    c = F.col(col) if isinstance(col, str) else col
+    out = F.sum(c.cast(_DEC)).cast("double")
+    return out.alias(alias) if alias else out
+
+
+def davg(col: Column | str, alias: str | None = None) -> Column:
+    """Deterministic average: exact decimal sum, then one double divide."""
+    c = F.col(col) if isinstance(col, str) else col
+    out = F.sum(c.cast(_DEC)).cast("double") / F.count(c)
+    return out.alias(alias) if alias else out
+
+
+def dwindow_sum(col: Column | str, window) -> Column:
+    """Deterministic windowed sum (decimal accumulation over the frame)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c.cast(_DEC)).over(window).cast("double")
+
+
+def oracle_dsum(expr: str) -> str:
+    """DuckDB SQL equivalent of :func:`dsum` for oracle parity."""
+    return f"CAST(SUM(CAST(({expr}) AS DECIMAL(27,6))) AS DOUBLE)"
+
+
+def oracle_davg(expr: str) -> str:
+    """DuckDB SQL equivalent of :func:`davg`."""
+    return f"CAST(SUM(CAST(({expr}) AS DECIMAL(27,6))) AS DOUBLE) / COUNT({expr})"

@@ -1,0 +1,61 @@
+"""Time-range (interval) join, bucket-accelerated.
+
+A raw ``l.ts BETWEEN r.ts AND r.ts + d`` predicate has no equi-key, so
+Catalyst falls back to BroadcastNestedLoopJoin — O(n·m), a non-starter
+at 100 TB. The standard distributed strategy (used by every interval-
+join engine, incl. Flink's interval join) is to quantize time into
+buckets of width >= the join span: a right row at time t can only match
+left rows in bucket(t) or bucket(t)+1, so we explode the right side
+into those (at most 2) candidate buckets, equi-join on the bucket id
+(hash shuffle both sides — pruned, co-located), and re-apply the exact
+range predicate as a post-filter.
+
+Shuffle volume: 2× right + 1× left — versus the full cross product of
+the nested loop. Bucket width defaults to the span so the candidate
+blow-up factor stays at 2.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def range_join_time(
+    left: DataFrame,
+    right: DataFrame,
+    left_time: str,
+    right_time: str,
+    span_seconds: int,
+    extra_on: list[str] | None = None,
+    strict_after: bool = True,
+) -> DataFrame:
+    """Pairs where ``right_time`` falls in
+    ``(left_time, left_time + span_seconds]`` (strict_after=True) or
+    ``[left_time, left_time + span_seconds]``.
+
+    Columns of both inputs are kept; name clashes must be resolved by
+    the caller (alias before joining).
+    """
+    extra_on = extra_on or []
+    bucket = lambda c: F.floor(F.unix_micros(F.col(c)) / F.lit(span_seconds * 1_000_000))
+
+    lb = left.withColumn("__bkt", bucket(left_time))
+    rb = right.withColumn(
+        "__bkt", F.explode(F.array(bucket(right_time) - 1, bucket(right_time)))
+    )
+
+    cond = [lb["__bkt"] == rb["__bkt"]] + [lb[c] == rb[c] for c in extra_on]
+    lo = (
+        rb[right_time] > lb[left_time]
+        if strict_after
+        else rb[right_time] >= lb[left_time]
+    )
+    hi = F.unix_micros(rb[right_time]) <= (
+        F.unix_micros(lb[left_time]) + F.lit(span_seconds * 1_000_000)
+    )
+    joined = lb.join(rb, cond, "inner").filter(lo & hi)
+    drop = [lb["__bkt"], rb["__bkt"]] + [rb[c] for c in extra_on]
+    for c in drop:
+        joined = joined.drop(c)
+    return joined

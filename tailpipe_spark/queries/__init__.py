@@ -1,0 +1,35 @@
+"""Query inventory: every operator class from SURVEY.md §2 expressed as
+a named (Spark DataFrame plan, DuckDB oracle SQL) pair.
+
+The driver runs each Spark plan and its oracle side-by-side at sf0.01
+and hash-compares results (CORRECTNESS_r{N}.json). Entries with
+``oracle=None`` are non-SQL-expressible (or engine-specific hashing)
+and get a rows-only check.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    name: str
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None
+    description: str
+
+
+def build_registry() -> dict[str, QuerySpec]:
+    from tailpipe_spark.queries import relational, timeseries, textdata, vectors_q
+
+    registry: dict[str, QuerySpec] = {}
+    for mod in (relational, timeseries, textdata, vectors_q):
+        for spec in mod.SPECS:
+            if spec.name in registry:
+                raise ValueError(f"duplicate query name {spec.name}")
+            registry[spec.name] = spec
+    return registry

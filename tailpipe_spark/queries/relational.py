@@ -1,0 +1,609 @@
+"""Relational surface (SURVEY.md §2.b): the query classes the reference
+delegates verbatim to DuckDB, expressed as DataFrame plans.
+
+Scale notes baked into each plan:
+- dimension joins (region/nation/supplier) are broadcast explicitly;
+- fact-fact joins shuffle on their keys and rely on AQE for skew;
+- top-k goes through orderBy().limit() → TakeOrderedAndProject (no full
+  sort at scale);
+- double aggregates use exact decimal accumulation (functions.exact) so
+  results are deterministic across partition orders.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from tailpipe_spark.functions.exact import davg, dsum, oracle_davg, oracle_dsum
+from tailpipe_spark.queries import QuerySpec
+from tailpipe_spark.session import load_tables
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    from tailpipe_spark.session import read_table
+
+    return read_table(spark, f"{sf_dir}/{name}.parquet")
+
+
+# --- q01: TPC-H Q1-style pricing summary (scan → filter → hash agg) ---
+
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity", "sum_qty"),
+            dsum("l_extendedprice", "sum_base_price"),
+            dsum(disc_price, "sum_disc_price"),
+            dsum(charge, "sum_charge"),
+            davg("l_quantity", "avg_qty"),
+            davg("l_extendedprice", "avg_price"),
+            davg("l_discount", "avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+Q01_SQL = f"""
+SELECT l_returnflag, l_linestatus,
+       {oracle_dsum('l_quantity')} AS sum_qty,
+       {oracle_dsum('l_extendedprice')} AS sum_base_price,
+       {oracle_dsum('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+       {oracle_dsum('l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge,
+       {oracle_davg('l_quantity')} AS avg_qty,
+       {oracle_davg('l_extendedprice')} AS avg_price,
+       {oracle_davg('l_discount')} AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+# --- q03: shipping priority (3-way join → agg → top-k) ---
+
+def q03_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1997-03-15").cast("timestamp")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1997-03-15").cast("timestamp")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
+Q03_SQL = f"""
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+       {oracle_dsum('l_extendedprice * (1 - l_discount)')} AS revenue
+FROM customer
+JOIN orders ON o_custkey = c_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1997-03-15 00:00:00'
+  AND l_shipdate > TIMESTAMP '1997-03-15 00:00:00'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10
+"""
+
+
+# --- q05: local-supplier volume (6-way join, broadcast dims) ---
+
+def q05_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = _t(spark, sf_dir, "nation")
+    cust = _t(spark, sf_dir, "customer")
+    sup = _t(spark, sf_dir, "supplier")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .filter(cust.c_nationkey == sup.s_nationkey)
+        .join(F.broadcast(nation), sup.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("n_name").asc())
+    )
+
+
+Q05_SQL = f"""
+SELECT n_name, {oracle_dsum('l_extendedprice * (1 - l_discount)')} AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND c_nationkey = s_nationkey
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name ASC
+"""
+
+
+# --- join-type suite ---
+
+def q_join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            dsum("c_acctbal", "total_acctbal"),
+        )
+        .orderBy("r_name", "n_name")
+    )
+
+
+Q_JOIN_INNER_SQL = f"""
+SELECT r_name, n_name, COUNT(*) AS n_customers,
+       {oracle_dsum('c_acctbal')} AS total_acctbal
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+ORDER BY r_name, n_name
+"""
+
+
+def q_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = _t(spark, sf_dir, "nation")
+    s = _t(spark, sf_dir, "supplier")
+    return (
+        n.join(s, n.n_nationkey == s.s_nationkey, "left")
+        .groupBy("n_name")
+        .agg(
+            F.count("s_suppkey").alias("n_suppliers"),
+            dsum("s_acctbal", "total_bal"),
+        )
+        .orderBy("n_name")
+    )
+
+
+Q_JOIN_LEFT_SQL = f"""
+SELECT n_name, COUNT(s_suppkey) AS n_suppliers,
+       {oracle_dsum('s_acctbal')} AS total_bal
+FROM nation LEFT JOIN supplier ON n_nationkey = s_nationkey
+GROUP BY n_name ORDER BY n_name
+"""
+
+
+def q_join_right(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        s.join(n, s.s_nationkey == n.n_nationkey, "right")
+        .select("n_nationkey", "n_name", "s_suppkey")
+        .orderBy("n_nationkey", "s_suppkey")
+    )
+
+
+Q_JOIN_RIGHT_SQL = """
+SELECT n_nationkey, n_name, s_suppkey
+FROM supplier RIGHT JOIN nation ON s_nationkey = n_nationkey
+ORDER BY n_nationkey, s_suppkey
+"""
+
+
+def q_join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = (
+        _t(spark, sf_dir, "customer")
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("n_cust"))
+    )
+    s = (
+        _t(spark, sf_dir, "supplier")
+        .groupBy("s_nationkey")
+        .agg(F.count(F.lit(1)).alias("n_supp"))
+    )
+    return (
+        c.join(s, c.c_nationkey == s.s_nationkey, "full")
+        .select(
+            F.coalesce("c_nationkey", "s_nationkey").alias("nationkey"),
+            F.coalesce("n_cust", F.lit(0)).alias("n_cust"),
+            F.coalesce("n_supp", F.lit(0)).alias("n_supp"),
+        )
+        .orderBy("nationkey")
+    )
+
+
+Q_JOIN_FULL_SQL = """
+WITH c AS (SELECT c_nationkey, COUNT(*) AS n_cust FROM customer GROUP BY c_nationkey),
+     s AS (SELECT s_nationkey, COUNT(*) AS n_supp FROM supplier GROUP BY s_nationkey)
+SELECT COALESCE(c_nationkey, s_nationkey) AS nationkey,
+       COALESCE(n_cust, 0) AS n_cust,
+       COALESCE(n_supp, 0) AS n_supp
+FROM c FULL JOIN s ON c_nationkey = s_nationkey
+ORDER BY nationkey
+"""
+
+
+def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 100000)
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .orderBy("c_mktsegment")
+    )
+
+
+Q_JOIN_SEMI_SQL = """
+SELECT c_mktsegment, COUNT(*) AS n_customers
+FROM customer
+WHERE EXISTS (SELECT 1 FROM orders
+              WHERE o_custkey = c_custkey AND o_totalprice > 100000)
+GROUP BY c_mktsegment ORDER BY c_mktsegment
+"""
+
+
+def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .orderBy("c_custkey")
+    )
+
+
+Q_JOIN_ANTI_SQL = """
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+ORDER BY c_custkey
+"""
+
+
+def q_join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r1 = _t(spark, sf_dir, "region").select(F.col("r_name").alias("r1"))
+    r2 = _t(spark, sf_dir, "region").select(F.col("r_name").alias("r2"))
+    return r1.crossJoin(r2).filter(F.col("r1") < F.col("r2")).orderBy("r1", "r2")
+
+
+Q_JOIN_CROSS_SQL = """
+SELECT a.r_name AS r1, b.r_name AS r2
+FROM region a CROSS JOIN region b
+WHERE a.r_name < b.r_name
+ORDER BY r1, r2
+"""
+
+
+# --- grouping sets / rollup / cube ---
+
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderpriority", "o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n_orders"), dsum("o_totalprice", "total"))
+        .orderBy(
+            F.col("o_orderpriority").asc_nulls_first(),
+            F.col("o_orderstatus").asc_nulls_first(),
+        )
+    )
+
+
+Q_ROLLUP_SQL = f"""
+SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n_orders,
+       {oracle_dsum('o_totalprice')} AS total
+FROM orders
+GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+ORDER BY o_orderpriority ASC NULLS FIRST, o_orderstatus ASC NULLS FIRST
+"""
+
+
+def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n"), dsum("l_quantity", "qty"))
+        .orderBy(
+            F.col("l_returnflag").asc_nulls_first(),
+            F.col("l_linestatus").asc_nulls_first(),
+        )
+    )
+
+
+Q_CUBE_SQL = f"""
+SELECT l_returnflag, l_linestatus, COUNT(*) AS n, {oracle_dsum('l_quantity')} AS qty
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST
+"""
+
+
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tailpipe_spark.session import configure_runtime
+
+    configure_runtime(spark)
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST
+        """
+    )
+
+
+Q_GROUPING_SETS_SQL = """
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST
+"""
+
+
+# --- distinct / set ops / top-k ---
+
+def q_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.countDistinct("l_partkey").alias("d_parts"),
+        F.countDistinct("l_suppkey").alias("d_supps"),
+        F.countDistinct("l_returnflag", "l_linestatus").alias("d_flag_status"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+Q_DISTINCT_SQL = """
+SELECT COUNT(DISTINCT l_partkey) AS d_parts,
+       COUNT(DISTINCT l_suppkey) AS d_supps,
+       COUNT(DISTINCT (l_returnflag, l_linestatus)) AS d_flag_status,
+       COUNT(*) AS n_rows
+FROM lineitem
+"""
+
+
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    union_all = c.unionAll(s).groupBy().agg(F.count(F.lit(1)).alias("cnt")).select(
+        F.lit("union_all").alias("op"), "cnt"
+    )
+    inter = (
+        c.intersect(s)
+        .groupBy()
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(F.lit("intersect").alias("op"), "cnt")
+    )
+    exc = (
+        c.distinct()
+        .subtract(s.distinct())
+        .groupBy()
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(F.lit("except").alias("op"), "cnt")
+    )
+    return union_all.unionAll(inter).unionAll(exc).orderBy("op")
+
+
+Q_SET_OPS_SQL = """
+SELECT 'union_all' AS op, COUNT(*) AS cnt FROM (
+  SELECT c_nationkey AS nationkey FROM customer
+  UNION ALL SELECT s_nationkey FROM supplier)
+UNION ALL
+SELECT 'intersect', COUNT(*) FROM (
+  SELECT DISTINCT c_nationkey FROM customer
+  INTERSECT SELECT DISTINCT s_nationkey FROM supplier)
+UNION ALL
+SELECT 'except', COUNT(*) FROM (
+  SELECT DISTINCT c_nationkey FROM customer
+  EXCEPT SELECT DISTINCT s_nationkey FROM supplier)
+ORDER BY op
+"""
+
+
+def q_topk_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    rev = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_custkey", "c_nationkey")
+        .agg(dsum("o_totalprice", "revenue"))
+    )
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.col("revenue").desc(), F.col("c_custkey").asc()
+    )
+    return (
+        rev.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .orderBy("c_nationkey", "rk")
+    )
+
+
+Q_TOPK_WINDOW_SQL = f"""
+WITH rev AS (
+  SELECT c_custkey, c_nationkey, {oracle_dsum('o_totalprice')} AS revenue
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY c_custkey, c_nationkey
+)
+SELECT c_custkey, c_nationkey, revenue,
+       ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                          ORDER BY revenue DESC, c_custkey ASC) AS rk
+FROM rev QUALIFY rk <= 3
+ORDER BY c_nationkey, rk
+"""
+
+
+# --- scalar zoo / CASE-LIKE / CTE / subqueries ---
+
+def q_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.select(
+            "o_orderkey",
+            F.upper(F.col("o_orderpriority")).alias("pri_upper"),
+            F.substring(F.col("o_orderpriority"), 1, 1).alias("pri_code"),
+            F.length(F.col("o_orderpriority")).alias("pri_len"),
+            F.concat_ws("#", F.col("o_orderstatus"), F.col("o_orderpriority")).alias(
+                "status_pri"
+            ),
+            F.year("o_orderdate").alias("o_year"),
+            F.month("o_orderdate").alias("o_month"),
+            F.dayofmonth("o_orderdate").alias("o_day"),
+            F.to_date(F.date_trunc("month", F.col("o_orderdate"))).alias("month_start"),
+            F.abs(F.col("o_totalprice") - 100000).alias("price_dist"),
+            F.round(F.col("o_totalprice"), 1).alias("price_r1"),
+            F.floor(F.col("o_totalprice")).alias("price_floor"),
+            F.ceil(F.col("o_totalprice")).alias("price_ceil"),
+            (F.col("o_orderkey") % 7).alias("key_mod7"),
+            F.sqrt(F.col("o_totalprice")).alias("price_sqrt"),
+        )
+        .orderBy("o_orderkey")
+        .limit(5000)
+    )
+
+
+Q_SCALAR_SQL = """
+SELECT o_orderkey,
+       UPPER(o_orderpriority) AS pri_upper,
+       SUBSTRING(o_orderpriority, 1, 1) AS pri_code,
+       LENGTH(o_orderpriority) AS pri_len,
+       CONCAT_WS('#', o_orderstatus, o_orderpriority) AS status_pri,
+       YEAR(o_orderdate) AS o_year,
+       MONTH(o_orderdate) AS o_month,
+       DAY(o_orderdate) AS o_day,
+       CAST(DATE_TRUNC('month', o_orderdate) AS DATE) AS month_start,
+       ABS(o_totalprice - 100000) AS price_dist,
+       ROUND(o_totalprice, 1) AS price_r1,
+       CAST(FLOOR(o_totalprice) AS BIGINT) AS price_floor,
+       CAST(CEIL(o_totalprice) AS BIGINT) AS price_ceil,
+       o_orderkey % 7 AS key_mod7,
+       SQRT(o_totalprice) AS price_sqrt
+FROM orders
+ORDER BY o_orderkey
+LIMIT 5000
+"""
+
+
+def q_case_like(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    bucket = (
+        F.when(F.col("c_acctbal") < 0, "negative")
+        .when(F.col("c_acctbal") < 5000, "low")
+        .otherwise("high")
+    )
+    return (
+        c.filter(F.col("c_name").like("%0%") & ~F.col("c_mktsegment").like("MACH%"))
+        .select("c_custkey", "c_mktsegment", bucket.alias("bal_bucket"))
+        .groupBy("c_mktsegment", "bal_bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("c_mktsegment", "bal_bucket")
+    )
+
+
+Q_CASE_LIKE_SQL = """
+SELECT c_mktsegment,
+       CASE WHEN c_acctbal < 0 THEN 'negative'
+            WHEN c_acctbal < 5000 THEN 'low'
+            ELSE 'high' END AS bal_bucket,
+       COUNT(*) AS n
+FROM customer
+WHERE c_name LIKE '%0%' AND c_mktsegment NOT LIKE 'MACH%'
+GROUP BY 1, 2
+ORDER BY c_mktsegment, bal_bucket
+"""
+
+
+def q_cte_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    avg_price = o.agg(davg("o_totalprice", "a")).collect()[0]["a"]
+    return (
+        o.filter(F.col("o_totalprice") > F.lit(avg_price))
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n_above_avg"), dsum("o_totalprice", "total"))
+        .orderBy("o_orderstatus")
+    )
+
+
+Q_CTE_SQL = f"""
+WITH stats AS (SELECT {oracle_davg('o_totalprice')} AS a FROM orders)
+SELECT o_orderstatus, COUNT(*) AS n_above_avg, {oracle_dsum('o_totalprice')} AS total
+FROM orders, stats
+WHERE o_totalprice > stats.a
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
+def q_exists_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    rich = _t(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 5000)
+    return (
+        o.join(rich, o.o_custkey == rich.c_custkey, "left_semi")
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy("o_orderstatus")
+    )
+
+
+Q_EXISTS_IN_SQL = """
+SELECT o_orderstatus, COUNT(*) AS n_orders
+FROM orders
+WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 5000)
+GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+
+def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate aggregates — HLL sketches differ across engines, so
+    this entry is rows-only (no oracle)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+        F.expr("approx_percentile(l_extendedprice, 0.5)").alias("median_price"),
+    )
+
+
+SPECS = [
+    QuerySpec("q01_pricing_summary", q01_pricing_summary, Q01_SQL, "TPC-H Q1 pricing summary: filter + hash agg + exact decimal sums"),
+    QuerySpec("q03_shipping_priority", q03_shipping_priority, Q03_SQL, "3-way join, agg, deterministic top-k"),
+    QuerySpec("q05_local_supplier", q05_local_supplier, Q05_SQL, "6-way join with broadcast dims"),
+    QuerySpec("q_join_inner", q_join_inner, Q_JOIN_INNER_SQL, "inner joins + agg"),
+    QuerySpec("q_join_left", q_join_left, Q_JOIN_LEFT_SQL, "left outer join"),
+    QuerySpec("q_join_right", q_join_right, Q_JOIN_RIGHT_SQL, "right outer join"),
+    QuerySpec("q_join_full", q_join_full, Q_JOIN_FULL_SQL, "full outer join"),
+    QuerySpec("q_join_semi", q_join_semi, Q_JOIN_SEMI_SQL, "left semi join / EXISTS"),
+    QuerySpec("q_join_anti", q_join_anti, Q_JOIN_ANTI_SQL, "left anti join / NOT EXISTS"),
+    QuerySpec("q_join_cross", q_join_cross, Q_JOIN_CROSS_SQL, "cross join"),
+    QuerySpec("q_rollup", q_rollup, Q_ROLLUP_SQL, "ROLLUP hierarchy agg"),
+    QuerySpec("q_cube", q_cube, Q_CUBE_SQL, "CUBE agg"),
+    QuerySpec("q_grouping_sets", q_grouping_sets, Q_GROUPING_SETS_SQL, "GROUPING SETS"),
+    QuerySpec("q_distinct_agg", q_distinct_agg, Q_DISTINCT_SQL, "count distinct, multi-col distinct"),
+    QuerySpec("q_set_ops", q_set_ops, Q_SET_OPS_SQL, "UNION ALL / INTERSECT / EXCEPT"),
+    QuerySpec("q_topk_window", q_topk_window, Q_TOPK_WINDOW_SQL, "window rank top-k per group"),
+    QuerySpec("q_scalar_functions", q_scalar_functions, Q_SCALAR_SQL, "string/date/math scalar function zoo"),
+    QuerySpec("q_case_like", q_case_like, Q_CASE_LIKE_SQL, "CASE WHEN + LIKE predicates"),
+    QuerySpec("q_cte_subquery", q_cte_subquery, Q_CTE_SQL, "CTE + scalar subquery threshold"),
+    QuerySpec("q_exists_in", q_exists_in, Q_EXISTS_IN_SQL, "IN subquery as semi join"),
+    QuerySpec("q_approx_distinct", q_approx_distinct, None, "approx_count_distinct / approx_percentile (engine-specific sketches; rows-only)"),
+]

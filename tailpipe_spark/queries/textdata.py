@@ -1,0 +1,259 @@
+"""Training-data pipeline queries over ``documents``: dedup tiers,
+text analysis, fingerprinting. Oracle SQL is generated from the same
+parameters (marker words, hash seeds, band layout) as the Spark plans so
+both sides stay in lock-step.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tailpipe_spark.operators import dedup as dd
+from tailpipe_spark.operators import text as tx
+from tailpipe_spark.queries import QuerySpec
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tailpipe_spark.session import configure_runtime
+
+    configure_runtime(spark)
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+#: DuckDB expression mirroring operators.dedup.normalize_text
+_NORM_SQL = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+#: DuckDB CTE producing distinct (doc_id, gram) word-3-grams
+_GRAMS_SQL = f"""
+toks AS (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS t FROM documents),
+grams AS (
+  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS gram
+  FROM (SELECT doc_id, t, unnest(range(1, greatest(len(t) - 1, 1))) AS i FROM toks)
+)
+"""
+
+
+# --- exact dedup (md5 hash-groupBy) ---
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dd.exact_dedup_stats(_docs(spark, sf_dir))
+
+
+DEDUP_EXACT_SQL = f"""
+SELECT COUNT(*) AS total_docs,
+       COUNT(DISTINCT md5({_NORM_SQL})) AS distinct_docs,
+       COUNT(*) - COUNT(DISTINCT md5({_NORM_SQL})) AS duplicate_docs
+FROM documents
+"""
+
+
+# --- n-gram Jaccard near-dup pairs ---
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dd.ngram_jaccard_pairs(_docs(spark, sf_dir), n=3, threshold=0.2).orderBy(
+        "id_a", "id_b"
+    )
+
+
+DEDUP_JACCARD_SQL = f"""
+WITH {_GRAMS_SQL},
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM grams GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
+  FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT id_a, id_b,
+       common / (sa.sz + sb.sz - common) AS jaccard
+FROM common
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE common / (sa.sz + sb.sz - common) >= 0.2
+ORDER BY id_a, id_b
+"""
+
+
+# --- MinHash + LSH candidate pairs (portable md5 min-hashes) ---
+
+_NUM_HASHES = 12
+_BANDS = 4
+_ROWS_PER_BAND = _NUM_HASHES // _BANDS
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dd.minhash_lsh_pairs(
+        _docs(spark, sf_dir), n=3, num_hashes=_NUM_HASHES, bands=_BANDS
+    ).orderBy("id_a", "id_b")
+
+
+def _minhash_sql() -> str:
+    mins = ", ".join(
+        f"min(md5(gram || '#{s}')) AS mh{s}" for s in range(_NUM_HASHES)
+    )
+    band_selects = []
+    for b in range(_BANDS):
+        cols = " || '|' || ".join(
+            f"mh{b * _ROWS_PER_BAND + r}" for r in range(_ROWS_PER_BAND)
+        )
+        band_selects.append(
+            f"SELECT doc_id, {b} AS band, {cols} AS sig FROM sigs"
+        )
+    bands_union = "\nUNION ALL ".join(band_selects)
+    return f"""
+WITH {_GRAMS_SQL},
+sigs AS (SELECT doc_id, {mins} FROM grams GROUP BY doc_id),
+buckets AS ({bands_union})
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM buckets a
+JOIN buckets b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+ORDER BY id_a, id_b
+"""
+
+
+# --- SimHash fingerprints (xxhash64 — Spark-native, rows-only check) ---
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    fp = dd.simhash(docs)
+    cands = dd.simhash_candidates(docs).groupBy().agg(
+        F.count(F.lit(1)).alias("n_candidate_pairs")
+    )
+    return fp.crossJoin(F.broadcast(cands)).orderBy("doc_id")
+
+
+# --- language ID heuristic ---
+
+def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = tx.language_id(_docs(spark, sf_dir))
+    return (
+        out.groupBy("pred_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("pred_lang")
+    )
+
+
+def _langid_sql() -> str:
+    def occ(word: str) -> str:
+        needle = f" {word} "
+        return (
+            f"CAST((length(padded) - length(regexp_replace(padded, ' {word} ', ' ', 'g')))"
+            f" / {len(needle) - 1} AS INTEGER)"
+        )
+
+    score_cols = ", ".join(
+        " + ".join(occ(w) for w in words) + f" AS s_{lang}"
+        for lang, words in tx.LANG_MARKERS.items()
+    )
+    langs = sorted(tx.LANG_MARKERS)
+    best = "GREATEST(" + ", ".join(f"s_{l}" for l in langs) + ")"
+    case = " ".join(f"WHEN s_{l} = best THEN '{l}'" for l in langs)
+    return f"""
+WITH scored AS (
+  SELECT ' ' || {_NORM_SQL} || ' ' AS padded FROM documents),
+s AS (SELECT {score_cols} FROM scored),
+p AS (SELECT CASE WHEN {best} > 0
+             THEN CASE {case.replace('best', best)} END
+             ELSE 'und' END AS pred_lang
+      FROM s)
+SELECT pred_lang, COUNT(*) AS n_docs FROM p GROUP BY pred_lang ORDER BY pred_lang
+"""
+
+
+# --- quality features (per-doc, deterministic arithmetic) ---
+
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = tx.quality_features(_docs(spark, sf_dir))
+    return out.select(
+        "doc_id",
+        "q_chars",
+        "q_words",
+        "q_avg_word_len",
+        "q_punct_ratio",
+        "q_stopword_ratio",
+        "q_keep",
+    ).orderBy("doc_id")
+
+
+def _quality_sql() -> str:
+    def occ(word: str) -> str:
+        needle = f" {word} "
+        return (
+            f"CAST((length(padded) - length(regexp_replace(padded, ' {word} ', ' ', 'g')))"
+            f" / {len(needle) - 1} AS INTEGER)"
+        )
+
+    stop_sum = " + ".join(occ(w) for w in tx.STOPWORDS)
+    return f"""
+WITH base AS (
+  SELECT doc_id, {_NORM_SQL} AS norm, ' ' || {_NORM_SQL} || ' ' AS padded
+  FROM documents),
+feat AS (
+  SELECT doc_id,
+         length(norm) AS q_chars,
+         len(string_split(norm, ' ')) AS q_words,
+         length(regexp_replace(norm, '[a-z0-9 ]', '', 'g')) AS n_punct,
+         {stop_sum} AS stop_hits
+  FROM base)
+SELECT doc_id, q_chars, q_words,
+       (q_chars - (q_words - 1)) / q_words AS q_avg_word_len,
+       n_punct / greatest(q_chars, 1) AS q_punct_ratio,
+       stop_hits / q_words AS q_stopword_ratio,
+       (q_words >= 5 AND q_words <= 100000
+        AND (q_chars - (q_words - 1)) / q_words >= 2.0
+        AND (q_chars - (q_words - 1)) / q_words <= 12.0) AS q_keep
+FROM feat ORDER BY doc_id
+"""
+
+
+# --- token statistics ---
+
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tx.token_stats(_docs(spark, sf_dir), top_k=20)
+
+
+TOKEN_STATS_SQL = f"""
+SELECT token, COUNT(*) AS freq
+FROM (SELECT unnest(string_split({_NORM_SQL}, ' ')) AS token FROM documents)
+WHERE token <> ''
+GROUP BY token
+ORDER BY freq DESC, token ASC
+LIMIT 20
+"""
+
+
+def text_doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tx.doc_token_counts(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+DOC_TOKENS_SQL = f"""
+SELECT doc_id,
+       len(string_split({_NORM_SQL}, ' ')) AS n_tokens,
+       len(list_distinct(string_split({_NORM_SQL}, ' '))) AS n_distinct_tokens
+FROM documents ORDER BY doc_id
+"""
+
+
+# --- document fingerprint (sorted distinct token set → md5) ---
+
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tx.fingerprint(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+FINGERPRINT_SQL = f"""
+SELECT doc_id,
+       md5(array_to_string(list_sort(list_distinct(string_split({_NORM_SQL}, ' '))), ' '))
+         AS fingerprint
+FROM documents ORDER BY doc_id
+"""
+
+
+SPECS = [
+    QuerySpec("dedup_exact", dedup_exact, DEDUP_EXACT_SQL, "exact dedup via md5 hash-groupBy"),
+    QuerySpec("dedup_ngram_jaccard", dedup_ngram_jaccard, DEDUP_JACCARD_SQL, "word-3-gram Jaccard near-dup pairs"),
+    QuerySpec("dedup_minhash_lsh", dedup_minhash_lsh, _minhash_sql(), "MinHash(12) + 4-band LSH candidate pairs"),
+    QuerySpec("dedup_simhash", dedup_simhash, None, "64-bit SimHash fingerprints + Hamming-chunk candidates (xxhash64; rows-only)"),
+    QuerySpec("text_language_id", text_language_id, _langid_sql(), "marker-word language ID heuristic"),
+    QuerySpec("text_quality", text_quality, _quality_sql(), "per-doc quality features + keep flag"),
+    QuerySpec("text_token_stats", text_token_stats, TOKEN_STATS_SQL, "corpus token frequency top-k"),
+    QuerySpec("text_doc_tokens", text_doc_tokens, DOC_TOKENS_SQL, "per-doc token counting"),
+    QuerySpec("text_fingerprint", text_fingerprint, FINGERPRINT_SQL, "order-insensitive doc fingerprint"),
+]

@@ -1,0 +1,429 @@
+"""Time-series / log-analytics queries over the ``events`` table, plus
+the ingest-path operator semantics from SURVEY.md §2.a (tp_* enrichment,
+validation, filters, struct construction) expressed as oracle-checkable
+queries.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from tailpipe_spark.functions.exact import dsum, oracle_dsum
+from tailpipe_spark.operators.asof import asof_join
+from tailpipe_spark.operators.range_join import range_join_time
+from tailpipe_spark.operators.sessionize import session_stats
+from tailpipe_spark.queries import QuerySpec
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    from tailpipe_spark.session import read_table
+
+    return read_table(spark, f"{sf_dir}/{name}.parquet")
+
+
+# --- window function suite (A8 + §2.b window surface) ---
+
+def q_window_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wmove = w.rowsBetween(-4, 0)
+    return e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.row_number().over(w).alias("rn"),
+        F.rank().over(Window.partitionBy("user_id").orderBy(F.col("event_type"))).alias(
+            "type_rank"
+        ),
+        F.lag("event_id").over(w).alias("prev_event_id"),
+        F.lead("event_id").over(w).alias("next_event_id"),
+        (F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))).alias(
+            "gap_us"
+        ),
+        F.sum(F.col("value").cast("decimal(27,6)")).over(wsum).cast("double").alias(
+            "running_value"
+        ),
+        F.sum(F.col("value").cast("decimal(27,6)")).over(wmove).cast("double").alias(
+            "moving5_value"
+        ),
+    ).orderBy("user_id", "rn")
+
+
+Q_WINDOW_SQL = """
+SELECT event_id, user_id, ts,
+       ROW_NUMBER() OVER w AS rn,
+       RANK() OVER (PARTITION BY user_id ORDER BY event_type) AS type_rank,
+       LAG(event_id) OVER w AS prev_event_id,
+       LEAD(event_id) OVER w AS next_event_id,
+       epoch_us(ts) - LAG(epoch_us(ts)) OVER w AS gap_us,
+       CAST(SUM(CAST(value AS DECIMAL(27,6)))
+            OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+         AS running_value,
+       CAST(SUM(CAST(value AS DECIMAL(27,6)))
+            OVER (w ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS DOUBLE)
+         AS moving5_value
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+ORDER BY user_id, rn
+"""
+
+
+# --- hourly time-bucket rollup (batch analog of tumbling windows) ---
+
+def q_time_bucket_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value", "total_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy("hour", "event_type")
+    )
+
+
+Q_TIME_BUCKET_SQL = f"""
+SELECT DATE_TRUNC('hour', ts) AS hour, event_type,
+       COUNT(*) AS n_events,
+       {oracle_dsum('value')} AS total_value,
+       COUNT(DISTINCT user_id) AS n_users
+FROM events
+GROUP BY 1, 2
+ORDER BY hour, event_type
+"""
+
+
+# --- sessionization (gap-based) ---
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    return session_stats(e, "user_id", "ts", gap_seconds=1800).orderBy("user_id")
+
+
+Q_SESSIONIZE_SQL = """
+WITH flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                   OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 1800 * 1000000
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC)
+), sessions AS (
+  SELECT user_id, ts,
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY ts ASC
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1
+           AS session_id
+  FROM flagged
+), per_session AS (
+  SELECT user_id, session_id, COUNT(*) AS n_events,
+         (epoch_us(MAX(ts)) - epoch_us(MIN(ts))) / 1000000.0 AS span_sec
+  FROM sessions GROUP BY user_id, session_id
+)
+SELECT user_id, COUNT(*) AS n_sessions, SUM(n_events) AS n_events,
+       MAX(span_sec) AS max_span_sec
+FROM per_session GROUP BY user_id ORDER BY user_id
+"""
+
+
+# --- as-of join (DuckDB ASOF JOIN parity) ---
+
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    logins = e.filter(F.col("event_type") == "login").select(
+        F.col("user_id"), F.col("ts").alias("login_ts"), F.col("event_id").alias("login_event_id")
+    )
+    out = asof_join(
+        purchases,
+        logins,
+        on="user_id",
+        left_time="ts",
+        right_time="login_ts",
+        value_cols=["login_event_id"],
+    )
+    return out.select(
+        "event_id", "user_id", "ts", "asof_login_ts", "login_event_id"
+    ).orderBy("event_id")
+
+
+Q_ASOF_SQL = """
+SELECT p.event_id, p.user_id, p.ts,
+       l.ts AS asof_login_ts, l.event_id AS login_event_id
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'login') l
+  ON p.user_id = l.user_id AND p.ts >= l.ts
+ORDER BY p.event_id
+"""
+
+
+# --- time-range join (interval join, bucket-accelerated) ---
+
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    errors = e.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("err_id"), F.col("user_id"), F.col("ts").alias("err_ts")
+    )
+    follow = e.select(
+        F.col("event_id").alias("next_id"),
+        F.col("user_id").alias("next_user"),
+        F.col("ts").alias("next_ts"),
+        F.col("event_type").alias("next_type"),
+    )
+    joined = range_join_time(
+        errors,
+        follow,
+        left_time="err_ts",
+        right_time="next_ts",
+        span_seconds=300,
+        strict_after=True,
+    ).filter(F.col("user_id") == F.col("next_user"))
+    return (
+        joined.groupBy("err_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_following"),
+            F.min("next_id").alias("first_next_id"),
+        )
+        .orderBy("err_id")
+    )
+
+
+Q_RANGE_JOIN_SQL = """
+SELECT e.event_id AS err_id, COUNT(*) AS n_following,
+       MIN(f.event_id) AS first_next_id
+FROM events e
+JOIN events f
+  ON f.user_id = e.user_id
+ AND f.ts > e.ts
+ AND f.ts <= e.ts + INTERVAL 300 SECOND
+WHERE e.event_type = 'error'
+GROUP BY e.event_id
+ORDER BY err_id
+"""
+
+
+# --- JSON extraction (§2.b JSON functions; events.props is a json string) ---
+
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("int")
+    return (
+        e.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+Q_JSON_SQL = """
+SELECT event_type, COUNT(*) AS n,
+       SUM(k) AS sum_k, MIN(k) AS min_k, MAX(k) AS max_k
+FROM (SELECT event_type,
+             CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+      FROM events)
+GROUP BY event_type ORDER BY event_type
+"""
+
+
+# --- tp_* enrichment (A6/A7 + collector_synthetic tp columns) ---
+
+def q_tp_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mirror of the conversion SELECT the reference generates
+    (reference: internal/database/read_json_query.go:25-87): source cols
+    pass through, tp_timestamp mapped from the event time, tp_date
+    derived (never trusted from source), tp_index forced from config,
+    tp_partition/tp_table constants."""
+    from tailpipe_spark.enrich import enrich_tp
+
+    e = _t(spark, sf_dir, "events")
+    enriched = enrich_tp(
+        e.withColumn("tp_timestamp", F.col("ts")),
+        table="events",
+        partition="events_default",
+        index_expr="cast(user_id as string)",
+    )
+    return enriched.select(
+        "event_id",
+        "tp_timestamp",
+        "tp_date",
+        "tp_index",
+        "tp_partition",
+        "tp_table",
+    ).orderBy("event_id")
+
+
+Q_TP_ENRICH_SQL = """
+SELECT event_id,
+       ts AS tp_timestamp,
+       CASE WHEN ts IS NOT NULL THEN CAST(DATE_TRUNC('day', ts) AS DATE) END AS tp_date,
+       CAST(user_id AS VARCHAR) AS tp_index,
+       'events_default' AS tp_partition,
+       'events' AS tp_table
+FROM events
+ORDER BY event_id
+"""
+
+
+# --- required-column validation (A11: per-column null counts) ---
+
+def q_validate_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tailpipe_spark.validate import null_count_report
+
+    e = _t(spark, sf_dir, "events")
+    return null_count_report(
+        e, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    ).orderBy("column_name")
+
+
+Q_VALIDATE_SQL = """
+SELECT 'event_id' AS column_name, COUNT(*) FILTER (WHERE event_id IS NULL) AS null_count FROM events
+UNION ALL SELECT 'ts', COUNT(*) FILTER (WHERE ts IS NULL) FROM events
+UNION ALL SELECT 'user_id', COUNT(*) FILTER (WHERE user_id IS NULL) FROM events
+UNION ALL SELECT 'event_type', COUNT(*) FILTER (WHERE event_type IS NULL) FROM events
+UNION ALL SELECT 'value', COUNT(*) FILTER (WHERE value IS NULL) FROM events
+UNION ALL SELECT 'props', COUNT(*) FILTER (WHERE props IS NULL) FROM events
+ORDER BY column_name
+"""
+
+
+# --- query-time filters (A9/A10/A17: from/to + LIKE-rewritten filters) ---
+
+def q_cli_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tailpipe_spark.query_cli import apply_query_filters
+
+    e = _t(spark, sf_dir, "events").withColumn("tp_timestamp", F.col("ts")).withColumn(
+        "tp_index", F.col("user_id").cast("string")
+    )
+    out = apply_query_filters(
+        e,
+        time_from="2024-01-05T00:00:00",
+        time_to="2024-01-20T00:00:00",
+        index_patterns=["1*"],
+    )
+    return (
+        out.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.min("event_id").alias("first_id"))
+        .orderBy("event_type")
+    )
+
+
+Q_CLI_FILTERS_SQL = """
+SELECT event_type, COUNT(*) AS n, MIN(event_id) AS first_id
+FROM events
+WHERE (ts IS NULL OR ts >= TIMESTAMP '2024-01-05 00:00:00')
+  AND ts <= TIMESTAMP '2024-01-20 00:00:00'
+  AND CAST(user_id AS VARCHAR) LIKE '1%'
+GROUP BY event_type ORDER BY event_type
+"""
+
+
+# --- ingest filter with modulo predicate (partition_tests.bats parity) ---
+
+def q_ingest_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tailpipe_spark.config import validate_filter_expression
+
+    filt = "event_id % 2 = 0 AND value > 50"
+    validate_filter_expression(filt)
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.filter(F.expr(filt))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), dsum("value", "total_value"))
+        .orderBy("event_type")
+    )
+
+
+Q_INGEST_FILTER_SQL = f"""
+SELECT event_type, COUNT(*) AS n, {oracle_dsum('value')} AS total_value
+FROM events
+WHERE event_id % 2 = 0 AND value > 50
+GROUP BY event_type ORDER BY event_type
+"""
+
+
+# --- struct construction with null-parent semantics (A5) ---
+
+def q_struct_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("int")
+    missing = F.get_json_object(F.col("props"), "$.missing").cast("int")
+    detail = F.when(missing.isNull(), F.lit(None)).otherwise(
+        F.struct(missing.alias("m"), F.col("value").alias("v"))
+    )
+    built = e.select(
+        "event_id",
+        F.struct(F.col("event_type").alias("etype"), k.alias("k")).alias("meta"),
+        detail.alias("detail"),
+    )
+    return built.select(
+        "event_id",
+        F.col("meta.etype").alias("etype"),
+        F.col("meta.k").alias("k"),
+        F.col("detail").isNull().alias("detail_is_null"),
+        F.col("detail.m").alias("detail_m"),
+    ).orderBy("event_id")
+
+
+Q_STRUCT_SQL = """
+WITH built AS (
+  SELECT event_id,
+         {'etype': event_type,
+          'k': CAST(json_extract_string(props, '$.k') AS INTEGER)} AS meta,
+         CASE WHEN CAST(json_extract_string(props, '$.missing') AS INTEGER) IS NULL
+              THEN NULL
+              ELSE {'m': CAST(json_extract_string(props, '$.missing') AS INTEGER),
+                    'v': value} END AS detail
+  FROM events)
+SELECT event_id, meta.etype AS etype, meta.k AS k,
+       detail IS NULL AS detail_is_null, detail.m AS detail_m
+FROM built ORDER BY event_id
+"""
+
+
+# --- deterministic row numbering (A8) ---
+
+def q_row_numbering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    w = Window.orderBy(F.col("event_id").asc())
+    return (
+        e.select(F.row_number().over(w).alias("row_id"), "event_id", "event_type")
+        .filter(F.col("row_id") % 100 == 1)
+        .orderBy("row_id")
+    )
+
+
+Q_ROW_NUMBERING_SQL = """
+SELECT row_id, event_id, event_type FROM (
+  SELECT ROW_NUMBER() OVER (ORDER BY event_id ASC) AS row_id, event_id, event_type
+  FROM events)
+WHERE row_id % 100 = 1
+ORDER BY row_id
+"""
+
+
+SPECS = [
+    QuerySpec("q_window_functions", q_window_functions, Q_WINDOW_SQL, "row_number/rank/lag/lead/running+moving sums"),
+    QuerySpec("q_time_bucket_hourly", q_time_bucket_hourly, Q_TIME_BUCKET_SQL, "tumbling-window rollup (batch)"),
+    QuerySpec("q_sessionize", q_sessionize, Q_SESSIONIZE_SQL, "gap-based sessionization"),
+    QuerySpec("q_asof_join", q_asof_join, Q_ASOF_SQL, "as-of join (union+window plan vs DuckDB ASOF JOIN)"),
+    QuerySpec("q_range_join", q_range_join, Q_RANGE_JOIN_SQL, "interval range join (bucketed equi-join plan)"),
+    QuerySpec("q_json_extract", q_json_extract, Q_JSON_SQL, "JSON field extraction + agg"),
+    QuerySpec("q_tp_enrichment", q_tp_enrichment, Q_TP_ENRICH_SQL, "tp_* enrichment semantics (A6/A7)"),
+    QuerySpec("q_validate_nulls", q_validate_nulls, Q_VALIDATE_SQL, "required-column null report (A11)"),
+    QuerySpec("q_cli_filters", q_cli_filters, Q_CLI_FILTERS_SQL, "--from/--to/--index filters (A10/A17)"),
+    QuerySpec("q_ingest_filter", q_ingest_filter, Q_INGEST_FILTER_SQL, "partition filter expr with lexical guard (A9)"),
+    QuerySpec("q_struct_roundtrip", q_struct_roundtrip, Q_STRUCT_SQL, "struct construction w/ null-parent (A5)"),
+    QuerySpec("q_row_numbering", q_row_numbering, Q_ROW_NUMBERING_SQL, "row numbering (A8)"),
+]

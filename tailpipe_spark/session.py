@@ -1,0 +1,137 @@
+"""SparkSession construction + test-table registration.
+
+The reference engine opens a single in-process DuckDB connection
+(reference: internal/database/duck_db.go:38-104); our equivalent is one
+SparkSession tuned for the local[N] harness but configured so the same
+code runs unmodified on a multi-executor cluster: AQE on (runtime
+re-planning, skew-join splitting, partition coalescing), shuffle
+partitions sized to cores, Arrow enabled for the few pandas-UDF paths.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+#: tables the driver generates under /root/testdata/sf*/ (TESTDATA.md)
+TEST_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def build_session(
+    app_name: str = "tailpipe-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build a tuned SparkSession.
+
+    Honors ``SPARK_GRAFT_CPUS`` for local parallelism. All settings are
+    cluster-safe: on a real cluster, pass ``master=None`` and submit with
+    ``spark-submit`` — the builder only sets a local master when none is
+    configured.
+    """
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0") or 0)
+    if master is None:
+        master = f"local[{cpus}]" if cpus else "local[*]"
+    if shuffle_partitions is None:
+        shuffle_partitions = cpus if cpus else (os.cpu_count() or 8)
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.sql.parquet.aggregatePushdown", "true")
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+        .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
+
+
+def configure_runtime(spark: SparkSession) -> None:
+    """Runtime-settable conf we need even on a session we didn't build
+    (the correctness driver hands us its own SparkSession)."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    # The driver's testdata stores TIMESTAMP(NANOS) which Spark's parquet
+    # reader rejects; read as long nanos and convert (lossless here: the
+    # data has microsecond resolution).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+
+def _nano_timestamp_cols(path: str) -> list[str]:
+    """Columns stored as parquet timestamp[ns], from the file footer."""
+    import glob as _glob
+    import os as _os
+
+    import pyarrow.parquet as pq
+
+    target = path
+    if _os.path.isdir(path):
+        files = _glob.glob(_os.path.join(path, "**", "*.parquet"), recursive=True)
+        if not files:
+            return []
+        target = sorted(files)[0]
+    try:
+        schema = pq.read_schema(target)
+    except Exception:  # noqa: BLE001 — non-parquet or unreadable: no conversion
+        return []
+    import pyarrow as pa
+
+    return [
+        f.name
+        for f in schema
+        if pa.types.is_timestamp(f.type) and f.type.unit == "ns"
+    ]
+
+
+def read_table(spark: SparkSession, path: str) -> DataFrame:
+    """Read a parquet table, transparently converting nano-timestamp
+    columns (unreadable by Spark's vectorized reader) to TimestampType."""
+    from pyspark.sql import functions as F
+
+    configure_runtime(spark)
+    df = spark.read.parquet(path)
+    for c in _nano_timestamp_cols(path):
+        df = df.withColumn(c, F.timestamp_micros(F.expr(f"CAST(`{c}` DIV 1000 AS BIGINT)")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Load every test table from ``sf_dir`` as DataFrames."""
+    configure_runtime(spark)
+    return {t: read_table(spark, f"{sf_dir}/{t}.parquet") for t in TEST_TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Register every test table as a temp view (like the reference's
+    per-table views over the DuckLake catalog, reference:
+    internal/database/views.go:14-34) and return the DataFrames."""
+    dfs = load_tables(spark, sf_dir)
+    for name, df in dfs.items():
+        df.createOrReplaceTempView(name)
+    return dfs
