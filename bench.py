@@ -1,0 +1,79 @@
+"""Benchmark runner: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <float>}
+
+Each query executes through the noop sink so the full physical plan runs
+(scan → shuffle → agg) without driver-side collect overhead.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from tailpipe_spark.queries import build_registry
+from tailpipe_spark.session import build_session
+
+HEADLINE = [
+    "q01_pricing_summary",
+    "q03_shipping_priority",
+    "q05_local_supplier",
+    "q_topk_window",
+    "q_window_functions",
+    "q_time_bucket_hourly",
+    "q_sessionize",
+    "q_asof_join",
+    "q_range_join",
+    "q_json_extract",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "text_quality",
+    "text_token_stats",
+    "sim_cosine_topk",
+]
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else 0.0
+
+    spark = build_session("tailpipe-bench")
+    registry = build_registry()
+
+    # warmup: JIT + codegen + parquet footer caches on the small SF
+    registry["q01_pricing_summary"].fn(spark, "/root/testdata/sf0.001").count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = registry[name].fn
+        t0 = time.time()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_wall_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
