@@ -1,0 +1,192 @@
+"""Workspace catalog: a JSON manifest over hive-partitioned Parquet.
+
+The reference keeps a DuckLake SQLite catalog (tables, columns, data
+files, partition values, snapshots — reference:
+internal/database/duck_db.go:270-291, partition_key.go:40-64). Here the
+same roles are played by:
+
+- directory layout ``data/<table>/tp_partition=…/tp_index=…/tp_year=…/
+  tp_month=…/*.parquet`` (self-describing, Spark-native partition
+  discovery and pruning)
+- ``metadata/manifest.json``: table schemas + snapshot log
+- parquet footers: per-file row counts / min-max stats (A30)
+
+Single-writer discipline per workspace (the reference runs one DuckDB
+connection; we serialize manifest writes with an atomic rename).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+PARTITION_COLS = ("tp_partition", "tp_index", "tp_year", "tp_month")
+
+
+@dataclass
+class TableEntry:
+    name: str
+    type_strings: dict[str, str]  # column → engine type string
+    created_at: float = field(default_factory=time.time)
+
+
+class Catalog:
+    def __init__(self, workspace: str):
+        self.workspace = workspace
+        os.makedirs(self.metadata_dir, exist_ok=True)
+        os.makedirs(self.data_dir, exist_ok=True)
+
+    # --- paths ---
+    @property
+    def data_dir(self) -> str:
+        return os.path.join(self.workspace, "data")
+
+    @property
+    def metadata_dir(self) -> str:
+        return os.path.join(self.workspace, "metadata")
+
+    @property
+    def manifest_path(self) -> str:
+        return os.path.join(self.metadata_dir, "manifest.json")
+
+    def table_dir(self, table: str) -> str:
+        return os.path.join(self.data_dir, table)
+
+    def state_path(self, table: str, partition: str) -> str:
+        return os.path.join(self.metadata_dir, f"state_{table}.{partition}.json")
+
+    # --- manifest ---
+    def _load(self) -> dict:
+        if not os.path.exists(self.manifest_path):
+            return {"tables": {}, "snapshots": []}
+        with open(self.manifest_path) as f:
+            return json.load(f)
+
+    def _store(self, manifest: dict) -> None:
+        tmp = self.manifest_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f, indent=1, sort_keys=True)
+        os.replace(tmp, self.manifest_path)  # atomic on POSIX
+
+    def ensure_table(self, name: str, type_strings: dict[str, str]) -> None:
+        """Create-table-if-not-exists (A15). Existing tables must match
+        (schema evolution is an error — SURVEY.md §1.4)."""
+        m = self._load()
+        existing = m["tables"].get(name)
+        if existing is None:
+            m["tables"][name] = {
+                "type_strings": type_strings,
+                "created_at": time.time(),
+            }
+            self._store(m)
+            os.makedirs(self.table_dir(name), exist_ok=True)
+            return
+        if existing["type_strings"] != type_strings:
+            from tailpipe_spark.schema import SchemaChangeError
+
+            changes = {
+                c: (existing["type_strings"].get(c, "<absent>"), t)
+                for c, t in type_strings.items()
+                if existing["type_strings"].get(c) != t
+            }
+            raise SchemaChangeError(changes)
+
+    def list_tables(self) -> list[str]:
+        """A28."""
+        return sorted(self._load()["tables"])
+
+    def table_schema(self, name: str) -> dict[str, str]:
+        """A29: column → engine type string."""
+        t = self._load()["tables"].get(name)
+        if t is None:
+            raise KeyError(f"table {name!r} does not exist")
+        return dict(t["type_strings"])
+
+    def record_snapshot(self, op: str, detail: dict | None = None) -> int:
+        m = self._load()
+        snap_id = len(m["snapshots"]) + 1
+        m["snapshots"].append(
+            {"id": snap_id, "op": op, "ts": time.time(), **(detail or {})}
+        )
+        self._store(m)
+        return snap_id
+
+    def expire_snapshots(self, keep_latest: int = 1) -> int:
+        """A26: all-but-latest snapshot expiry (metadata only — data GC
+        is the compactor's merge/delete)."""
+        m = self._load()
+        n = max(0, len(m["snapshots"]) - keep_latest)
+        m["snapshots"] = m["snapshots"][len(m["snapshots"]) - keep_latest :]
+        self._store(m)
+        return n
+
+    def backup_metadata(self) -> str:
+        """A27: timestamped manifest backup before collect/compact."""
+        backups = os.path.join(self.metadata_dir, "backups")
+        os.makedirs(backups, exist_ok=True)
+        dst = os.path.join(backups, f"manifest.{int(time.time() * 1000)}.json")
+        if os.path.exists(self.manifest_path):
+            shutil.copy2(self.manifest_path, dst)
+        return dst
+
+    # --- file/row stats (A30) ---
+    def file_stats(self, table: str) -> dict:
+        import pyarrow.parquet as pq
+
+        tdir = self.table_dir(table)
+        files, bytes_, rows = 0, 0, 0
+        for root, _dirs, names in os.walk(tdir):
+            for n in names:
+                if not n.endswith(".parquet"):
+                    continue
+                p = os.path.join(root, n)
+                files += 1
+                bytes_ += os.path.getsize(p)
+                rows += pq.read_metadata(p).num_rows
+        return {"table": table, "files": files, "bytes": bytes_, "rows": rows}
+
+    # --- spark registration (A16) ---
+    def register_views(
+        self,
+        spark: SparkSession,
+        filters: list[str] | None = None,
+        hide_layout_cols: bool = True,
+    ) -> list[str]:
+        """Register one temp view per table, with optional baked-in
+        filter predicates (reference: internal/database/views.go:14-34).
+        Layout columns tp_year/tp_month are hidden so ``select *``
+        matches the reference's schema."""
+        names = []
+        for t in self.list_tables():
+            df = self.read_table(spark, t)
+            for flt in filters or []:
+                from pyspark.sql import functions as F
+
+                df = df.filter(F.expr(flt))
+            if hide_layout_cols:
+                df = df.drop("tp_year", "tp_month")
+            df.createOrReplaceTempView(t)
+            names.append(t)
+        return names
+
+    def read_table(self, spark: SparkSession, table: str) -> DataFrame:
+        if table not in self.list_tables():
+            raise KeyError(f"table {table!r} does not exist")
+        from pyspark.sql import functions as F
+
+        from tailpipe_spark.session import configure_runtime
+
+        configure_runtime(spark)
+        df = spark.read.option("basePath", self.table_dir(table)).parquet(
+            self.table_dir(table)
+        )
+        # partition type inference is off (tp_index stays varchar);
+        # restore int types for the numeric layout columns
+        return df.withColumn("tp_year", F.col("tp_year").cast("int")).withColumn(
+            "tp_month", F.col("tp_month").cast("int")
+        )

@@ -1,0 +1,188 @@
+"""Collection pipeline: source files → format parse → column mapping →
+tp_* enrichment → validation → partitioned append + state update.
+
+Spark shape of the reference's collect lifecycle (SURVEY.md §3.2):
+plugins/gRPC become format readers (sources/), the converter's generated
+SQL becomes a declarative DataFrame plan (so Catalyst fuses
+parse+map+validate+write into one pass over the input), and the
+persisted collection state JSON keeps the resume watermark
+(reference: internal/config/partition.go:105-108).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass
+from datetime import datetime
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tailpipe_spark.catalog import Catalog
+from tailpipe_spark.config import PartitionConfig, TableConfig
+from tailpipe_spark.enrich import enrich_tp
+from tailpipe_spark.plans.pruning import apply_pruned_time_filter
+from tailpipe_spark.schema import columns_for_table, to_type_string
+from tailpipe_spark.validate import validate_required
+from tailpipe_spark import writer
+
+
+@dataclass
+class CollectResult:
+    table: str
+    partition: str
+    rows_written: int
+    rows_dropped: int
+    null_columns: list[str]
+    from_time: str | None = None
+    to_time: str | None = None
+
+
+def apply_table_mapping(df: DataFrame, table: TableConfig) -> DataFrame:
+    """Projection/rename (A3), transform expressions (A4), null_if, and
+    map_fields auto-mapping — the reference's per-column select clause
+    (reference: internal/database/read_json_query.go:105-178)."""
+    import fnmatch
+
+    from tailpipe_spark.schema import parse_type
+
+    declared = {c.name for c in table.columns}
+    sources_used = {c.source for c in table.columns if c.source}
+    cols = []
+    for c in table.columns:
+        if c.transform:
+            col = F.expr(c.transform)
+        elif c.source:
+            col = F.col(c.source) if c.source in df.columns else F.lit(None)
+        else:
+            # declared column absent from this chunk → typed NULL (the
+            # reference emits NULL for unmapped declared columns)
+            col = F.col(c.name) if c.name in df.columns else F.lit(None)
+        if c.type:
+            col = col.cast(parse_type(c.type))
+        null_if = c.null_if if c.null_if is not None else table.null_if
+        if null_if is not None:
+            col = F.when(col.cast("string") == F.lit(null_if), None).otherwise(col)
+        cols.append(col.alias(c.name))
+    for f in df.columns:
+        if f in declared or f in sources_used:
+            continue
+        if any(fnmatch.fnmatch(f, pat) for pat in table.map_fields):
+            col = F.col(f)
+            if table.null_if is not None:
+                col = F.when(
+                    col.cast("string") == F.lit(table.null_if), None
+                ).otherwise(col)
+            cols.append(col.alias(f))
+    return df.select(*cols)
+
+
+def load_state(catalog: Catalog, table: str, partition: str) -> dict:
+    p = catalog.state_path(table, partition)
+    if os.path.exists(p):
+        with open(p) as f:
+            return json.load(f)
+    return {}
+
+
+def save_state(catalog: Catalog, table: str, partition: str, state: dict) -> None:
+    p = catalog.state_path(table, partition)
+    tmp = p + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(state, f)
+    os.replace(tmp, p)
+
+
+def collect(
+    spark: SparkSession,
+    catalog: Catalog,
+    table: TableConfig,
+    partition: PartitionConfig,
+    source_df: DataFrame | None = None,
+    time_from: datetime | None = None,
+    time_to: datetime | None = None,
+    overwrite: bool = False,
+    timestamp_source: str = "tp_timestamp",
+    required: tuple[str, ...] = ("tp_timestamp",),
+) -> CollectResult:
+    """Run one collection. ``source_df`` is the parsed source (from
+    sources.FileSource / read_with_format); ``timestamp_source`` names
+    the source column mapped to tp_timestamp."""
+    if source_df is None:
+        from tailpipe_spark.sources.file_source import FileSource
+
+        if partition.source is None:
+            raise ValueError("partition has no source and no source_df given")
+        source_df = FileSource(partition.source).read(spark)
+
+    catalog.backup_metadata()
+
+    if overwrite and (time_from or time_to):
+        # --overwrite: delete range then re-collect (A19)
+        try:
+            writer.delete_range(
+                catalog, spark, table.name, partition.name, time_from, time_to
+            )
+        except KeyError:
+            pass  # table doesn't exist yet
+
+    df = apply_table_mapping(source_df, table) if table.columns or table.map_fields != ["*"] else source_df
+
+    if timestamp_source != "tp_timestamp":
+        df = df.withColumn("tp_timestamp", F.col(timestamp_source))
+    elif "tp_timestamp" not in df.columns:
+        raise ValueError(
+            "no tp_timestamp: set timestamp_source or map it in the table config"
+        )
+
+    if partition.filter:
+        df = df.filter(F.expr(partition.filter))  # A9 (validated at config parse)
+
+    df = enrich_tp(
+        df,
+        table=table.name,
+        partition=partition.name,
+        index_expr=partition.tp_index,
+    )
+    df = apply_pruned_time_filter(df, time_from, time_to)  # A10
+
+    result = validate_required(df, list(required))  # A11/A12
+
+    # freeze/verify table schema in the catalog (A15 + schema-change gate)
+    out_schema = {
+        f.name: to_type_string(f.dataType) for f in result.valid.schema.fields
+    }
+    catalog.ensure_table(table.name, out_schema)
+
+    before = catalog.file_stats(table.name)["rows"]
+    writer.append(catalog, table.name, result.valid)
+    written = catalog.file_stats(table.name)["rows"] - before
+
+    state = load_state(catalog, table.name, partition.name)
+    bounds = result.valid.agg(
+        F.max("tp_timestamp").alias("mx"), F.min("tp_timestamp").alias("mn")
+    ).collect()[0]
+    state.update(
+        {
+            "last_collected_at": time.time(),
+            "watermark": str(bounds["mx"]) if bounds["mx"] else state.get("watermark"),
+            "earliest": str(bounds["mn"]) if bounds["mn"] else state.get("earliest"),
+            "rows_total": state.get("rows_total", 0) + written,
+        }
+    )
+    save_state(catalog, table.name, partition.name, state)
+    catalog.record_snapshot(
+        "collect",
+        {"table": table.name, "partition": partition.name, "rows": written},
+    )
+    return CollectResult(
+        table=table.name,
+        partition=partition.name,
+        rows_written=written,
+        rows_dropped=result.invalid_count,
+        null_columns=result.null_columns,
+        from_time=str(time_from) if time_from else None,
+        to_time=str(time_to) if time_to else None,
+    )

@@ -1,0 +1,193 @@
+"""Compaction: overlap detection → time-ordered rewrite → small-file
+merge (+ optional reindex), mirroring the reference's compactor
+(reference: internal/database/compact.go:80-435,
+internal/database/partition_key.go:96-170).
+
+Spark shape:
+- file stats (rows, min/max tp_timestamp) come from parquet footers —
+  driver-side metadata, no data read (A20/A22)
+- the interval-overlap sweep is pure Python on those stats (A21)
+- the rewrite is ``repartitionByRange(tp_timestamp) +
+  sortWithinPartitions`` with dynamic partition overwrite, so files end
+  up time-clustered and non-overlapping — Parquet min/max row-group
+  skipping then prunes time ranges inside a month partition (A23)
+- small files merge by coalescing to a target size (A24)
+
+Guardrails match the reference: rewrites chunked per partition key
+(bounded memory), and a partition is only rewritten when it has
+overlapping or too-many-small files — compaction is idempotent.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from tailpipe_spark.catalog import PARTITION_COLS, Catalog
+
+TARGET_FILE_BYTES = 128 * 1024 * 1024
+
+
+@dataclass
+class FileStat:
+    path: str
+    rows: int
+    bytes: int
+    min_ts: object
+    max_ts: object
+
+
+@dataclass
+class PartitionKey:
+    tp_partition: str
+    tp_index: str
+    tp_year: int
+    tp_month: int
+
+    @property
+    def relpath(self) -> str:
+        return (
+            f"tp_partition={self.tp_partition}/tp_index={self.tp_index}/"
+            f"tp_year={self.tp_year}/tp_month={self.tp_month}"
+        )
+
+
+def enumerate_partition_keys(catalog: Catalog, table: str) -> list[PartitionKey]:
+    """A20: walk the hive layout."""
+    keys = []
+    base = catalog.table_dir(table)
+    for root, dirs, files in os.walk(base):
+        if not any(f.endswith(".parquet") for f in files):
+            continue
+        rel = os.path.relpath(root, base)
+        parts = dict(p.split("=", 1) for p in rel.split(os.sep) if "=" in p)
+        if set(parts) >= set(PARTITION_COLS):
+            keys.append(
+                PartitionKey(
+                    parts["tp_partition"],
+                    parts["tp_index"],
+                    int(parts["tp_year"]),
+                    int(parts["tp_month"]),
+                )
+            )
+    return sorted(keys, key=lambda k: k.relpath)
+
+
+def file_stats(catalog: Catalog, table: str, key: PartitionKey) -> list[FileStat]:
+    """A22: per-file stats from parquet footers (no data read)."""
+    import pyarrow.parquet as pq
+
+    d = os.path.join(catalog.table_dir(table), key.relpath)
+    out = []
+    for name in sorted(os.listdir(d)):
+        if not name.endswith(".parquet"):
+            continue
+        p = os.path.join(d, name)
+        md = pq.read_metadata(p)
+        mn = mx = None
+        try:
+            idx = md.schema.to_arrow_schema().get_field_index("tp_timestamp")
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx).statistics
+                if st is not None and st.has_min_max:
+                    mn = st.min if mn is None else min(mn, st.min)
+                    mx = st.max if mx is None else max(mx, st.max)
+        except (KeyError, ValueError):
+            pass
+        out.append(FileStat(p, md.num_rows, os.path.getsize(p), mn, mx))
+    return out
+
+
+def find_overlaps(stats: list[FileStat]) -> list[list[FileStat]]:
+    """A21: sweep sorted time ranges; group files whose [min,max]
+    intervals overlap (reference: partition_key.go:96-170)."""
+    ranged = [s for s in stats if s.min_ts is not None and s.max_ts is not None]
+    ranged.sort(key=lambda s: (s.min_ts, s.max_ts))
+    groups: list[list[FileStat]] = []
+    cur: list[FileStat] = []
+    cur_max = None
+    for s in ranged:
+        if cur and s.min_ts <= cur_max:
+            cur.append(s)
+            cur_max = max(cur_max, s.max_ts)
+        else:
+            if len(cur) > 1:
+                groups.append(cur)
+            cur = [s]
+            cur_max = s.max_ts
+    if len(cur) > 1:
+        groups.append(cur)
+    return groups
+
+
+def compact_table(
+    spark: SparkSession,
+    catalog: Catalog,
+    table: str,
+    reindex_expr: str | None = None,
+    small_file_bytes: int = 32 * 1024 * 1024,
+) -> dict:
+    """Compact every partition key that needs it. Returns a summary.
+
+    A key needs compaction when it has time-overlapping files or >1
+    file under ``small_file_bytes``. With ``reindex_expr`` every key is
+    rewritten and rows move to their newly-computed tp_index (A25).
+    """
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    keys = enumerate_partition_keys(catalog, table)
+    rewritten, merged_files, rows_total = 0, 0, 0
+
+    if reindex_expr is not None:
+        df = catalog.read_table(spark, table)
+        rows_total = df.count()
+        new = (
+            df.withColumn("tp_index", F.expr(reindex_expr).cast("string"))
+            .repartitionByRange("tp_partition", "tp_index", "tp_year", "tp_month", "tp_timestamp")
+            .sortWithinPartitions("tp_timestamp")
+        )
+        tmp = catalog.table_dir(table) + ".compact_tmp"
+        new.write.partitionBy(*PARTITION_COLS).mode("overwrite").parquet(tmp)
+        import shutil
+
+        shutil.rmtree(catalog.table_dir(table))
+        os.replace(tmp, catalog.table_dir(table))
+        catalog.record_snapshot("compact", {"table": table, "reindex": True})
+        return {"keys_rewritten": len(keys), "files_merged": 0, "rows": rows_total}
+
+    base = catalog.table_dir(table)
+    for key in keys:
+        stats = file_stats(catalog, table, key)
+        overlaps = find_overlaps(stats)
+        small = [s for s in stats if s.bytes < small_file_bytes]
+        if not overlaps and len(small) <= 1:
+            continue
+        part_dir = os.path.join(base, key.relpath)
+        df = spark.read.parquet(part_dir)
+        total_bytes = sum(s.bytes for s in stats)
+        n_out = max(1, total_bytes // TARGET_FILE_BYTES)
+        rows = sum(s.rows for s in stats)
+        (
+            df.repartitionByRange(int(n_out), F.col("tp_timestamp"))
+            .sortWithinPartitions("tp_timestamp")
+            .write.mode("overwrite")
+            .parquet(part_dir + ".tmp")
+        )
+        import shutil
+
+        shutil.rmtree(part_dir)
+        os.replace(part_dir + ".tmp", part_dir)
+        rewritten += 1
+        merged_files += len(stats)
+        rows_total += rows
+
+    catalog.record_snapshot(
+        "compact", {"table": table, "keys": rewritten, "files": merged_files}
+    )
+    return {
+        "keys_rewritten": rewritten,
+        "files_merged": merged_files,
+        "rows": rows_total,
+    }

@@ -81,6 +81,10 @@ def configure_runtime(spark: SparkSession) -> None:
     # reader rejects; read as long nanos and convert (lossless here: the
     # data has microsecond resolution).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # tp_index is VARCHAR by contract (SURVEY.md §1.2); don't let hive
+    # partition discovery re-type `tp_index=0` as int. tp_year/tp_month
+    # are cast back to int in Catalog.read_table.
+    spark.conf.set("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
 
 
 def _nano_timestamp_cols(path: str) -> list[str]:

@@ -1,0 +1,262 @@
+"""End-to-end collect → query pipeline tests (the Spark equivalent of
+the reference's acceptance suite: write config → collect → query →
+assert golden output; see SURVEY.md §5)."""
+
+import json
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from tailpipe_spark import writer
+from tailpipe_spark.collect import collect, load_state
+from tailpipe_spark.compact import compact_table, enumerate_partition_keys
+from tailpipe_spark.config import ColumnConfig, PartitionConfig, TableConfig
+from tailpipe_spark.schema import SchemaChangeError
+
+
+@pytest.fixture()
+def metrics_chunks(tmp_path):
+    """server_metrics-style jsonl chunks (core_formats.bats:95-146)."""
+    rows = [
+        {"server_id": f"srv-{i % 3}", "cpu": 10.0 * i, "time": f"2024-05-{(i % 27) + 1:02d}T10:00:00"}
+        for i in range(10)
+    ]
+    p = tmp_path / "exec1_0.jsonl"
+    p.write_text("\n".join(json.dumps(r) for r in rows))
+    return str(p)
+
+
+def _metrics_table():
+    return TableConfig(
+        name="server_metrics",
+        columns=[
+            ColumnConfig(name="server_id", type="varchar", required=True),
+            ColumnConfig(name="cpu", type="double"),
+            ColumnConfig(name="tp_timestamp", type="timestamp", source="time"),
+        ],
+        map_fields=[],
+    )
+
+
+def test_collect_end_to_end(spark, workspace, metrics_chunks):
+    from tailpipe_spark.sources.formats import read_jsonl
+
+    src = read_jsonl(spark, [metrics_chunks])
+    res = collect(
+        spark,
+        workspace,
+        _metrics_table(),
+        PartitionConfig("server_metrics", "default"),
+        source_df=src,
+        required=("tp_timestamp", "server_id"),
+    )
+    assert res.rows_written == 10
+    assert res.rows_dropped == 0
+
+    # registered view answers the acceptance query
+    workspace.register_views(spark)
+    out = spark.sql(
+        "select server_id, count(*) as n from server_metrics group by server_id order by server_id"
+    ).collect()
+    assert [(r["server_id"], r["n"]) for r in out] == [
+        ("srv-0", 4), ("srv-1", 3), ("srv-2", 3),
+    ]
+    # tp_* columns present; layout cols hidden from the view
+    cols = spark.table("server_metrics").columns
+    assert "tp_date" in cols and "tp_partition" in cols
+    assert "tp_year" not in cols
+
+    # collection state watermark persisted
+    st = load_state(workspace, "server_metrics", "default")
+    assert st["rows_total"] == 10 and st["watermark"]
+
+
+def test_collect_drops_invalid_rows(spark, workspace, tmp_path):
+    p = tmp_path / "c.jsonl"
+    p.write_text(
+        "\n".join(
+            [
+                json.dumps({"server_id": "a", "time": "2024-05-01T00:00:00"}),
+                json.dumps({"server_id": None, "time": "2024-05-01T00:00:00"}),
+                json.dumps({"server_id": "b", "time": None}),
+            ]
+        )
+    )
+    from tailpipe_spark.sources.formats import read_jsonl
+
+    res = collect(
+        spark,
+        workspace,
+        _metrics_table(),
+        PartitionConfig("server_metrics", "default"),
+        source_df=read_jsonl(spark, [str(p)]),
+        required=("tp_timestamp", "server_id"),
+    )
+    assert res.rows_written == 1
+    assert res.rows_dropped == 2
+    assert set(res.null_columns) == {"server_id", "tp_timestamp"}
+
+
+def test_collect_partition_filter_and_index(spark, workspace, tmp_path):
+    rows = [{"id": i, "time": "2024-05-01T00:00:00"} for i in range(10)]
+    p = tmp_path / "c.jsonl"
+    p.write_text("\n".join(json.dumps(r) for r in rows))
+    from tailpipe_spark.sources.formats import read_jsonl
+
+    table = TableConfig(
+        name="t",
+        columns=[
+            ColumnConfig(name="id", type="bigint"),
+            ColumnConfig(name="tp_timestamp", type="timestamp", source="time"),
+        ],
+        map_fields=[],
+    )
+    res = collect(
+        spark,
+        workspace,
+        table,
+        PartitionConfig("t", "evens", filter="id % 2 = 0", tp_index="id"),
+        source_df=read_jsonl(spark, [str(p)]),
+    )
+    # exactly half of 10 rows (partition_tests.bats parity)
+    assert res.rows_written == 5
+    df = workspace.read_table(spark, "t")
+    assert df.filter(F.col("tp_index") == "0").count() == 1
+    assert set(r["tp_partition"] for r in df.select("tp_partition").distinct().collect()) == {"evens"}
+
+
+def test_schema_change_is_error(spark, workspace, tmp_path):
+    from tailpipe_spark.sources.formats import read_jsonl
+
+    a = tmp_path / "a.jsonl"
+    a.write_text(json.dumps({"id": 1, "time": "2024-05-01T00:00:00"}))
+    table = TableConfig(
+        name="t2",
+        columns=[ColumnConfig(name="tp_timestamp", type="timestamp", source="time")],
+        map_fields=["*"],
+    )
+    part = PartitionConfig("t2", "default")
+    collect(spark, workspace, table, part, source_df=read_jsonl(spark, [str(a)]))
+
+    b = tmp_path / "b.jsonl"
+    b.write_text(json.dumps({"id": "not-a-number", "time": "2024-05-02T00:00:00"}))
+    with pytest.raises(SchemaChangeError):
+        collect(spark, workspace, table, part, source_df=read_jsonl(spark, [str(b)]))
+
+
+def test_overwrite_range_recollect(spark, workspace, tmp_path):
+    from tailpipe_spark.sources.formats import read_jsonl
+
+    rows = [{"id": i, "time": f"2024-05-{i+1:02d}T00:00:00"} for i in range(6)]
+    p = tmp_path / "c.jsonl"
+    p.write_text("\n".join(json.dumps(r) for r in rows))
+    table = TableConfig(
+        name="t3",
+        columns=[
+            ColumnConfig(name="id", type="bigint"),
+            ColumnConfig(name="tp_timestamp", type="timestamp", source="time"),
+        ],
+        map_fields=[],
+    )
+    part = PartitionConfig("t3", "default")
+    src = read_jsonl(spark, [str(p)])
+    collect(spark, workspace, table, part, source_df=src)
+    assert workspace.file_stats("t3")["rows"] == 6
+
+    # overwrite a sub-range: deletes then re-collects only that window
+    res = collect(
+        spark, workspace, table, part, source_df=src,
+        time_from=datetime(2024, 5, 2), time_to=datetime(2024, 5, 4),
+        overwrite=True,
+    )
+    assert res.rows_written == 3
+    assert workspace.file_stats("t3")["rows"] == 6  # no duplicates
+
+
+def test_delete_range(spark, workspace, tmp_path):
+    from tailpipe_spark.sources.formats import read_jsonl
+
+    rows = [{"id": i, "time": f"2024-{m:02d}-01T00:00:00"} for i, m in enumerate([1, 2, 3])]
+    p = tmp_path / "c.jsonl"
+    p.write_text("\n".join(json.dumps(r) for r in rows))
+    table = TableConfig(
+        name="t4",
+        columns=[
+            ColumnConfig(name="id", type="bigint"),
+            ColumnConfig(name="tp_timestamp", type="timestamp", source="time"),
+        ],
+        map_fields=[],
+    )
+    part = PartitionConfig("t4", "default")
+    collect(spark, workspace, table, part, source_df=read_jsonl(spark, [str(p)]))
+    n = writer.delete_range(
+        workspace, spark, "t4", "default",
+        datetime(2024, 2, 1), datetime(2024, 2, 28),
+    )
+    assert n == 1
+    assert workspace.file_stats("t4")["rows"] == 2
+
+
+def test_compaction_merges_small_files(spark, workspace, tmp_path):
+    from tailpipe_spark.sources.formats import read_jsonl
+
+    table = TableConfig(
+        name="t5",
+        columns=[
+            ColumnConfig(name="id", type="bigint"),
+            ColumnConfig(name="tp_timestamp", type="timestamp", source="time"),
+        ],
+        map_fields=[],
+    )
+    part = PartitionConfig("t5", "default")
+    # several collects → several small overlapping files in one month
+    for batch in range(3):
+        rows = [
+            {"id": batch * 10 + i, "time": f"2024-05-{i+1:02d}T0{batch}:00:00"}
+            for i in range(5)
+        ]
+        p = tmp_path / f"c{batch}.jsonl"
+        p.write_text("\n".join(json.dumps(r) for r in rows))
+        collect(spark, workspace, table, part, source_df=read_jsonl(spark, [str(p)]))
+
+    keys = enumerate_partition_keys(workspace, "t5")
+    assert len(keys) == 1
+    before = workspace.file_stats("t5")
+    assert before["files"] >= 3
+
+    summary = compact_table(spark, workspace, "t5")
+    after = workspace.file_stats("t5")
+    assert summary["keys_rewritten"] == 1
+    assert after["rows"] == before["rows"] == 15
+    assert after["files"] < before["files"]
+    # data intact and time-ordered within the file
+    df = workspace.read_table(spark, "t5")
+    assert df.count() == 15
+
+    # idempotent: second run rewrites nothing
+    assert compact_table(spark, workspace, "t5")["keys_rewritten"] == 0
+
+
+def test_compaction_reindex(spark, workspace, tmp_path):
+    from tailpipe_spark.sources.formats import read_jsonl
+
+    rows = [{"id": i, "time": "2024-05-01T00:00:00"} for i in range(4)]
+    p = tmp_path / "c.jsonl"
+    p.write_text("\n".join(json.dumps(r) for r in rows))
+    table = TableConfig(
+        name="t6",
+        columns=[
+            ColumnConfig(name="id", type="bigint"),
+            ColumnConfig(name="tp_timestamp", type="timestamp", source="time"),
+        ],
+        map_fields=[],
+    )
+    collect(spark, workspace, table, PartitionConfig("t6", "default"),
+            source_df=read_jsonl(spark, [str(p)]))
+    df = workspace.read_table(spark, "t6")
+    assert set(r["tp_index"] for r in df.select("tp_index").distinct().collect()) == {"default"}
+
+    compact_table(spark, workspace, "t6", reindex_expr="id")
+    df = workspace.read_table(spark, "t6")
+    assert set(r["tp_index"] for r in df.select("tp_index").distinct().collect()) == {"0", "1", "2", "3"}

@@ -1,0 +1,128 @@
+import json
+import textwrap
+
+import pytest
+
+from tailpipe_spark.config import FormatConfig
+from tailpipe_spark.sources.formats import (
+    read_delimited,
+    read_grok,
+    read_jsonl,
+    read_regex,
+)
+from tailpipe_spark.sources.grok import compile_grok
+
+
+@pytest.fixture()
+def jsonl_file(tmp_path):
+    p = tmp_path / "chunk_0.jsonl"
+    rows = [
+        {"server_id": "srv-1", "cpu": 10.5, "ok": True, "ts": "2024-05-01T10:00:00"},
+        {"server_id": "srv-2", "cpu": 93.1, "ok": False, "ts": "2024-05-01T10:01:00"},
+        {"server_id": "srv-1", "cpu": 55.0, "ok": True, "ts": "2024-05-01T10:02:00"},
+    ]
+    p.write_text("\n".join(json.dumps(r) for r in rows))
+    return str(p)
+
+
+def test_read_jsonl(spark, jsonl_file):
+    df = read_jsonl(spark, [jsonl_file])
+    assert df.count() == 3
+    assert set(df.columns) == {"server_id", "cpu", "ok", "ts"}
+
+
+def test_read_delimited(spark, tmp_path):
+    p = tmp_path / "data.csv"
+    p.write_text("id|name|score\n1|alpha|9.5\n2|beta|7.25\n")
+    df = read_delimited(spark, [str(p)], FormatConfig(type="delimited", delimiter="|"))
+    rows = {r["name"]: r for r in df.collect()}
+    assert rows["alpha"]["id"] == 1
+    assert rows["beta"]["score"] == 7.25
+
+
+def test_read_delimited_no_header(spark, tmp_path):
+    p = tmp_path / "data.csv"
+    p.write_text("1,alpha\n2,beta\n")
+    df = read_delimited(
+        spark, [str(p)], FormatConfig(type="delimited", header=False)
+    )
+    assert df.count() == 2
+
+
+def test_read_regex_named_groups(spark, tmp_path):
+    p = tmp_path / "app.log"
+    p.write_text(
+        textwrap.dedent(
+            """\
+            2024-05-01 ERROR something broke
+            2024-05-02 INFO all good
+            not a log line at all ???
+            """
+        )
+    )
+    fmt = FormatConfig(
+        type="regex",
+        pattern=r"(?P<date>\d{4}-\d{2}-\d{2}) (?P<level>[A-Z]+) (?P<msg>.*)",
+    )
+    df = read_regex(spark, [str(p)], fmt)
+    rows = sorted(df.collect(), key=lambda r: r["date"])
+    assert len(rows) == 2  # unparseable line dropped
+    assert rows[0]["level"] == "ERROR"
+    assert rows[1]["msg"] == "all good"
+
+
+def test_grok_compile_fields():
+    c = compile_grok("%{TIMESTAMP_ISO8601:timestamp} %{LOGLEVEL:level} %{GREEDYDATA:message}")
+    assert list(c.fields) == ["timestamp", "level", "message"]
+    import re
+
+    m = re.match(c.regex, "2024-05-01T10:00:00Z WARN disk almost full")
+    assert m
+    assert m.group(c.fields["level"][0]) == "WARN"
+
+
+def test_grok_typed_and_unknown():
+    c = compile_grok("%{INT:code:int} %{WORD:word}")
+    assert c.fields["code"][1] == "int"
+    with pytest.raises(ValueError):
+        compile_grok("%{NOPE:x}")
+
+
+def test_read_grok(spark, tmp_path):
+    p = tmp_path / "svc.log"
+    p.write_text(
+        "2024-05-01T10:00:00Z ERROR 500 checkout failed\n"
+        "2024-05-01T10:00:05Z INFO 200 ok\n"
+        "garbage\n"
+    )
+    fmt = FormatConfig(
+        type="grok",
+        pattern="%{TIMESTAMP_ISO8601:ts} %{LOGLEVEL:level} %{INT:status:int} %{GREEDYDATA:msg}",
+    )
+    df = read_grok(spark, [str(p)], fmt)
+    rows = sorted(df.collect(), key=lambda r: r["ts"])
+    assert len(rows) == 2
+    assert rows[0]["status"] == 500
+    assert df.schema["status"].dataType.simpleString() == "bigint"
+
+
+def test_file_source_layout(spark, tmp_path):
+    from tailpipe_spark.config import SourceConfig
+    from tailpipe_spark.sources.file_source import FileSource
+
+    (tmp_path / "plugin-2024-05.log").write_text("a 1\nb 2\n")
+    (tmp_path / "plugin-2024-06.log").write_text("c 3\n")
+    (tmp_path / "other.log").write_text("zzz 9\n")
+    src = FileSource(
+        SourceConfig(
+            paths=[str(tmp_path / "*.log")],
+            file_layout="plugin-%{YEAR:year}-%{MONTHNUM:month}.log",
+            format=FormatConfig(type="regex", pattern=r"(?P<word>\w+) (?P<n>\d+)"),
+        )
+    )
+    files = src.list_files()
+    assert len(files) == 2  # other.log filtered by layout
+    assert files[0].layout_fields == {"year": "2024", "month": "05"}
+    df = src.read(spark)
+    rows = {r["word"]: r["month"] for r in df.collect()}
+    assert rows == {"a": "05", "b": "05", "c": "06"}

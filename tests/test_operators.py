@@ -1,0 +1,175 @@
+"""Operator unit tests: as-of join, range join, sessionize, dedup,
+similarity — checked against naive in-memory reference computations."""
+
+import math
+from datetime import datetime, timedelta
+
+from pyspark.sql import functions as F
+
+from tailpipe_spark.operators.asof import asof_join
+from tailpipe_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_candidates,
+)
+from tailpipe_spark.operators.range_join import range_join_time
+from tailpipe_spark.operators.sessionize import sessionize
+from tailpipe_spark.operators.similarity import brute_force_topk, lsh_topk
+
+
+def ts(m):
+    return datetime(2024, 1, 1) + timedelta(minutes=m)
+
+
+def test_asof_join_backward(spark):
+    trades = spark.createDataFrame(
+        [(1, ts(5), "t1"), (1, ts(10), "t2"), (2, ts(3), "t3")],
+        ["k", "t", "trade"],
+    )
+    quotes = spark.createDataFrame(
+        [(1, ts(4), 100.0), (1, ts(9), 101.0), (1, ts(11), 102.0), (2, ts(99), 50.0)],
+        ["k", "qt", "price"],
+    )
+    out = asof_join(trades, quotes, on="k", left_time="t", right_time="qt",
+                    value_cols=["price"]).collect()
+    got = {r["trade"]: r["price"] for r in out}
+    assert got == {"t1": 100.0, "t2": 101.0, "t3": None}
+
+
+def test_asof_exact_match_toggle(spark):
+    left = spark.createDataFrame([(1, ts(5), "x")], ["k", "t", "tag"])
+    right = spark.createDataFrame([(1, ts(5), 7.0)], ["k", "qt", "v"])
+    inc = asof_join(left, right, "k", "t", "qt", ["v"]).collect()[0]["v"]
+    exc = asof_join(left, right, "k", "t", "qt", ["v"],
+                    allow_exact_matches=False).collect()[0]["v"]
+    assert inc == 7.0 and exc is None
+
+
+def test_range_join_matches_naive(spark):
+    import random
+
+    rnd = random.Random(7)
+    left = [(i, ts(rnd.randrange(0, 200))) for i in range(40)]
+    right = [(j, ts(rnd.randrange(0, 200))) for j in range(60)]
+    ldf = spark.createDataFrame(left, ["lid", "lt"])
+    rdf = spark.createDataFrame(right, ["rid", "rt"])
+    got = {
+        (r["lid"], r["rid"])
+        for r in range_join_time(ldf, rdf, "lt", "rt", span_seconds=600).collect()
+    }
+    want = {
+        (li, rj)
+        for li, lt in left
+        for rj, rt in right
+        if lt < rt <= lt + timedelta(seconds=600)
+    }
+    assert got == want
+
+
+def test_sessionize_gap(spark):
+    df = spark.createDataFrame(
+        [(1, ts(0)), (1, ts(10)), (1, ts(60)), (1, ts(65)), (2, ts(0))],
+        ["user", "t"],
+    )
+    out = sessionize(df, "user", "t", gap_seconds=1200)  # 20 min gap
+    got = {(r["user"], r["t"]): r["session_id"] for r in out.collect()}
+    assert got[(1, ts(0))] == 0 and got[(1, ts(10))] == 0
+    assert got[(1, ts(60))] == 1 and got[(1, ts(65))] == 1  # 50-min gap splits
+    assert got[(2, ts(0))] == 0
+
+
+def test_sessionize_session_count(spark):
+    df = spark.createDataFrame(
+        [(1, ts(0)), (1, ts(10)), (1, ts(60)), (1, ts(65)), (2, ts(0))],
+        ["user", "t"],
+    )
+    out = sessionize(df, "user", "t", gap_seconds=1200)
+    per_user = (
+        out.groupBy("user")
+        .agg(F.countDistinct("session_id").alias("n"))
+        .collect()
+    )
+    assert {r["user"]: r["n"] for r in per_user} == {1: 2, 2: 1}
+
+
+def test_exact_dedup_keeps_min_id(spark):
+    df = spark.createDataFrame(
+        [(1, "hello  world"), (2, "Hello world"), (3, "different")],
+        ["doc_id", "text"],
+    )
+    kept = sorted(r["doc_id"] for r in exact_dedup(df).collect())
+    assert kept == [1, 3]  # normalization folds case+whitespace
+
+
+def test_ngram_jaccard_identical_docs(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g h"), (2, "a b c d e f g h"), (3, "z y x w v u t s")],
+        ["doc_id", "text"],
+    )
+    pairs = ngram_jaccard_pairs(df, n=3, threshold=0.9).collect()
+    assert [(p["id_a"], p["id_b"], p["jaccard"]) for p in pairs] == [(1, 2, 1.0)]
+
+
+def test_minhash_lsh_finds_duplicates(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    df = spark.createDataFrame(
+        [(1, base), (2, base), (3, "completely unrelated text with other words entirely")],
+        ["doc_id", "text"],
+    )
+    pairs = {(r["id_a"], r["id_b"]) for r in minhash_lsh_pairs(df).collect()}
+    assert (1, 2) in pairs
+    assert all(3 not in p for p in pairs)
+
+
+def test_simhash_near_dup_candidates(spark):
+    # Contract: Hamming distance <= chunks-1 is always caught; identical
+    # docs (distance 0) must collide, unrelated docs must not. (A single
+    # changed token on a short doc can flip many bits — that's inherent
+    # to unweighted SimHash, not a bug.)
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    df = spark.createDataFrame(
+        [(1, base), (2, base), (3, "totally different words here now then")],
+        ["doc_id", "text"],
+    )
+    cands = {(r["id_a"], r["id_b"]) for r in simhash_candidates(df).collect()}
+    assert (1, 2) in cands
+    assert all(3 not in pair for pair in cands)
+
+
+def test_brute_force_topk_matches_numpy(spark):
+    import numpy as np
+
+    rnd = np.random.RandomState(0)
+    vecs = rnd.randn(30, 8).astype("float32")
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(30)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    probe = df.filter(F.col("vec_id") == 0)
+    got = [
+        r["vec_id"]
+        for r in brute_force_topk(df, probe, k=5)
+        .orderBy(F.col("cosine").desc(), "vec_id")
+        .collect()
+    ]
+    sims = vecs @ vecs[0] / (np.linalg.norm(vecs, axis=1) * np.linalg.norm(vecs[0]))
+    ranked = sorted(
+        ((i, float(s)) for i, s in enumerate(sims) if i != 0),
+        key=lambda p: (-round(p[1], 9), p[0]),
+    )
+    want = [i for i, _s in ranked[:5]]
+    assert got == want
+
+
+def test_lsh_topk_subset_of_exact_space(spark):
+    import numpy as np
+
+    rnd = np.random.RandomState(1)
+    vecs = rnd.randn(50, 16).astype("float32")
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(50)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    probe = df.filter(F.col("vec_id") == 0)
+    out = lsh_topk(df, probe, k=5, num_planes=8, bands=4).collect()
+    assert 0 < len(out) <= 5
+    for r in out:
+        assert r["vec_id"] != 0
+        assert -1.0001 <= r["cosine"] <= 1.0001
