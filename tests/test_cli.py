@@ -1,0 +1,130 @@
+import json
+
+import pytest
+
+from tailpipe_spark.cli import main, render
+
+
+@pytest.fixture()
+def populated_workspace(spark, workspace, tmp_path):
+    from tailpipe_spark.collect import collect
+    from tailpipe_spark.config import ColumnConfig, PartitionConfig, TableConfig
+    from tailpipe_spark.sources.formats import read_jsonl
+
+    rows = [
+        {"server_id": f"srv-{i % 2}", "cpu": float(i), "time": f"2024-05-0{i+1}T00:00:00"}
+        for i in range(4)
+    ]
+    p = tmp_path / "c.jsonl"
+    p.write_text("\n".join(json.dumps(r) for r in rows))
+    table = TableConfig(
+        name="server_metrics",
+        columns=[
+            ColumnConfig(name="server_id", type="varchar"),
+            ColumnConfig(name="cpu", type="double"),
+            ColumnConfig(name="tp_timestamp", type="timestamp", source="time"),
+        ],
+        map_fields=[],
+    )
+    collect(spark, workspace, table, PartitionConfig("server_metrics", "default"),
+            source_df=read_jsonl(spark, [str(p)]))
+    return workspace
+
+
+def test_cli_query_csv(populated_workspace, capsys):
+    rc = main([
+        "--workspace", populated_workspace.workspace,
+        "query",
+        "select server_id, count(*) as n from server_metrics group by server_id order by server_id",
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    assert out == ["server_id,n", "srv-0,2", "srv-1,2"]
+
+
+def test_cli_query_from_filter(populated_workspace, capsys):
+    rc = main([
+        "--workspace", populated_workspace.workspace,
+        "query", "select count(*) as n from server_metrics",
+        "--from", "2024-05-03T00:00:00",
+    ])
+    assert rc == 0
+    assert capsys.readouterr().out.strip().splitlines()[-1] == "2"
+
+
+def test_cli_query_missing_table(populated_workspace, capsys):
+    rc = main([
+        "--workspace", populated_workspace.workspace,
+        "query", "select * from nope",
+    ])
+    assert rc == 1
+    assert "no data has been collected" in capsys.readouterr().err
+
+
+def test_cli_list_tables(populated_workspace, capsys):
+    rc = main(["--workspace", populated_workspace.workspace, "list", "tables"])
+    assert rc == 0
+    data = json.loads(capsys.readouterr().out)
+    assert data[0]["table"] == "server_metrics"
+    assert data[0]["rows"] == 4
+
+
+def test_cli_connect_emits_bootstrap(populated_workspace, capsys, tmp_path):
+    rc = main([
+        "--workspace", populated_workspace.workspace,
+        "connect", "--out-dir", str(tmp_path / "init"),
+    ])
+    assert rc == 0
+    path = capsys.readouterr().out.strip()
+    src = open(path).read()
+    assert "register_views" in src and populated_workspace.workspace in src
+
+
+def test_render_formats(spark):
+    df = spark.createDataFrame([(1, "a"), (2, None)], ["id", "name"])
+    csv = render(df.orderBy("id"), "csv")
+    assert csv.splitlines()[0] == "id,name"
+    assert csv.splitlines()[2] == "2,"
+    js = json.loads(render(df.orderBy("id"), "json"))
+    assert js[1]["name"] is None
+    tbl = render(df.orderBy("id"), "table")
+    assert "id" in tbl.splitlines()[0]
+
+
+def test_cli_collect_with_config(spark, tmp_path, capsys):
+    # end-to-end through the config file path
+    rows = [{"id": i, "time": "2024-05-01T00:00:00"} for i in range(6)]
+    data = tmp_path / "in.jsonl"
+    data.write_text("\n".join(json.dumps(r) for r in rows))
+    cfg = {
+        "tables": [
+            {
+                "name": "t",
+                "map_fields": [],
+                "columns": [
+                    {"name": "id", "type": "bigint"},
+                    {"name": "tp_timestamp", "type": "timestamp", "source": "time"},
+                ],
+            }
+        ],
+        "partitions": [
+            {
+                "table": "t",
+                "name": "evens",
+                "filter": "id % 2 = 0",
+                "source": {
+                    "paths": [str(data)],
+                    "format": {"type": "jsonl"},
+                },
+            }
+        ],
+    }
+    cfg_path = tmp_path / "cfg.json"
+    cfg_path.write_text(json.dumps(cfg))
+    ws = tmp_path / "ws"
+    rc = main([
+        "--workspace", str(ws),
+        "collect", "t.evens", "--config", str(cfg_path), "--no-compact",
+    ])
+    assert rc == 0
+    assert "collected t.evens: 3 rows" in capsys.readouterr().out
