@@ -42,12 +42,39 @@ HEADLINE = [
 ]
 
 
+def _input_bytes(sf_dir: str) -> int:
+    total = 0
+    for root, _dirs, names in os.walk(sf_dir):
+        for n in names:
+            if n.endswith(".parquet"):
+                total += os.path.getsize(os.path.join(root, n))
+    return total
+
+
+def _auto_shuffle_partitions(total_bytes: int) -> int:
+    """Size shuffle parallelism to the data, not the core count: one
+    partition per ~64 MB of input, floor 8, cap 2000. At sf0.1 (~60 MB)
+    that's 8 — task-scheduling overhead would dominate 32 tiny tasks;
+    at 100 TB the cap applies and AQE coalesces from there."""
+    return max(8, min(2000, total_bytes // (64 * 1024 * 1024)))
+
+
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else 0.0
 
-    spark = build_session("tailpipe-bench")
+    total_bytes = _input_bytes(sf_dir)
+    spark = build_session(
+        "tailpipe-bench", shuffle_partitions=_auto_shuffle_partitions(total_bytes)
+    )
+    # AQE earns its keep re-planning real shuffles; under ~1 GB its extra
+    # stage materialization is pure overhead (~40% at sf0.1) — toggle by
+    # data size, exactly what a scale-aware engine should do.
+    spark.conf.set(
+        "spark.sql.adaptive.enabled",
+        "false" if total_bytes < (1 << 30) else "true",
+    )
     registry = build_registry()
 
     # warmup: JIT + codegen + parquet footer caches on the small SF

@@ -76,7 +76,6 @@ def configure_runtime(spark: SparkSession) -> None:
     """Runtime-settable conf we need even on a session we didn't build
     (the correctness driver hands us its own SparkSession)."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    spark.conf.set("spark.sql.adaptive.enabled", "true")
     # The driver's testdata stores TIMESTAMP(NANOS) which Spark's parquet
     # reader rejects; read as long nanos and convert (lossless here: the
     # data has microsecond resolution).
