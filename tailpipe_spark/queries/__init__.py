@@ -24,10 +24,10 @@ class QuerySpec:
 
 
 def build_registry() -> dict[str, QuerySpec]:
-    from tailpipe_spark.queries import relational, timeseries, textdata, vectors_q
+    from tailpipe_spark.queries import advanced, relational, timeseries, textdata, vectors_q
 
     registry: dict[str, QuerySpec] = {}
-    for mod in (relational, timeseries, textdata, vectors_q):
+    for mod in (relational, timeseries, textdata, vectors_q, advanced):
         for spec in mod.SPECS:
             if spec.name in registry:
                 raise ValueError(f"duplicate query name {spec.name}")

@@ -1,0 +1,374 @@
+"""Second-wave §2.b coverage: window frames, correlated subqueries,
+HAVING, conditional/string/date function zoo, schema introspection
+(A31), and the threat-detection layer over events.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from tailpipe_spark.functions.exact import dsum, oracle_dsum
+from tailpipe_spark.functions.security import burst_count, ip_in_cidr, ipv4_to_long, is_private_ip
+from tailpipe_spark.queries import QuerySpec
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    from tailpipe_spark.session import read_table
+
+    return read_table(spark, f"{sf_dir}/{name}.parquet")
+
+
+# --- window frames: range frames, ntile, first/last, percent_rank ---
+
+def q_window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.col("o_orderkey").asc()
+    )
+    wrange = Window.partitionBy("o_orderstatus").orderBy(
+        F.col("o_orderkey").asc()
+    ).rangeBetween(-1000, 0)
+    return (
+        o.select(
+            "o_orderkey",
+            "o_orderstatus",
+            F.ntile(4).over(w).alias("quartile"),
+            F.first("o_orderkey").over(w).alias("first_key"),
+            F.last("o_orderkey").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+            ).alias("last_key"),
+            F.percent_rank().over(w).alias("pct_rank"),
+            F.cume_dist().over(w).alias("cume"),
+            F.count(F.lit(1)).over(wrange).alias("keys_in_range_1000"),
+        )
+        .orderBy("o_orderstatus", "o_orderkey")
+        .limit(2000)
+    )
+
+
+Q_WINDOW_FRAMES_SQL = """
+SELECT o_orderkey, o_orderstatus,
+       NTILE(4) OVER w AS quartile,
+       FIRST_VALUE(o_orderkey) OVER w AS first_key,
+       LAST_VALUE(o_orderkey) OVER
+         (PARTITION BY o_orderstatus ORDER BY o_orderkey ASC
+          ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_key,
+       PERCENT_RANK() OVER w AS pct_rank,
+       CUME_DIST() OVER w AS cume,
+       COUNT(*) OVER (PARTITION BY o_orderstatus ORDER BY o_orderkey ASC
+                      RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW)
+         AS keys_in_range_1000
+FROM orders
+WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_orderkey ASC)
+ORDER BY o_orderstatus, o_orderkey
+LIMIT 2000
+"""
+
+
+# --- correlated subquery (decorrelated by Catalyst) ---
+
+def q_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tailpipe_spark.session import configure_runtime
+
+    configure_runtime(spark)
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_custkey, COUNT(*) AS n_big
+        FROM orders o
+        WHERE o_totalprice > (
+            SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(27,6))) AS DOUBLE)
+                   / COUNT(*) * 1.5
+            FROM orders i WHERE i.o_custkey = o.o_custkey)
+        GROUP BY o_custkey
+        ORDER BY o_custkey
+        """
+    )
+
+
+Q_CORRELATED_SQL = """
+SELECT o_custkey, COUNT(*) AS n_big
+FROM orders o
+WHERE o_totalprice > (
+    SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(27,6))) AS DOUBLE)
+           / COUNT(*) * 1.5
+    FROM orders i WHERE i.o_custkey = o.o_custkey)
+GROUP BY o_custkey
+ORDER BY o_custkey
+"""
+
+
+# --- HAVING + conditional functions ---
+
+def q_having_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    g = (
+        li.groupBy("l_suppkey")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum("l_quantity", "qty"),
+            F.min("l_discount").alias("min_disc"),
+            F.max("l_discount").alias("max_disc"),
+        )
+        .filter(F.col("n") > 100)
+    )
+    return g.select(
+        "l_suppkey",
+        "n",
+        "qty",
+        F.coalesce(F.nullif(F.col("min_disc"), F.lit(0.0)), F.lit(-1.0)).alias(
+            "min_nonzero_disc"
+        ),
+        F.greatest("min_disc", "max_disc").alias("g_disc"),
+        F.least("min_disc", "max_disc").alias("l_disc"),
+    ).orderBy("l_suppkey")
+
+
+Q_HAVING_SQL = f"""
+SELECT l_suppkey, n, qty,
+       COALESCE(NULLIF(min_disc, 0.0), -1.0) AS min_nonzero_disc,
+       GREATEST(min_disc, max_disc) AS g_disc,
+       LEAST(min_disc, max_disc) AS l_disc
+FROM (
+  SELECT l_suppkey, COUNT(*) AS n, {oracle_dsum('l_quantity')} AS qty,
+         MIN(l_discount) AS min_disc, MAX(l_discount) AS max_disc
+  FROM lineitem GROUP BY l_suppkey HAVING COUNT(*) > 100)
+ORDER BY l_suppkey
+"""
+
+
+# --- string function zoo ---
+
+def q_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    return (
+        c.select(
+            "c_custkey",
+            F.trim(F.col("c_name")).alias("t_name"),
+            F.replace(F.col("c_name"), F.lit("Customer"), F.lit("Cust")).alias("repl"),
+            F.lpad(F.col("c_custkey").cast("string"), 8, "0").alias("padded"),
+            F.split(F.col("c_name"), "#").getItem(0).alias("name_prefix"),
+            F.regexp_extract(F.col("c_name"), r"(\d+)", 1).alias("name_digits"),
+            F.instr(F.col("c_name"), "0").alias("pos_zero"),
+            F.reverse(F.col("c_mktsegment")).alias("seg_rev"),
+            F.repeat(F.lit("ab"), 3).alias("repeated"),
+            F.translate(F.col("c_mktsegment"), "AEIOU", "aeiou").alias("translated"),
+        )
+        .orderBy("c_custkey")
+        .limit(1000)
+    )
+
+
+Q_STRING_SQL = """
+SELECT c_custkey,
+       TRIM(c_name) AS t_name,
+       REPLACE(c_name, 'Customer', 'Cust') AS repl,
+       LPAD(CAST(c_custkey AS VARCHAR), 8, '0') AS padded,
+       STRING_SPLIT(c_name, '#')[1] AS name_prefix,
+       REGEXP_EXTRACT(c_name, '(\\d+)', 1) AS name_digits,
+       INSTR(c_name, '0') AS pos_zero,
+       REVERSE(c_mktsegment) AS seg_rev,
+       REPEAT('ab', 3) AS repeated,
+       TRANSLATE(c_mktsegment, 'AEIOU', 'aeiou') AS translated
+FROM customer
+ORDER BY c_custkey
+LIMIT 1000
+"""
+
+
+# --- date/time function zoo ---
+
+def q_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    d = F.to_date("o_orderdate")
+    return (
+        o.select(
+            "o_orderkey",
+            d.alias("od"),
+            F.date_add(d, 30).alias("plus30"),
+            F.add_months(d, 2).alias("plus2mo"),
+            F.datediff(F.lit("2000-01-01").cast("date"), d).alias("days_to_y2k"),
+            F.dayofweek("o_orderdate").alias("dow"),
+            F.dayofyear("o_orderdate").alias("doy"),
+            F.quarter("o_orderdate").alias("qtr"),
+            F.weekofyear("o_orderdate").alias("woy"),
+            F.last_day(d).alias("month_end"),
+            F.unix_timestamp(F.col("o_orderdate")).alias("epoch_s"),
+        )
+        .orderBy("o_orderkey")
+        .limit(2000)
+    )
+
+
+Q_DATE_SQL = """
+SELECT o_orderkey,
+       CAST(o_orderdate AS DATE) AS od,
+       CAST(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS DATE) AS plus30,
+       CAST(CAST(o_orderdate AS DATE) + INTERVAL 2 MONTH AS DATE) AS plus2mo,
+       datediff('day', CAST(o_orderdate AS DATE), DATE '2000-01-01') AS days_to_y2k,
+       dayofweek(o_orderdate) + 1 AS dow,
+       dayofyear(o_orderdate) AS doy,
+       quarter(o_orderdate) AS qtr,
+       weekofyear(o_orderdate) AS woy,
+       last_day(CAST(o_orderdate AS DATE)) AS month_end,
+       CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s
+FROM orders
+ORDER BY o_orderkey
+LIMIT 2000
+"""
+
+
+# --- schema introspection (A31: DESCRIBE <query> without executing) ---
+
+def q_describe_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column defs of a query — ``spark.sql(q).schema``, no job run
+    (reference: internal/query/execute.go:80-123). Emitted as rows in
+    the engine's lower-case type vocabulary for oracle parity."""
+    from tailpipe_spark.schema import to_type_string
+    from tailpipe_spark.session import configure_runtime
+
+    configure_runtime(spark)
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    q = "SELECT o_orderkey, o_totalprice, o_orderdate, o_orderpriority FROM orders"
+    schema = spark.sql(q).schema  # lazy — no execution
+    rows = [
+        (i, f.name, to_type_string(f.dataType).replace("timestamp_ntz", "timestamp"))
+        for i, f in enumerate(schema.fields)
+    ]
+    return spark.createDataFrame(rows, ["ordinal", "column_name", "column_type"])
+
+
+Q_DESCRIBE_SQL = """
+SELECT (ROW_NUMBER() OVER () - 1) AS ordinal,
+       column_name,
+       LOWER(column_type) AS column_type
+FROM (DESCRIBE SELECT o_orderkey, o_totalprice, o_orderdate, o_orderpriority
+      FROM orders)
+"""
+
+
+# --- threat detection: IP classification + burst detection ---
+
+def sec_ip_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classify synthetic per-user source IPs (derived deterministically
+    from user_id — the testdata has no IP column) with the JVM-side IP
+    function library."""
+    e = _t(spark, sf_dir, "events")
+    ip = F.concat_ws(
+        ".",
+        F.when(F.col("user_id") % 3 == 0, F.lit("10")).otherwise(F.lit("203")),
+        (F.col("user_id") % 256).cast("string"),
+        ((F.col("user_id") * 7) % 256).cast("string"),
+        F.lit("1"),
+    )
+    d = e.select("event_id", "event_type", ip.alias("src_ip"))
+    return (
+        d.select(
+            "event_type",
+            is_private_ip(F.col("src_ip")).alias("is_private"),
+            ip_in_cidr(F.col("src_ip"), "203.0.0.0/8").alias("in_203_8"),
+            ipv4_to_long(F.col("src_ip")).alias("ip_num"),
+        )
+        .groupBy("event_type", "is_private", "in_203_8")
+        .agg(F.count(F.lit(1)).alias("n"), F.min("ip_num").alias("min_ip_num"))
+        .orderBy("event_type", "is_private", "in_203_8")
+    )
+
+
+SEC_IP_SQL = """
+WITH ips AS (
+  SELECT event_type,
+         (CASE WHEN user_id % 3 = 0 THEN '10' ELSE '203' END)
+           || '.' || CAST(user_id % 256 AS VARCHAR)
+           || '.' || CAST((user_id * 7) % 256 AS VARCHAR)
+           || '.1' AS src_ip
+  FROM events),
+parsed AS (
+  SELECT event_type, src_ip,
+         CAST(string_split(src_ip, '.')[1] AS BIGINT) * 16777216
+       + CAST(string_split(src_ip, '.')[2] AS BIGINT) * 65536
+       + CAST(string_split(src_ip, '.')[3] AS BIGINT) * 256
+       + CAST(string_split(src_ip, '.')[4] AS BIGINT) AS ip_num
+  FROM ips)
+SELECT event_type,
+       ((ip_num >= 167772160 AND ip_num < 184549376)      -- 10/8
+        OR (ip_num >= 2886729728 AND ip_num < 2887778304) -- 172.16/12
+        OR (ip_num >= 3232235520 AND ip_num < 3232301056) -- 192.168/16
+        OR (ip_num >= 2130706432 AND ip_num < 2147483648) -- 127/8
+        OR (ip_num >= 2851995648 AND ip_num < 2852061184) -- 169.254/16
+       ) AS is_private,
+       (ip_num >= 3405774848 AND ip_num < 3422552064) AS in_203_8,
+       COUNT(*) AS n, MIN(ip_num) AS min_ip_num
+FROM parsed
+GROUP BY 1, 2, 3
+ORDER BY event_type, is_private, in_203_8
+"""
+
+
+def sec_error_burst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Users with bursts of error events (>=2 in a trailing 30-minute
+    window) — brute-force/beacon detection via a RANGE window frame."""
+    e = _t(spark, sf_dir, "events")
+    b = burst_count(
+        e,
+        key="user_id",
+        time_col="ts",
+        window_seconds=1800,
+        filter_expr=F.col("event_type") == "error",
+    )
+    return (
+        b.filter(F.col("burst_count") >= 2)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_burst_events"),
+            F.max("burst_count").alias("max_burst"),
+        )
+        .orderBy("user_id")
+    )
+
+
+SEC_BURST_SQL = """
+WITH errors AS (SELECT user_id, ts FROM events WHERE event_type = 'error'),
+counted AS (
+  SELECT user_id,
+         COUNT(*) OVER (PARTITION BY user_id
+                        ORDER BY epoch_us(ts) / 1000000.0
+                        RANGE BETWEEN 1800 PRECEDING AND CURRENT ROW)
+           AS burst_count
+  FROM errors)
+SELECT user_id, COUNT(*) AS n_burst_events, MAX(burst_count) AS max_burst
+FROM counted WHERE burst_count >= 2
+GROUP BY user_id ORDER BY user_id
+"""
+
+
+def sec_entropy_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of document texts (DGA-style randomness scoring).
+    Rows-only: per-character p*log2(p) accumulation order differs
+    across engines at the last ulp."""
+    from tailpipe_spark.functions.security import shannon_entropy
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select(
+            "doc_id",
+            F.round(shannon_entropy(F.substring(F.col("text"), 1, 64)), 6).alias(
+                "entropy_bits"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+SPECS = [
+    QuerySpec("q_window_frames", q_window_frames, Q_WINDOW_FRAMES_SQL, "ntile/first/last/percent_rank/cume_dist + RANGE frame"),
+    QuerySpec("q_correlated_subquery", q_correlated_subquery, Q_CORRELATED_SQL, "correlated scalar subquery (Catalyst decorrelation)"),
+    QuerySpec("q_having_conditional", q_having_conditional, Q_HAVING_SQL, "HAVING + coalesce/nullif/greatest/least"),
+    QuerySpec("q_string_functions", q_string_functions, Q_STRING_SQL, "string function zoo"),
+    QuerySpec("q_date_functions", q_date_functions, Q_DATE_SQL, "date/time function zoo"),
+    QuerySpec("q_describe_query", q_describe_query, Q_DESCRIBE_SQL, "A31 DESCRIBE <query> column defs without execution"),
+    QuerySpec("sec_ip_classify", sec_ip_classify, SEC_IP_SQL, "threat detection: IP parse/CIDR/private classification"),
+    QuerySpec("sec_error_burst", sec_error_burst, SEC_BURST_SQL, "threat detection: sliding-window burst detector"),
+    QuerySpec("sec_entropy_scan", sec_entropy_scan, None, "threat detection: Shannon entropy scoring (rows-only)"),
+]

@@ -120,6 +120,8 @@ def to_type_string(dt: T.DataType) -> str:
             return name
     if isinstance(dt, T.NullType):
         return "varchar"
+    if isinstance(dt, T.TimestampNTZType):
+        return "timestamp"
     raise ValueError(f"unsupported Spark type: {dt}")
 
 
