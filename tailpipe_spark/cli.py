@@ -105,6 +105,28 @@ def cmd_query(args) -> int:
 def cmd_collect(args) -> int:
     spark = _build_spark()
     cat = _catalog(args)
+
+    from tailpipe_spark.synthetic import parse_synthetic_spec, run_synthetic_collect
+
+    synth = [parse_synthetic_spec(p) for p in args.patterns]
+    if any(synth):
+        import tempfile
+
+        for spec in filter(None, synth):
+            out = run_synthetic_collect(spark, cat, spec, tempfile.mkdtemp(prefix="synth_"))
+            print(json.dumps(out))
+        return 0
+
+    if not args.config:
+        print(
+            "error: --config is required (only synthetic_<N>cols_<M>rows_"
+            "<C>chunk_<I>ms patterns run without one)",
+            file=sys.stderr,
+        )
+        return 2
+    if not os.path.exists(args.config):
+        print(f"error: config file not found: {args.config}", file=sys.stderr)
+        return 2
     cfg = _load_config(args.config)
     from tailpipe_spark.config import match_partitions
     from tailpipe_spark.collect import collect
@@ -236,7 +258,7 @@ def main(argv: list[str] | None = None) -> int:
 
     c = sub.add_parser("collect")
     c.add_argument("patterns", nargs="+")
-    c.add_argument("--config", required=True)
+    c.add_argument("--config")
     c.add_argument("--from", dest="time_from")
     c.add_argument("--to", dest="time_to")
     c.add_argument("--overwrite", action="store_true")

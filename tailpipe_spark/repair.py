@@ -1,0 +1,55 @@
+"""Corrupt-file detection and quarantine (A37).
+
+The reference detects "invalid parquet" errors, renames the file with an
+``.invalid`` suffix, and retries the operation (reference:
+internal/database/duck_db_error.go:25-80). Spark-side the equivalent is:
+
+- proactive: validate parquet footers driver-side (cheap metadata read)
+  and move unreadable files to ``<name>.invalid`` before they poison a
+  scan;
+- reactive: ``spark.sql.files.ignoreCorruptFiles`` so a scan that races
+  a corrupt file degrades instead of failing, while the next quarantine
+  pass cleans it up.
+"""
+
+from __future__ import annotations
+
+import os
+
+from tailpipe_spark.catalog import Catalog
+
+INVALID_SUFFIX = ".invalid"
+
+
+def quarantine_invalid_files(catalog: Catalog, table: str) -> list[str]:
+    """Move unreadable parquet files OUT of the data tree (Spark's file
+    listing ignores extensions, so an in-place rename would still be
+    scanned) into ``<workspace>/quarantine/<table>/…``; returns the
+    quarantined paths."""
+    import pyarrow.parquet as pq
+
+    base = catalog.table_dir(table)
+    qdir = os.path.join(catalog.workspace, "quarantine", table)
+    moved = []
+    for root, _dirs, names in os.walk(base):
+        for n in names:
+            if not n.endswith(".parquet"):
+                continue
+            p = os.path.join(root, n)
+            try:
+                pq.read_metadata(p)
+            except Exception:  # noqa: BLE001 — any footer failure = corrupt
+                rel = os.path.relpath(p, base)
+                dst = os.path.join(qdir, rel + INVALID_SUFFIX)
+                os.makedirs(os.path.dirname(dst), exist_ok=True)
+                os.replace(p, dst)
+                moved.append(dst)
+    if moved:
+        catalog.record_snapshot(
+            "quarantine", {"table": table, "files": [os.path.basename(m) for m in moved]}
+        )
+    return moved
+
+
+def enable_corrupt_file_tolerance(spark) -> None:
+    spark.conf.set("spark.sql.files.ignoreCorruptFiles", "true")

@@ -1,0 +1,80 @@
+import json
+
+from tailpipe_spark.repair import quarantine_invalid_files
+from tailpipe_spark.synthetic import (
+    parse_synthetic_spec,
+    run_synthetic_collect,
+    synthetic_df,
+)
+
+
+def test_quarantine_corrupt_parquet(spark, workspace, tmp_path):
+    from tailpipe_spark.collect import collect
+    from tailpipe_spark.config import ColumnConfig, PartitionConfig, TableConfig
+    from tailpipe_spark.sources.formats import read_jsonl
+
+    p = tmp_path / "c.jsonl"
+    p.write_text(json.dumps({"id": 1, "time": "2024-05-01T00:00:00"}))
+    table = TableConfig(
+        name="q",
+        columns=[
+            ColumnConfig(name="id", type="bigint"),
+            ColumnConfig(name="tp_timestamp", type="timestamp", source="time"),
+        ],
+        map_fields=[],
+    )
+    collect(spark, workspace, table, PartitionConfig("q", "default"),
+            source_df=read_jsonl(spark, [str(p)]))
+
+    # plant a corrupt file inside a partition dir
+    import os
+
+    part_dir = None
+    for root, _d, names in os.walk(workspace.table_dir("q")):
+        if any(n.endswith(".parquet") for n in names):
+            part_dir = root
+            break
+    bad = os.path.join(part_dir, "part-corrupt.parquet")
+    with open(bad, "wb") as f:
+        f.write(b"this is not parquet at all")
+
+    moved = quarantine_invalid_files(workspace, "q")
+    assert len(moved) == 1 and moved[0].endswith(".invalid")
+    # table reads cleanly afterwards
+    assert workspace.read_table(spark, "q").count() == 1
+    # quarantine recorded in snapshot log
+    snaps = workspace._load()["snapshots"]
+    assert snaps[-1]["op"] == "quarantine"
+
+
+def test_parse_synthetic_spec():
+    s = parse_synthetic_spec("synthetic_50cols_2000000rows_10000chunk_100ms")
+    assert (s.cols, s.rows, s.chunk_size, s.interval_ms) == (50, 2000000, 10000, 100)
+    assert parse_synthetic_spec("not_a_spec") is None
+
+
+def test_synthetic_df_templates(spark):
+    df = synthetic_df(spark, cols=13, rows=100)
+    assert df.count() == 100
+    # 12 templates cycle; col_12 repeats template 0 (varchar)
+    types = dict(df.dtypes)
+    assert types["col_0"] == "string" and types["col_12"] == "string"
+    assert types["col_1"] == "int" and types["col_2"] == "double"
+    assert types["col_3"] == "boolean" and types["col_5"] == "timestamp"
+    assert types["col_9"].startswith("struct")
+    # deterministic across invocations
+    a = df.orderBy("id").limit(3).collect()
+    b = synthetic_df(spark, 13, 100).orderBy("id").limit(3).collect()
+    assert a == b
+
+
+def test_run_synthetic_collect_pipeline(spark, workspace, tmp_path):
+    from tailpipe_spark.synthetic import SyntheticSpec
+
+    out = run_synthetic_collect(
+        spark, workspace, SyntheticSpec(6, 500, 100, 0), str(tmp_path / "chunks")
+    )
+    assert out["rows"] == 500
+    assert out["chunks"] >= 5
+    df = workspace.read_table(spark, out["table"])
+    assert df.count() == 500
