@@ -106,10 +106,17 @@ def collect(
     overwrite: bool = False,
     timestamp_source: str = "tp_timestamp",
     required: tuple[str, ...] = ("tp_timestamp",),
+    resume: bool = False,
 ) -> CollectResult:
     """Run one collection. ``source_df`` is the parsed source (from
     sources.FileSource / read_with_format); ``timestamp_source`` names
-    the source column mapped to tp_timestamp."""
+    the source column mapped to tp_timestamp.
+
+    ``resume=True`` continues from the persisted watermark: rows at or
+    before the last collected tp_timestamp are skipped — the reference's
+    collection-state semantics (reference: internal/config/
+    partition.go:105-108). An explicit ``time_from`` wins over resume.
+    """
     if source_df is None:
         from tailpipe_spark.sources.file_source import FileSource
 
@@ -118,6 +125,16 @@ def collect(
         source_df = FileSource(partition.source).read(spark)
 
     catalog.backup_metadata()
+
+    if resume and time_from is None:
+        st = load_state(catalog, table.name, partition.name)
+        if st.get("watermark"):
+            # strictly-after the watermark: bump by one microsecond
+            from datetime import timedelta
+
+            time_from = datetime.fromisoformat(st["watermark"]) + timedelta(
+                microseconds=1
+            )
 
     if overwrite and (time_from or time_to):
         # --overwrite: delete range then re-collect (A19)

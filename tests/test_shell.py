@@ -1,0 +1,96 @@
+import json
+
+import pytest
+
+from tailpipe_spark.shell import Shell
+
+
+@pytest.fixture()
+def shell(spark, workspace, tmp_path):
+    from tailpipe_spark.collect import collect
+    from tailpipe_spark.config import ColumnConfig, PartitionConfig, TableConfig
+    from tailpipe_spark.sources.formats import read_jsonl
+
+    rows = [{"id": i, "lvl": "E" if i % 2 else "I", "time": "2024-05-01T00:00:00"} for i in range(6)]
+    p = tmp_path / "c.jsonl"
+    p.write_text("\n".join(json.dumps(r) for r in rows))
+    table = TableConfig(
+        name="logs",
+        columns=[
+            ColumnConfig(name="id", type="bigint"),
+            ColumnConfig(name="lvl", type="varchar"),
+            ColumnConfig(name="tp_timestamp", type="timestamp", source="time"),
+        ],
+        map_fields=[],
+    )
+    collect(spark, workspace, table, PartitionConfig("logs", "default"),
+            source_df=read_jsonl(spark, [str(p)]))
+    return Shell(spark, workspace)
+
+
+def test_shell_sql(shell):
+    out = shell.handle("select lvl, count(*) as n from logs group by lvl order by lvl")
+    assert "E" in out and "3" in out
+
+
+def test_shell_output_modes(shell):
+    shell.handle(".output csv")
+    out = shell.handle("select lvl, count(*) as n from logs group by lvl order by lvl")
+    assert out.splitlines() == ["lvl,n", "E,3", "I,3"]
+    shell.handle(".header off")
+    out = shell.handle("select count(*) as n from logs")
+    assert out == "6"
+    shell.handle(".separator |")
+    shell.handle(".header on")
+    out = shell.handle("select lvl, count(*) as n from logs group by lvl order by lvl")
+    assert out.splitlines()[1] == "E|3"
+
+
+def test_shell_tables_and_inspect(shell):
+    out = shell.handle(".tables")
+    assert "logs" in out and "6 rows" in out
+    detail = shell.handle(".inspect logs")
+    assert "lvl: varchar" in detail
+    assert "partitions: default" in detail
+    assert shell.handle(".inspect nope").startswith("Error")
+
+
+def test_shell_errors(shell):
+    assert "no data has been collected" in shell.handle("select * from missing")
+    assert shell.handle(".bogus").startswith("unknown metaquery")
+    with pytest.raises(EOFError):
+        shell.handle(".exit")
+
+
+def test_collect_resume_watermark(spark, workspace, tmp_path):
+    from tailpipe_spark.collect import collect
+    from tailpipe_spark.config import ColumnConfig, PartitionConfig, TableConfig
+    from tailpipe_spark.sources.formats import read_jsonl
+
+    table = TableConfig(
+        name="resume_t",
+        columns=[
+            ColumnConfig(name="id", type="bigint"),
+            ColumnConfig(name="tp_timestamp", type="timestamp", source="time"),
+        ],
+        map_fields=[],
+    )
+    part = PartitionConfig("resume_t", "default")
+
+    a = tmp_path / "a.jsonl"
+    a.write_text("\n".join(
+        json.dumps({"id": i, "time": f"2024-05-0{i+1}T00:00:00"}) for i in range(3)
+    ))
+    from_first = collect(spark, workspace, table, part,
+                         source_df=read_jsonl(spark, [str(a)]))
+    assert from_first.rows_written == 3
+
+    # second run sees the old rows AND two new ones; resume skips the old
+    b = tmp_path / "b.jsonl"
+    b.write_text("\n".join(
+        json.dumps({"id": i, "time": f"2024-05-0{i+1}T00:00:00"}) for i in range(5)
+    ))
+    res = collect(spark, workspace, table, part,
+                  source_df=read_jsonl(spark, [str(b)]), resume=True)
+    assert res.rows_written == 2
+    assert workspace.file_stats("resume_t")["rows"] == 5
