@@ -361,7 +361,39 @@ def sec_entropy_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- array explode / positional access (§2.b array-struct surface) ---
+
+def q_array_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    exploded = emb.select(
+        "vec_id", F.posexplode("embedding").alias("pos", "val")
+    ).select("vec_id", "pos", F.col("val").cast("double").alias("val"))
+    return (
+        exploded.groupBy("pos")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.col("val").cast("decimal(30,15)")).cast("double"), 9).alias("sum_val"),
+            F.min("val").alias("min_val"),
+            F.max("val").alias("max_val"),
+        )
+        .orderBy("pos")
+    )
+
+
+Q_ARRAY_EXPLODE_SQL = """
+SELECT pos, COUNT(*) AS n,
+       ROUND(CAST(SUM(CAST(val AS DECIMAL(30,15))) AS DOUBLE), 9) AS sum_val,
+       MIN(val) AS min_val, MAX(val) AS max_val
+FROM (SELECT vec_id,
+             unnest(range(len(embedding))) AS pos,
+             CAST(unnest(embedding) AS DOUBLE) AS val
+      FROM embeddings)
+GROUP BY pos ORDER BY pos
+"""
+
+
 SPECS = [
+    QuerySpec("q_array_explode", q_array_explode, Q_ARRAY_EXPLODE_SQL, "posexplode / unnest positional array access + agg"),
     QuerySpec("q_window_frames", q_window_frames, Q_WINDOW_FRAMES_SQL, "ntile/first/last/percent_rank/cume_dist + RANGE frame"),
     QuerySpec("q_correlated_subquery", q_correlated_subquery, Q_CORRELATED_SQL, "correlated scalar subquery (Catalyst decorrelation)"),
     QuerySpec("q_having_conditional", q_having_conditional, Q_HAVING_SQL, "HAVING + coalesce/nullif/greatest/least"),
