@@ -246,7 +246,46 @@ FROM documents ORDER BY doc_id
 """
 
 
+# --- multimodal plumbing: docs as binary payloads through mapInPandas ---
+
+def mm_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drive the Arrow-batched multimodal feature extractor with
+    document text as the binary payload; checksum/byte-count are
+    engine-agnostic so the mapInPandas path itself is oracle-checked."""
+    from tailpipe_spark.operators.multimodal import extract_features
+
+    docs = _docs(spark, sf_dir)
+    assets = docs.select(
+        F.col("doc_id").alias("asset_id"),
+        F.lit("text").alias("modality"),
+        F.lit("text/plain").alias("mime_type"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+        F.lit(None)
+        .cast(
+            "struct<width:int,height:int,duration_ms:bigint,sample_rate:int>"
+        )
+        .alias("meta"),
+    )
+    feats = extract_features(assets)
+    return feats.select(
+        "asset_id",
+        "payload_bytes",
+        "checksum",
+        F.size("feature").alias("n_feature_dims"),
+    ).orderBy("asset_id")
+
+
+MM_CHECKSUMS_SQL = """
+SELECT doc_id AS asset_id,
+       CAST(octet_length(encode(text)) AS INTEGER) AS payload_bytes,
+       md5(text) AS checksum,
+       8 AS n_feature_dims
+FROM documents ORDER BY asset_id
+"""
+
+
 SPECS = [
+    QuerySpec("mm_checksums", mm_checksums, MM_CHECKSUMS_SQL, "multimodal binary payloads through Arrow mapInPandas (checksum parity)"),
     QuerySpec("dedup_exact", dedup_exact, DEDUP_EXACT_SQL, "exact dedup via md5 hash-groupBy"),
     QuerySpec("dedup_ngram_jaccard", dedup_ngram_jaccard, DEDUP_JACCARD_SQL, "word-3-gram Jaccard near-dup pairs"),
     QuerySpec("dedup_minhash_lsh", dedup_minhash_lsh, _minhash_sql(), "MinHash(12) + 4-band LSH candidate pairs"),

@@ -99,8 +99,47 @@ FROM per_row GROUP BY label ORDER BY label
 """
 
 
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (exact all-pairs baseline; the
+    LSH-restricted variant is sim_ivf_topk/sim_lsh_topk territory)."""
+    from tailpipe_spark.operators.similarity import cosine_pairs_threshold
+
+    emb = _emb(spark, sf_dir)
+    return cosine_pairs_threshold(emb, threshold=0.4).orderBy("id_a", "id_b")
+
+
+DEDUP_EMB_SQL = f"""
+WITH pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         unnest(a.embedding) AS x, unnest(b.embedding) AS y
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id),
+stats AS (
+  SELECT id_a, id_b, {_DOT} AS dotp, {_SQX} AS nx, {_SQY} AS ny
+  FROM pairs GROUP BY id_a, id_b)
+SELECT id_a, id_b, ROUND(dotp / (SQRT(nx) * SQRT(ny)), 12) AS cosine
+FROM stats
+WHERE ROUND(dotp / (SQRT(nx) * SQRT(ny)), 12) >= 0.4
+ORDER BY id_a, id_b
+"""
+
+
+def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: coarse-quantized cluster shortlist + exact re-rank
+    (rows-only: centroid refinement averages are engine-specific)."""
+    from tailpipe_spark.operators.similarity import ivf_topk
+
+    emb = _emb(spark, sf_dir)
+    probe = emb.filter(F.col("vec_id") == _PROBE_ID)
+    out = ivf_topk(emb, probe, k=_K, nlist=8, nprobe=3)
+    return out.select("probe_id", "vec_id", "cosine").orderBy(
+        F.col("cosine").desc(), F.col("vec_id").asc()
+    )
+
+
 SPECS = [
     QuerySpec("sim_cosine_topk", sim_cosine_topk, SIM_TOPK_SQL, "exact brute-force cosine top-k (decimal-exact)"),
     QuerySpec("sim_lsh_topk", sim_lsh_topk, None, "hyperplane-LSH bucketed ANN + exact re-rank (rows-only)"),
+    QuerySpec("sim_ivf_topk", sim_ivf_topk, None, "IVF coarse-quantizer ANN + exact re-rank (rows-only)"),
+    QuerySpec("dedup_embedding_cosine", dedup_embedding_cosine, DEDUP_EMB_SQL, "embedding-cosine near-dup pairs (exact, decimal-stable)"),
     QuerySpec("emb_norm_stats", emb_norm_stats, EMB_NORM_SQL, "per-label embedding norm statistics"),
 ]

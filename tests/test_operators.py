@@ -173,3 +173,43 @@ def test_lsh_topk_subset_of_exact_space(spark):
     for r in out:
         assert r["vec_id"] != 0
         assert -1.0001 <= r["cosine"] <= 1.0001
+
+
+def test_ivf_topk_exhaustive_equals_brute_force(spark):
+    import numpy as np
+
+    from tailpipe_spark.operators.similarity import ivf_topk
+
+    rnd = np.random.RandomState(3)
+    vecs = rnd.randn(40, 8).astype("float32")
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(40)], ["vec_id", "embedding"]
+    )
+    probe = df.filter(F.col("vec_id") == 0)
+    # nprobe == nlist scans every cluster -> must equal brute force
+    exact = [r["vec_id"] for r in brute_force_topk(df, probe, k=5)
+             .orderBy(F.col("cosine").desc(), "vec_id").collect()]
+    ivf = [r["vec_id"] for r in ivf_topk(df, probe, k=5, nlist=4, nprobe=4)
+           .orderBy(F.col("cosine").desc(), "vec_id").collect()]
+    assert ivf == exact
+    # restricted probe returns a subset of the corpus, never the probe itself
+    part = ivf_topk(df, probe, k=5, nlist=4, nprobe=1).collect()
+    assert 0 < len(part) <= 5 and all(r["vec_id"] != 0 for r in part)
+
+
+def test_cosine_pairs_threshold_exact_vs_lsh(spark):
+    import numpy as np
+
+    from tailpipe_spark.operators.similarity import cosine_pairs_threshold
+
+    rnd = np.random.RandomState(5)
+    base = rnd.randn(8).astype("float32")
+    rows = [(0, [float(x) for x in base]), (1, [float(x) for x in base * 1.5])]
+    rows += [(i, [float(x) for x in rnd.randn(8)]) for i in range(2, 30)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    exact = {(r["id_a"], r["id_b"]) for r in cosine_pairs_threshold(df, 0.99).collect()}
+    assert (0, 1) in exact  # scaled copy has cosine 1.0
+    lsh = {(r["id_a"], r["id_b"]) for r in
+           cosine_pairs_threshold(df, 0.99, use_lsh=True).collect()}
+    assert lsh <= exact  # LSH candidates re-ranked exactly: subset, no false positives
+    assert (0, 1) in lsh  # identical-direction vectors share every band
