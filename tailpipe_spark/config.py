@@ -101,6 +101,58 @@ class FormatConfig:
             raise ConfigValidationError(f"format {self.type} requires a pattern")
 
 
+#: shipped format presets (reference: format.<type>.<preset> blocks,
+#: internal/config/format.go:60-80) — plugins register more at runtime.
+FORMAT_PRESETS: dict[str, "FormatConfig"] = {}
+
+
+def register_format_preset(name: str, fmt: "FormatConfig") -> None:
+    FORMAT_PRESETS[name] = fmt
+
+
+def resolve_format(ref: "str | FormatConfig") -> "FormatConfig":
+    """Accept either an inline FormatConfig or a ``type.preset`` name."""
+    if isinstance(ref, FormatConfig):
+        return ref
+    if ref in FORMAT_PRESETS:
+        return FORMAT_PRESETS[ref]
+    raise ConfigValidationError(f"unknown format preset {ref!r}")
+
+
+def _install_builtin_presets() -> None:
+    register_format_preset("jsonl.default", FormatConfig(type="jsonl", name="default"))
+    register_format_preset(
+        "delimited.csv_default",
+        FormatConfig(type="delimited", name="csv_default", delimiter=",", header=True),
+    )
+    register_format_preset(
+        "delimited.tsv_default",
+        FormatConfig(type="delimited", name="tsv_default", delimiter="\t", header=True),
+    )
+    register_format_preset(
+        "grok.syslog",
+        FormatConfig(
+            type="grok",
+            name="syslog",
+            pattern="%{TIMESTAMP_ISO8601:timestamp} %{HOSTNAME:host} "
+            "%{WORD:program}(?:\\[%{INT:pid:int}\\])?: %{GREEDYDATA:message}",
+        ),
+    )
+    register_format_preset(
+        "grok.apache_common",
+        FormatConfig(
+            type="grok",
+            name="apache_common",
+            pattern="%{IPORHOST:client} %{USER:ident} %{USER:auth} "
+            "\\[%{HTTPDATE:timestamp}\\] \"%{WORD:method} %{NOTSPACE:path} "
+            "HTTP/%{NUMBER:http_version}\" %{INT:status:int} %{NOTSPACE:bytes}",
+        ),
+    )
+
+
+_install_builtin_presets()
+
+
 @dataclass
 class SourceConfig:
     """A file source: glob paths + optional grok-templated file_layout

@@ -54,3 +54,58 @@ def test_dedup_exact_is_partial_agg(spark):
     docs = read_table(spark, "/root/testdata/sf0.001/documents.parquet")
     plan = _plan(exact_dedup_stats(docs))
     assert "partial_count" in plan  # map-side combine before the shuffle
+
+
+def test_compaction_time_clusters_row_groups(spark, workspace, tmp_path):
+    """After compaction, files are tp_timestamp-sorted so parquet
+    row-group min/max stats enable time-range skipping (SURVEY §4
+    'data ordering / clustering')."""
+    import json as _json
+
+    import pyarrow.parquet as pq
+
+    from tailpipe_spark.collect import collect
+    from tailpipe_spark.compact import compact_table, enumerate_partition_keys, file_stats
+    from tailpipe_spark.config import ColumnConfig, PartitionConfig, TableConfig
+    from tailpipe_spark.sources.formats import read_jsonl
+
+    table = TableConfig(
+        name="rg",
+        columns=[
+            ColumnConfig(name="id", type="bigint"),
+            ColumnConfig(name="tp_timestamp", type="timestamp", source="time"),
+        ],
+        map_fields=[],
+    )
+    part = PartitionConfig("rg", "default")
+    # three interleaved batches within one month -> overlapping files
+    for b in range(3):
+        rows = [
+            {"id": b * 1000 + i, "time": f"2024-05-{(i % 27) + 1:02d}T{b * 2:02d}:00:00"}
+            for i in range(200)
+        ]
+        p = tmp_path / f"b{b}.jsonl"
+        p.write_text("\n".join(_json.dumps(r) for r in rows))
+        collect(spark, workspace, table, part, source_df=read_jsonl(spark, [str(p)]))
+
+    key = enumerate_partition_keys(workspace, "rg")[0]
+    assert len(file_stats(workspace, "rg", key)) >= 3
+
+    compact_table(spark, workspace, "rg")
+    stats = file_stats(workspace, "rg", key)
+    # time-disjoint files after the reorder...
+    spans = sorted((s.min_ts, s.max_ts) for s in stats)
+    for (a_min, a_max), (b_min, b_max) in zip(spans, spans[1:]):
+        assert a_max <= b_min
+    # ...and rows sorted INSIDE each file (row-group stats monotone)
+    for s in stats:
+        md = pq.read_metadata(s.path)
+        idx = md.schema.to_arrow_schema().get_field_index("tp_timestamp")
+        prev_max = None
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            if st is None or not st.has_min_max:
+                continue
+            if prev_max is not None:
+                assert st.min >= prev_max
+            prev_max = st.max
