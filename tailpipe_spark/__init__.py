@@ -20,6 +20,31 @@ Python UDFs appear only where built-ins genuinely can't express the op.
 
 __version__ = "0.1.0"
 
-from tailpipe_spark.session import build_session, load_tables, register_views
+from tailpipe_spark.catalog import Catalog
+from tailpipe_spark.collect import collect, collect_incremental
+from tailpipe_spark.compact import compact_table
+from tailpipe_spark.config import (
+    ColumnConfig,
+    FormatConfig,
+    PartitionConfig,
+    SourceConfig,
+    TableConfig,
+)
+from tailpipe_spark.session import build_session, load_tables, read_table, register_views
 
-__all__ = ["build_session", "load_tables", "register_views", "__version__"]
+__all__ = [
+    "Catalog",
+    "ColumnConfig",
+    "FormatConfig",
+    "PartitionConfig",
+    "SourceConfig",
+    "TableConfig",
+    "build_session",
+    "collect",
+    "collect_incremental",
+    "compact_table",
+    "load_tables",
+    "read_table",
+    "register_views",
+    "__version__",
+]

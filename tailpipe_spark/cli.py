@@ -98,6 +98,9 @@ def cmd_query(args) -> int:
             )
             return 1
         raise
+    if args.explain:
+        result.explain(mode="formatted")
+        return 0
     print(render(result, args.output, header=not args.no_header, separator=args.separator))
     return 0
 
@@ -254,6 +257,8 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument("--output", choices=["csv", "json", "table"], default="csv")
     q.add_argument("--no-header", action="store_true")
     q.add_argument("--separator", default=",")
+    q.add_argument("--explain", action="store_true",
+                   help="print the formatted physical plan instead of results")
     q.set_defaults(fn=cmd_query)
 
     c = sub.add_parser("collect")

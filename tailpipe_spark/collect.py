@@ -95,6 +95,50 @@ def save_state(catalog: Catalog, table: str, partition: str, state: dict) -> Non
     os.replace(tmp, p)
 
 
+def collect_incremental(
+    spark: SparkSession,
+    catalog: Catalog,
+    table: TableConfig,
+    partition: PartitionConfig,
+    **collect_kwargs,
+) -> CollectResult:
+    """File-level incremental collection: only source files not yet
+    ingested (or whose mtime changed) are read — the chunk-tracking
+    side of the reference's collection state, where each plugin chunk
+    is consumed exactly once. Complements the time-watermark ``resume``.
+    """
+    from tailpipe_spark.sources.file_source import FileSource
+
+    if partition.source is None:
+        raise ValueError("collect_incremental needs a partition file source")
+    src = FileSource(partition.source)
+    files = src.list_files()
+    state = load_state(catalog, table.name, partition.name)
+    seen: dict[str, float] = state.get("ingested_files", {})
+    fresh = [
+        f for f in files if seen.get(f.path) != os.path.getmtime(f.path)
+    ]
+    if not fresh:
+        return CollectResult(
+            table=table.name,
+            partition=partition.name,
+            rows_written=0,
+            rows_dropped=0,
+            null_columns=[],
+        )
+    df = src.read(spark, only_paths=[f.path for f in fresh])
+    res = collect(
+        spark, catalog, table, partition, source_df=df, **collect_kwargs
+    )
+    state = load_state(catalog, table.name, partition.name)
+    state["ingested_files"] = {
+        **seen,
+        **{f.path: os.path.getmtime(f.path) for f in fresh},
+    }
+    save_state(catalog, table.name, partition.name, state)
+    return res
+
+
 def collect(
     spark: SparkSession,
     catalog: Catalog,

@@ -59,11 +59,19 @@ class FileSource:
                     out.append(MatchedFile(p, fields))
         return out
 
-    def read(self, spark: SparkSession, fmt: FormatConfig | None = None) -> DataFrame:
+    def read(
+        self,
+        spark: SparkSession,
+        fmt: FormatConfig | None = None,
+        only_paths: list[str] | None = None,
+    ) -> DataFrame:
         fmt = fmt or self.config.format
         if fmt is None:
             raise ValueError("file source needs a format")
         files = self.list_files()
+        if only_paths is not None:
+            keep = set(only_paths)
+            files = [f for f in files if f.path in keep]
         if not files:
             raise FileNotFoundError(
                 f"no files match paths={self.config.paths} "

@@ -260,3 +260,46 @@ def test_compaction_reindex(spark, workspace, tmp_path):
     compact_table(spark, workspace, "t6", reindex_expr="id")
     df = workspace.read_table(spark, "t6")
     assert set(r["tp_index"] for r in df.select("tp_index").distinct().collect()) == {"0", "1", "2", "3"}
+
+
+def test_collect_incremental_file_state(spark, workspace, tmp_path):
+    import os
+    import time as _time
+
+    from tailpipe_spark.collect import collect_incremental
+    from tailpipe_spark.config import FormatConfig, SourceConfig
+
+    land = tmp_path / "land"
+    land.mkdir()
+    (land / "c0.jsonl").write_text(
+        "\n".join(json.dumps({"id": i, "time": "2024-05-01T00:00:00"}) for i in range(4))
+    )
+    table = TableConfig(
+        name="inc",
+        columns=[
+            ColumnConfig(name="id", type="bigint"),
+            ColumnConfig(name="tp_timestamp", type="timestamp", source="time"),
+        ],
+        map_fields=[],
+    )
+    part = PartitionConfig(
+        "inc", "default",
+        source=SourceConfig(paths=[str(land / "*.jsonl")], format=FormatConfig(type="jsonl")),
+    )
+    r1 = collect_incremental(spark, workspace, table, part)
+    assert r1.rows_written == 4
+    # nothing new: no-op, no spark job needed
+    r2 = collect_incremental(spark, workspace, table, part)
+    assert r2.rows_written == 0
+    # a new chunk appears: only it is ingested
+    (land / "c1.jsonl").write_text(json.dumps({"id": 9, "time": "2024-05-02T00:00:00"}))
+    r3 = collect_incremental(spark, workspace, table, part)
+    assert r3.rows_written == 1
+    assert workspace.file_stats("inc")["rows"] == 5
+    # a file is rewritten (mtime changes): re-ingested
+    _time.sleep(0.02)
+    (land / "c1.jsonl").write_text(json.dumps({"id": 10, "time": "2024-05-03T00:00:00"}))
+    os.utime(land / "c1.jsonl")
+    r4 = collect_incremental(spark, workspace, table, part)
+    assert r4.rows_written == 1
+    assert workspace.file_stats("inc")["rows"] == 6
