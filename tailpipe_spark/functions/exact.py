@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-# 18 digits / 6 decimal places holds any per-row product in the test
+# 27 digits / 6 decimal places holds any per-row product in the test
 # schema (prices < 1e7) and sums promote to decimal(38,6) before overflow.
 _DEC = "decimal(27,6)"
 

@@ -54,15 +54,17 @@ def token_ngrams(docs: DataFrame, text_col: str, n: int, id_col: str = "doc_id")
     toks = docs.select(
         F.col(id_col), F.split(normalize_text(F.col(text_col)), " ").alias("t")
     )
-    grams = toks.select(
+    # docs shorter than n tokens yield no grams; the sequence bound makes
+    # every emitted slice exactly n tokens, so no post-filter re-split
+    grams = toks.where(F.size("t") >= n).select(
         id_col,
         F.explode(
             F.transform(
-                F.sequence(F.lit(0), F.greatest(F.size("t") - n, F.lit(0))),
+                F.sequence(F.lit(0), F.size("t") - n),
                 lambda i: F.array_join(F.slice("t", i + 1, n), " "),
             )
         ).alias("gram"),
-    ).where(F.size(F.split(F.col("gram"), " ")) == n)
+    )
     return grams.distinct()
 
 

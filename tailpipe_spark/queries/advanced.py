@@ -343,6 +343,45 @@ GROUP BY user_id ORDER BY user_id
 """
 
 
+# --- skew-safe two-phase aggregation (operators.skew, oracle = plain GROUP BY) ---
+
+def q_skew_two_phase_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted two-phase aggregation must equal the plain GROUP BY — the
+    oracle IS the unsalted query, so the equivalence is hash-checked.
+    Doubles go through a decimal cast so the extra combine step cannot
+    perturb the sum."""
+    from tailpipe_spark.operators.skew import two_phase_agg
+
+    e = _t(spark, sf_dir, "events").withColumn(
+        "v_dec", F.col("value").cast("decimal(27,6)")
+    )
+    out = two_phase_agg(
+        e,
+        "event_type",
+        [
+            ("v_dec", "sum", "total_dec"),
+            ("value", "count", "n"),
+            ("value", "min", "min_v"),
+            ("value", "max", "max_v"),
+        ],
+        salt=8,
+    )
+    return out.select(
+        "event_type",
+        F.col("total_dec").cast("double").alias("total_value"),
+        "n",
+        "min_v",
+        "max_v",
+    ).orderBy("event_type")
+
+
+Q_SKEW_AGG_SQL = f"""
+SELECT event_type, {oracle_dsum('value')} AS total_value,
+       COUNT(value) AS n, MIN(value) AS min_v, MAX(value) AS max_v
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
 def sec_entropy_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shannon entropy of document texts (DGA-style randomness scoring).
     Rows-only: per-character p*log2(p) accumulation order differs
@@ -403,4 +442,5 @@ SPECS = [
     QuerySpec("sec_ip_classify", sec_ip_classify, SEC_IP_SQL, "threat detection: IP parse/CIDR/private classification"),
     QuerySpec("sec_error_burst", sec_error_burst, SEC_BURST_SQL, "threat detection: sliding-window burst detector"),
     QuerySpec("sec_entropy_scan", sec_entropy_scan, None, "threat detection: Shannon entropy scoring (rows-only)"),
+    QuerySpec("q_skew_two_phase_agg", q_skew_two_phase_agg, Q_SKEW_AGG_SQL, "salted two-phase agg == plain GROUP BY (skew operator equivalence)"),
 ]
