@@ -343,6 +343,76 @@ GROUP BY user_id ORDER BY user_id
 """
 
 
+# --- pivot (wide aggregation; oracle = portable CASE aggregation) ---
+
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    return (
+        e.groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, types)
+        .orderBy("user_id")
+    )
+
+
+Q_PIVOT_SQL = """
+SELECT user_id,
+       COUNT(*) FILTER (WHERE event_type = 'click') AS click,
+       COUNT(*) FILTER (WHERE event_type = 'error') AS error,
+       COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+       COUNT(*) FILTER (WHERE event_type = 'signup') AS signup,
+       COUNT(*) FILTER (WHERE event_type = 'view') AS view
+FROM events GROUP BY user_id ORDER BY user_id
+"""
+
+
+# --- multiset set ops (ALL variants keep duplicates) ---
+
+def q_set_ops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("k"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("k"))
+    inter = s.intersectAll(c).groupBy().agg(F.count(F.lit(1)).alias("cnt")).select(
+        F.lit("intersect_all").alias("op"), "cnt"
+    )
+    exc = c.exceptAll(s).groupBy().agg(F.count(F.lit(1)).alias("cnt")).select(
+        F.lit("except_all").alias("op"), "cnt"
+    )
+    return inter.unionAll(exc).orderBy("op")
+
+
+Q_SET_OPS_ALL_SQL = """
+SELECT 'except_all' AS op, COUNT(*) AS cnt FROM (
+  SELECT c_nationkey AS k FROM customer
+  EXCEPT ALL SELECT s_nationkey FROM supplier)
+UNION ALL
+SELECT 'intersect_all', COUNT(*) FROM (
+  SELECT s_nationkey AS k FROM supplier
+  INTERSECT ALL SELECT c_nationkey FROM customer)
+ORDER BY op
+"""
+
+
+# --- case-insensitive LIKE ---
+
+def q_ilike(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    return (
+        c.filter(F.col("c_mktsegment").ilike("%build%"))
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("c_mktsegment")
+    )
+
+
+Q_ILIKE_SQL = """
+SELECT c_mktsegment, COUNT(*) AS n
+FROM customer WHERE c_mktsegment ILIKE '%build%'
+GROUP BY c_mktsegment ORDER BY c_mktsegment
+"""
+
+
 # --- skew-safe two-phase aggregation (operators.skew, oracle = plain GROUP BY) ---
 
 def q_skew_two_phase_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -443,4 +513,7 @@ SPECS = [
     QuerySpec("sec_error_burst", sec_error_burst, SEC_BURST_SQL, "threat detection: sliding-window burst detector"),
     QuerySpec("sec_entropy_scan", sec_entropy_scan, None, "threat detection: Shannon entropy scoring (rows-only)"),
     QuerySpec("q_skew_two_phase_agg", q_skew_two_phase_agg, Q_SKEW_AGG_SQL, "salted two-phase agg == plain GROUP BY (skew operator equivalence)"),
+    QuerySpec("q_pivot", q_pivot, Q_PIVOT_SQL, "pivot / wide CASE aggregation"),
+    QuerySpec("q_set_ops_all", q_set_ops_all, Q_SET_OPS_ALL_SQL, "EXCEPT ALL / INTERSECT ALL multiset semantics"),
+    QuerySpec("q_ilike", q_ilike, Q_ILIKE_SQL, "case-insensitive LIKE"),
 ]

@@ -138,27 +138,27 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     purchases = e.filter(F.col("event_type") == "purchase").select(
         "event_id", "user_id", "ts", "value"
     )
-    logins = e.filter(F.col("event_type") == "login").select(
-        F.col("user_id"), F.col("ts").alias("login_ts"), F.col("event_id").alias("login_event_id")
+    logins = e.filter(F.col("event_type") == "click").select(
+        F.col("user_id"), F.col("ts").alias("click_ts"), F.col("event_id").alias("click_event_id")
     )
     out = asof_join(
         purchases,
         logins,
         on="user_id",
         left_time="ts",
-        right_time="login_ts",
-        value_cols=["login_event_id"],
+        right_time="click_ts",
+        value_cols=["click_event_id"],
     )
     return out.select(
-        "event_id", "user_id", "ts", "asof_login_ts", "login_event_id"
+        "event_id", "user_id", "ts", "asof_click_ts", "click_event_id"
     ).orderBy("event_id")
 
 
 Q_ASOF_SQL = """
 SELECT p.event_id, p.user_id, p.ts,
-       l.ts AS asof_login_ts, l.event_id AS login_event_id
+       l.ts AS asof_click_ts, l.event_id AS click_event_id
 FROM (SELECT * FROM events WHERE event_type = 'purchase') p
-ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'login') l
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') l
   ON p.user_id = l.user_id AND p.ts >= l.ts
 ORDER BY p.event_id
 """
