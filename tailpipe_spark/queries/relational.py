@@ -266,9 +266,9 @@ GROUP BY c_mktsegment ORDER BY c_mktsegment
 
 def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = _t(spark, sf_dir, "customer")
-    o = _t(spark, sf_dir, "orders")
+    big = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 200000)
     return (
-        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        c.join(big, c.c_custkey == big.o_custkey, "left_anti")
         .select("c_custkey", "c_name", "c_mktsegment")
         .orderBy("c_custkey")
     )
@@ -277,7 +277,8 @@ def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q_JOIN_ANTI_SQL = """
 SELECT c_custkey, c_name, c_mktsegment
 FROM customer
-WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_totalprice > 200000)
 ORDER BY c_custkey
 """
 
