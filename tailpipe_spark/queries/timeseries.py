@@ -125,7 +125,7 @@ WITH flagged AS (
          (epoch_us(MAX(ts)) - epoch_us(MIN(ts))) / 1000000.0 AS span_sec
   FROM sessions GROUP BY user_id, session_id
 )
-SELECT user_id, COUNT(*) AS n_sessions, SUM(n_events) AS n_events,
+SELECT user_id, COUNT(*) AS n_sessions, CAST(SUM(n_events) AS BIGINT) AS n_events,
        MAX(span_sec) AS max_span_sec
 FROM per_session GROUP BY user_id ORDER BY user_id
 """
@@ -229,7 +229,7 @@ def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q_JSON_SQL = """
 SELECT event_type, COUNT(*) AS n,
-       SUM(k) AS sum_k, MIN(k) AS min_k, MAX(k) AS max_k
+       CAST(SUM(k) AS BIGINT) AS sum_k, MIN(k) AS min_k, MAX(k) AS max_k
 FROM (SELECT event_type,
              CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
       FROM events)

@@ -2,14 +2,24 @@
 
 Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` twin on
 DuckDB against the same parquet dir, then compares row count, column
-names, and order-insensitive values (column-name-sorted, stringified,
-row-sorted). Usage:
+names, and order-insensitive TYPE-TAGGED values.
+
+Round-1 lesson: a plain ``str()`` normalization masked a DuckDB HUGEINT
+(int128, surfaces as ``Decimal``) vs Spark BIGINT mismatch that the
+driver's hasher caught. Cells are therefore tagged by type class before
+comparison — ``int`` != ``Decimal`` != ``float`` != ``bool``, and
+``date`` != ``datetime`` — so the local gate can never be greener than
+the driver on a typing divergence. DuckDB results are fetched through
+Arrow (HUGEINT -> decimal128, DATE -> date32) to surface the same typed
+values the driver sees.
 
     python tools/check_correctness.py [sf_dir] [query ...]
 """
 
 from __future__ import annotations
 
+import datetime
+import decimal
 import math
 import sys
 import time
@@ -26,14 +36,29 @@ def _norm_cell(v):
     if v is None:
         return "NULL"
     if isinstance(v, bool):
-        return "true" if v else "false"
+        return "bool:" + ("true" if v else "false")
+    if isinstance(v, int):
+        return "int:" + str(v)
     if isinstance(v, float):
         if math.isnan(v):
-            return "nan"
-        return repr(v)
+            return "float:nan"
+        return "float:" + repr(v)
+    if isinstance(v, decimal.Decimal):
+        return "dec:" + str(v)
+    if isinstance(v, datetime.datetime):
+        return "ts:" + v.isoformat()
+    if isinstance(v, datetime.date):
+        return "date:" + v.isoformat()
+    if isinstance(v, (bytes, bytearray)):
+        return "bin:" + bytes(v).hex()
     if isinstance(v, (list, tuple)):
         return "[" + ",".join(_norm_cell(x) for x in v) + "]"
-    return str(v)
+    if isinstance(v, dict):
+        return "{" + ",".join(f"{k}={_norm_cell(v[k])}" for k in sorted(v)) + "}"
+    if hasattr(v, "asDict"):  # pyspark Row (struct column)
+        d = v.asDict()
+        return "{" + ",".join(f"{k}={_norm_cell(d[k])}" for k in sorted(d)) + "}"
+    return "str:" + str(v)
 
 
 def _normalize(rows, cols):
@@ -41,6 +66,15 @@ def _normalize(rows, cols):
     out = [tuple(_norm_cell(r[i]) for i in order) for r in rows]
     out.sort()
     return sorted(c for c in cols), out
+
+
+def _duck_rows(con, sql):
+    """Fetch through Arrow so HUGEINT surfaces as Decimal (like the
+    driver's typed hasher), not a Python int that str()-matches BIGINT."""
+    tbl = con.execute(sql).fetch_arrow_table()
+    cols = tbl.column_names
+    rows = [tuple(d[c] for c in cols) for d in tbl.to_pylist()]
+    return rows, cols
 
 
 def main() -> int:
@@ -73,9 +107,7 @@ def main() -> int:
             print(f"ok   {name}: rows-only ({len(srows)} rows, {time.time()-t0:.1f}s)")
             continue
         try:
-            cur = con.execute(oracles[name])
-            ocols = [d[0] for d in cur.description]
-            orows = cur.fetchall()
+            orows, ocols = _duck_rows(con, oracles[name])
         except Exception as e:  # noqa: BLE001
             failures.append(name)
             print(f"FAIL {name}: duckdb error: {e}")
