@@ -40,6 +40,7 @@ class Catalog:
         self.workspace = workspace
         os.makedirs(self.metadata_dir, exist_ok=True)
         os.makedirs(self.data_dir, exist_ok=True)
+        self.cleanup_staging()
 
     # --- paths ---
     @property
@@ -59,6 +60,29 @@ class Catalog:
 
     def state_path(self, table: str, partition: str) -> str:
         return os.path.join(self.metadata_dir, f"state_{table}.{partition}.json")
+
+    @property
+    def staging_dir(self) -> str:
+        """Scratch area for rewrite jobs (compaction, range delete).
+
+        Lives OUTSIDE ``data/``: Spark's file listing is extension- and
+        suffix-blind, so any tmp output inside a table tree would be
+        scanned as data (and ``tp_month=8.tmp`` breaks partition-key
+        parsing). A crash mid-rewrite leaves droppings here, not in the
+        table; they are swept on the next Catalog open."""
+        return os.path.join(self.workspace, "staging")
+
+    def new_staging_dir(self, hint: str) -> str:
+        os.makedirs(self.staging_dir, exist_ok=True)
+        d = os.path.join(
+            self.staging_dir, f"{hint}.{int(time.time() * 1000)}.{os.getpid()}"
+        )
+        os.makedirs(d)
+        return d
+
+    def cleanup_staging(self) -> None:
+        if os.path.isdir(self.staging_dir):
+            shutil.rmtree(self.staging_dir, ignore_errors=True)
 
     # --- manifest ---
     def _load(self) -> dict:

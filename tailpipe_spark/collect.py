@@ -79,6 +79,16 @@ def apply_table_mapping(df: DataFrame, table: TableConfig) -> DataFrame:
     return df.select(*cols)
 
 
+def _ts_bound(existing: str | None, batch: datetime | None, pick) -> str | None:
+    """Combine the persisted bound with this batch's, keeping it
+    monotonic (pick = max for the watermark, min for earliest)."""
+    if batch is None:
+        return existing
+    if existing is None:
+        return str(batch)
+    return str(pick(datetime.fromisoformat(existing), batch))
+
+
 def load_state(catalog: Catalog, table: str, partition: str) -> dict:
     p = catalog.state_path(table, partition)
     if os.path.exists(p):
@@ -217,19 +227,29 @@ def collect(
     }
     catalog.ensure_table(table.name, out_schema)
 
-    before = catalog.file_stats(table.name)["rows"]
-    writer.append(catalog, table.name, result.valid)
-    written = catalog.file_stats(table.name)["rows"] - before
+    # Row count and time bounds ride the write pass as observed metrics:
+    # no second scan, no O(table-files) footer walks per append.
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    observed = result.valid.observe(
+        obs,
+        F.count(F.lit(1)).alias("n"),
+        F.max("tp_timestamp").alias("mx"),
+        F.min("tp_timestamp").alias("mn"),
+    )
+    writer.append(catalog, table.name, observed)
+    metrics = obs.get
+    written = metrics["n"]
 
     state = load_state(catalog, table.name, partition.name)
-    bounds = result.valid.agg(
-        F.max("tp_timestamp").alias("mx"), F.min("tp_timestamp").alias("mn")
-    ).collect()[0]
     state.update(
         {
             "last_collected_at": time.time(),
-            "watermark": str(bounds["mx"]) if bounds["mx"] else state.get("watermark"),
-            "earliest": str(bounds["mn"]) if bounds["mn"] else state.get("earliest"),
+            # monotonic: a backfill of an older range must not move the
+            # resume watermark backward (or a later resume re-ingests)
+            "watermark": _ts_bound(state.get("watermark"), metrics["mx"], max),
+            "earliest": _ts_bound(state.get("earliest"), metrics["mn"], min),
             "rows_total": state.get("rows_total", 0) + written,
         }
     )

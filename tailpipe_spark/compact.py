@@ -65,14 +65,17 @@ def enumerate_partition_keys(catalog: Catalog, table: str) -> list[PartitionKey]
         rel = os.path.relpath(root, base)
         parts = dict(p.split("=", 1) for p in rel.split(os.sep) if "=" in p)
         if set(parts) >= set(PARTITION_COLS):
-            keys.append(
-                PartitionKey(
-                    parts["tp_partition"],
-                    parts["tp_index"],
-                    int(parts["tp_year"]),
-                    int(parts["tp_month"]),
+            try:
+                keys.append(
+                    PartitionKey(
+                        parts["tp_partition"],
+                        parts["tp_index"],
+                        int(parts["tp_year"]),
+                        int(parts["tp_month"]),
+                    )
                 )
-            )
+            except ValueError:
+                continue  # foreign dir in the tree; not a partition key
     return sorted(keys, key=lambda k: k.relpath)
 
 
@@ -123,22 +126,66 @@ def find_overlaps(stats: list[FileStat]) -> list[list[FileStat]]:
     return groups
 
 
+MAX_CHUNK_ROWS = 5_000_000  # reference: internal/database/compact.go:16-19
+MIN_CHUNK_WINDOW_HOURS = 1
+
+
+def _ceil_hour(ts):
+    from datetime import timedelta
+
+    floored = ts.replace(minute=0, second=0, microsecond=0)
+    return floored + timedelta(hours=1) if ts != floored else ts
+
+
+def chunk_windows(stats: list[FileStat], max_rows: int) -> list[tuple]:
+    """Split a partition's rewrite into bounded time windows so a hot
+    partition never demands one giant job (reference chunks inserts at
+    5M rows / >=1h windows — internal/database/compact.go:416-435).
+    Returns [(lo, hi)] half-open windows; None = unbounded end."""
+    total = sum(s.rows for s in stats)
+    ranged = sorted(
+        (s for s in stats if s.min_ts is not None and s.max_ts is not None),
+        key=lambda s: (s.min_ts, s.max_ts),
+    )
+    if total <= max_rows or not ranged:
+        return [(None, None)]
+    windows: list[tuple] = []
+    lo, acc, bound = None, 0, None
+    for s in ranged:
+        acc += s.rows
+        bound = s.max_ts if bound is None else max(bound, s.max_ts)
+        if acc >= max_rows:
+            hi = _ceil_hour(bound)
+            if lo is not None and hi <= lo:
+                continue  # keep windows >= 1h: fold into the next chunk
+            windows.append((lo, hi))
+            lo, acc, bound = hi, 0, None
+    windows.append((lo, None))
+    return windows
+
+
 def compact_table(
     spark: SparkSession,
     catalog: Catalog,
     table: str,
     reindex_expr: str | None = None,
     small_file_bytes: int = 32 * 1024 * 1024,
+    max_chunk_rows: int = MAX_CHUNK_ROWS,
 ) -> dict:
     """Compact every partition key that needs it. Returns a summary.
 
     A key needs compaction when it has time-overlapping files or >1
     file under ``small_file_bytes``. With ``reindex_expr`` every key is
     rewritten and rows move to their newly-computed tp_index (A25).
+
+    Rewrites stage into ``catalog.staging_dir`` (never inside the table
+    tree — a crash must not leave tmp dirs a reader would scan) and are
+    chunked at ``max_chunk_rows`` rows / >=1h time windows per job.
     """
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    import shutil
+
     keys = enumerate_partition_keys(catalog, table)
-    rewritten, merged_files, rows_total = 0, 0, 0
+    rewritten, merged_files, rows_total, chunk_jobs = 0, 0, 0, 0
 
     if reindex_expr is not None:
         df = catalog.read_table(spark, table)
@@ -148,12 +195,10 @@ def compact_table(
             .repartitionByRange("tp_partition", "tp_index", "tp_year", "tp_month", "tp_timestamp")
             .sortWithinPartitions("tp_timestamp")
         )
-        tmp = catalog.table_dir(table) + ".compact_tmp"
-        new.write.partitionBy(*PARTITION_COLS).mode("overwrite").parquet(tmp)
-        import shutil
-
+        staged = catalog.new_staging_dir(f"{table}.reindex")
+        new.write.partitionBy(*PARTITION_COLS).mode("overwrite").parquet(staged)
         shutil.rmtree(catalog.table_dir(table))
-        os.replace(tmp, catalog.table_dir(table))
+        os.replace(staged, catalog.table_dir(table))
         catalog.record_snapshot("compact", {"table": table, "reindex": True})
         return {"keys_rewritten": len(keys), "files_merged": 0, "rows": rows_total}
 
@@ -167,18 +212,28 @@ def compact_table(
         part_dir = os.path.join(base, key.relpath)
         df = spark.read.parquet(part_dir)
         total_bytes = sum(s.bytes for s in stats)
-        n_out = max(1, total_bytes // TARGET_FILE_BYTES)
         rows = sum(s.rows for s in stats)
-        (
-            df.repartitionByRange(int(n_out), F.col("tp_timestamp"))
-            .sortWithinPartitions("tp_timestamp")
-            .write.mode("overwrite")
-            .parquet(part_dir + ".tmp")
-        )
-        import shutil
-
+        windows = chunk_windows(stats, max_chunk_rows)
+        n_out = max(1, total_bytes // max(1, len(windows)) // TARGET_FILE_BYTES)
+        staged = catalog.new_staging_dir(f"{table}.compact")
+        for wi, (lo, hi) in enumerate(windows):
+            chunk = df
+            if lo is not None:
+                chunk = chunk.filter(F.col("tp_timestamp") >= F.lit(lo))
+            if hi is not None:
+                cond = F.col("tp_timestamp") < F.lit(hi)
+                if lo is None:  # first window keeps stat-less rows
+                    cond = cond | F.col("tp_timestamp").isNull()
+                chunk = chunk.filter(cond)
+            (
+                chunk.repartitionByRange(int(n_out), F.col("tp_timestamp"))
+                .sortWithinPartitions("tp_timestamp")
+                .write.mode("append")
+                .parquet(staged)
+            )
+            chunk_jobs += 1
         shutil.rmtree(part_dir)
-        os.replace(part_dir + ".tmp", part_dir)
+        os.replace(staged, part_dir)
         rewritten += 1
         merged_files += len(stats)
         rows_total += rows
@@ -190,4 +245,5 @@ def compact_table(
         "keys_rewritten": rewritten,
         "files_merged": merged_files,
         "rows": rows_total,
+        "chunk_jobs": chunk_jobs,
     }

@@ -30,21 +30,27 @@ _FILTER_BANNED = re.compile(
     | /\*                               # block comment
     | \b(insert|update|delete|drop|create|alter|attach|detach|copy|
          pragma|call|install|load|export|import|grant|revoke|merge|
-         truncate|vacuum|select|with|union)\b
+         truncate|vacuum|select|with|union
+         # Spark expression surface that escapes SQL semantics entirely:
+         # arbitrary static-Java invocation and driver-side file reads
+         | reflect | java_method | input_file_name | eval
+        )\b
     """,
     re.VERBOSE,
 )
 
 
-def validate_filter_expression(expr: str) -> str:
+def validate_filter_expression(expr: str, what: str = "filter") -> str:
     """Reject anything but a plain predicate (reference:
-    internal/config/partition.go:139-186)."""
+    internal/config/partition.go:139-186). Also applied to column
+    ``transform`` expressions — both reach ``F.expr`` and must not
+    smuggle statements or arbitrary Java calls."""
     if not expr or not expr.strip():
-        raise ConfigValidationError("filter must be non-empty")
+        raise ConfigValidationError(f"{what} must be non-empty")
     if _FILTER_BANNED.search(expr):
         raise ConfigValidationError(
-            f"invalid filter {expr!r}: only plain predicates are allowed "
-            "(no statements, comments, or subqueries)"
+            f"invalid {what} {expr!r}: only plain expressions are allowed "
+            "(no statements, comments, subqueries, or reflection calls)"
         )
     return expr.strip()
 
@@ -77,6 +83,10 @@ class ColumnConfig:
         if self.source and self.transform:
             raise ConfigValidationError(
                 f"column {self.name}: 'source' and 'transform' are mutually exclusive"
+            )
+        if self.transform is not None:
+            self.transform = validate_filter_expression(
+                self.transform, what=f"column {self.name} transform"
             )
         if self.type is not None:
             self.type = self.type.lower()

@@ -61,16 +61,23 @@ def asof_join(
     )
     both = lhs.unionByName(rhs)
 
-    # Order: time asc; at equal times right rows sort first so an exact
-    # match is visible to the left row (flip to exclude exact matches).
-    exact_rank = F.col("__is_left") if allow_exact_matches else (1 - F.col("__is_left"))
+    # Order: time asc; at equal times a right row must land on the side
+    # of the left row that the frame covers for an exact match to be
+    # visible — BEFORE it for backward (preceding frame), AFTER it for
+    # forward (following frame). Flip the tiebreak to exclude exacts.
     if direction == "backward":
+        exact_rank = (
+            F.col("__is_left") if allow_exact_matches else (1 - F.col("__is_left"))
+        )
         w = (
             Window.partitionBy("__k")
             .orderBy(F.col("__t").asc(), exact_rank.asc())
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
     else:
+        exact_rank = (
+            (1 - F.col("__is_left")) if allow_exact_matches else F.col("__is_left")
+        )
         w = (
             Window.partitionBy("__k")
             .orderBy(F.col("__t").asc(), exact_rank.asc())

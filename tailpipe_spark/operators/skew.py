@@ -28,7 +28,16 @@ def salted_join(
 ) -> DataFrame:
     """Equi-join where ``big``'s key distribution is skewed and
     ``small`` is too large to broadcast. Output columns = big's + small's
-    (minus the duplicate key)."""
+    (minus the duplicate key).
+
+    Only ``inner`` and ``left`` (big-side-preserving) joins are valid:
+    the small side is replicated ``salt`` ways, so a right/full outer
+    would emit each unmatched small-side row once per replica."""
+    if how not in ("inner", "left", "left_outer", "leftouter"):
+        raise ValueError(
+            f"salted_join supports how='inner'/'left' only (got {how!r}); "
+            "the replicated small side breaks right/full outer semantics"
+        )
     big_s = big.withColumn(
         "__salt", (F.xxhash64(F.monotonically_increasing_id()) % salt).cast("int")
     ).withColumn("__salt", F.abs(F.col("__salt")))

@@ -60,6 +60,11 @@ def build_session(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # INT96 (Spark's legacy default) carries no parquet min/max
+        # statistics: footer-based compaction overlap sweeps and
+        # row-group time skipping silently stop working. Micros int64
+        # stats make time-range scans prune inside month partitions.
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         .config("spark.sql.parquet.aggregatePushdown", "true")
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")
@@ -84,10 +89,21 @@ def configure_runtime(spark: SparkSession) -> None:
     # partition discovery re-type `tp_index=0` as int. tp_year/tp_month
     # are cast back to int in Catalog.read_table.
     spark.conf.set("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
+    # int64-micros timestamps carry footer min/max stats (INT96 doesn't);
+    # compaction's overlap sweep and row-group time pruning depend on them
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=256)
 def _nano_timestamp_cols(path: str) -> list[str]:
-    """Columns stored as parquet timestamp[ns], from the file footer."""
+    """Columns stored as parquet timestamp[ns], from the file footer.
+
+    Cached per path: this is driver-side footer I/O on every read, and
+    the answer is stable — the driver's testdata is immutable and
+    engine-written tables are always micros (so the cached [] holds)."""
     import glob as _glob
     import os as _os
 

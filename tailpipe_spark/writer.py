@@ -43,8 +43,15 @@ def delete_range(
 ) -> int:
     """Delete rows of one tp_partition within [time_from, time_to]
     (reference: internal/database/cleanup.go:14-51). Returns rows
-    deleted. Only partitions containing the range are rewritten."""
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    deleted. Only partitions containing the range are rewritten.
+
+    Survivors are written to a staging dir OUTSIDE the table tree, then
+    swapped in per partition key — the write job reads the old files
+    while they still exist, so no cache-based materialization is needed
+    and a crash never leaves tmp output where a reader would scan it."""
+    import os
+    import shutil
+
     df = catalog.read_table(spark, table).filter(F.col("tp_partition") == partition)
     cond = F.lit(True)
     if time_from is not None:
@@ -57,8 +64,7 @@ def delete_range(
     if n == 0:
         return 0
     survivors = df.filter(~cond)
-    # Rewrite only partitions that held doomed rows; read their
-    # survivors and overwrite those partition dirs dynamically.
+    # Rewrite only partition keys that held doomed rows.
     affected = [
         tuple(r)
         for r in doomed.select("tp_partition", "tp_index", "tp_year", "tp_month")
@@ -74,35 +80,25 @@ def delete_range(
             & (F.col("tp_month") == mo)
         )
         keep = c if keep is None else (keep | c)
-    rewrite = survivors.filter(keep)
-    # Collect survivor keys BEFORE the overwrite: the plan reads the old
-    # files, which the write below replaces.
-    with_rows = {
-        tuple(r)
-        for r in rewrite.select("tp_partition", "tp_index", "tp_year", "tp_month")
-        .distinct()
-        .collect()
-    }
-    rewrite = rewrite.cache()
-    rewrite.count()  # materialize before the files underneath change
+    staged = catalog.new_staging_dir(f"{table}.delete")
     (
-        rewrite.write.partitionBy(*PARTITION_COLS)
+        survivors.filter(keep)
+        .write.partitionBy(*PARTITION_COLS)
         .mode("overwrite")
-        .parquet(catalog.table_dir(table))
+        .parquet(staged)
     )
-    rewrite.unpersist()
-    # Dynamic overwrite only replaces partitions that receive rows; a
-    # fully-deleted partition writes nothing, so drop its dir explicitly.
-    import os
-    import shutil
-    for key in set(affected) - with_rows:
-        p, i, y, mo = key
-        d = os.path.join(
-            catalog.table_dir(table),
-            f"tp_partition={p}", f"tp_index={i}", f"tp_year={y}", f"tp_month={mo}",
+    for p, i, y, mo in affected:
+        rel = os.path.join(
+            f"tp_partition={p}", f"tp_index={i}", f"tp_year={y}", f"tp_month={mo}"
         )
-        if os.path.isdir(d):
-            shutil.rmtree(d)
+        src = os.path.join(staged, rel)
+        dst = os.path.join(catalog.table_dir(table), rel)
+        if os.path.isdir(dst):
+            shutil.rmtree(dst)
+        if os.path.isdir(src):  # absent = every row in this key was doomed
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            os.replace(src, dst)
+    shutil.rmtree(staged, ignore_errors=True)
     catalog.record_snapshot(
         "delete", {"table": table, "partition": partition, "rows": n}
     )

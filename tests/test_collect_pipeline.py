@@ -303,3 +303,101 @@ def test_collect_incremental_file_state(spark, workspace, tmp_path):
     r4 = collect_incremental(spark, workspace, table, part)
     assert r4.rows_written == 1
     assert workspace.file_stats("inc")["rows"] == 6
+
+
+def test_backfill_keeps_watermark_monotonic(spark, workspace, tmp_path):
+    from tailpipe_spark.sources.formats import read_jsonl
+
+    table = _metrics_table()
+    part = PartitionConfig("server_metrics", "default")
+    new = tmp_path / "new.jsonl"
+    new.write_text(json.dumps(
+        {"server_id": "a", "cpu": 1.0, "time": "2024-06-15T12:00:00"}))
+    collect(spark, workspace, table, part, source_df=read_jsonl(spark, [str(new)]),
+            required=("tp_timestamp",))
+    wm1 = load_state(workspace, "server_metrics", "default")["watermark"]
+
+    # backfill an OLDER range: the resume watermark must not move back
+    old = tmp_path / "old.jsonl"
+    old.write_text(json.dumps(
+        {"server_id": "a", "cpu": 2.0, "time": "2024-01-01T00:00:00"}))
+    collect(spark, workspace, table, part, source_df=read_jsonl(spark, [str(old)]),
+            required=("tp_timestamp",))
+    st = load_state(workspace, "server_metrics", "default")
+    assert st["watermark"] == wm1
+    assert st["earliest"].startswith("2024-01-01")
+
+    # a resume after the backfill ingests nothing old twice
+    res = collect(spark, workspace, table, part,
+                  source_df=read_jsonl(spark, [str(old)]),
+                  required=("tp_timestamp",), resume=True)
+    assert res.rows_written == 0
+
+
+def test_collect_does_not_walk_table_footers(spark, workspace, metrics_chunks):
+    """Row accounting must ride the write job (Observation), not scan
+    every parquet footer in the table before and after each append."""
+    from tailpipe_spark.sources.formats import read_jsonl
+
+    calls = []
+    orig = type(workspace).file_stats
+    type(workspace).file_stats = lambda self, t: calls.append(t) or orig(self, t)
+    try:
+        res = collect(
+            spark, workspace, _metrics_table(),
+            PartitionConfig("server_metrics", "default"),
+            source_df=read_jsonl(spark, [metrics_chunks]),
+            required=("tp_timestamp", "server_id"),
+        )
+    finally:
+        type(workspace).file_stats = orig
+    assert res.rows_written == 10
+    assert calls == []
+
+
+def test_compaction_chunks_large_partitions(spark, workspace, tmp_path):
+    """A hot partition rewrites as multiple bounded jobs, not one giant
+    one (reference chunks at 5M rows / >=1h windows)."""
+    from tailpipe_spark.sources.formats import read_jsonl
+
+    table = TableConfig(
+        name="t7",
+        columns=[
+            ColumnConfig(name="id", type="bigint"),
+            ColumnConfig(name="tp_timestamp", type="timestamp", source="time"),
+        ],
+        map_fields=[],
+    )
+    part = PartitionConfig("t7", "default")
+    # 3 overlapping batches spread over distinct hours of one month
+    for batch in range(3):
+        rows = [
+            {"id": batch * 100 + i, "time": f"2024-05-01T{2*batch + i % 2:02d}:30:00"}
+            for i in range(40)
+        ]
+        p = tmp_path / f"b{batch}.jsonl"
+        p.write_text("\n".join(json.dumps(r) for r in rows))
+        collect(spark, workspace, table, part, source_df=read_jsonl(spark, [str(p)]))
+
+    before = workspace.file_stats("t7")["rows"]
+    summary = compact_table(spark, workspace, "t7", max_chunk_rows=50)
+    assert summary["keys_rewritten"] == 1
+    assert summary["chunk_jobs"] >= 2  # bounded jobs, not one rewrite
+    assert workspace.file_stats("t7")["rows"] == before == 120
+    # no tmp droppings inside the table tree, staging swept
+    import os
+    for root, dirs, _files in os.walk(workspace.table_dir("t7")):
+        assert not any(d.endswith(".tmp") for d in dirs)
+    assert workspace.file_stats("t7")["rows"] == workspace.read_table(spark, "t7").count()
+
+
+def test_stale_staging_swept_on_open(workspace):
+    import os
+
+    from tailpipe_spark.catalog import Catalog
+
+    d = workspace.new_staging_dir("t.crashed")
+    (open(os.path.join(d, "leftover.parquet"), "w")).close()
+    assert os.path.isdir(d)
+    Catalog(workspace.workspace)  # reopen = startup sweep
+    assert not os.path.isdir(d)

@@ -68,3 +68,24 @@ def test_partition_pattern_matching():
     assert len(match_partitions(["AWS_*"], parts)) == 2  # case-folded
     with pytest.raises(ConfigValidationError):
         match_partitions(["missing.thing"], parts)
+
+
+@pytest.mark.parametrize(
+    "bad",
+    [
+        "reflect('java.lang.System', 'getenv')",
+        "java_method('java.lang.Runtime', 'getRuntime')",
+        "input_file_name()",
+    ],
+)
+def test_filter_rejects_reflection(bad):
+    with pytest.raises(ConfigValidationError):
+        validate_filter_expression(bad)
+
+
+def test_transform_runs_through_filter_guard():
+    assert ColumnConfig(name="x", transform="upper(name)").transform == "upper(name)"
+    with pytest.raises(ConfigValidationError):
+        ColumnConfig(name="x", transform="reflect('a','b')")
+    with pytest.raises(ConfigValidationError):
+        ColumnConfig(name="x", transform="1; drop table t")

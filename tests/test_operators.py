@@ -46,6 +46,31 @@ def test_asof_exact_match_toggle(spark):
     assert inc == 7.0 and exc is None
 
 
+def test_asof_join_forward(spark):
+    trades = spark.createDataFrame(
+        [(1, ts(5), "t1"), (1, ts(10), "t2"), (2, ts(3), "t3")],
+        ["k", "t", "trade"],
+    )
+    quotes = spark.createDataFrame(
+        [(1, ts(7), 100.0), (1, ts(12), 101.0), (2, ts(1), 50.0)],
+        ["k", "qt", "price"],
+    )
+    out = asof_join(trades, quotes, on="k", left_time="t", right_time="qt",
+                    value_cols=["price"], direction="forward").collect()
+    got = {r["trade"]: r["price"] for r in out}
+    assert got == {"t1": 100.0, "t2": 101.0, "t3": None}
+
+
+def test_asof_forward_exact_match_toggle(spark):
+    left = spark.createDataFrame([(1, ts(5), "x")], ["k", "t", "tag"])
+    right = spark.createDataFrame([(1, ts(5), 7.0), (1, ts(9), 8.0)], ["k", "qt", "v"])
+    inc = asof_join(left, right, "k", "t", "qt", ["v"],
+                    direction="forward").collect()[0]["v"]
+    exc = asof_join(left, right, "k", "t", "qt", ["v"], direction="forward",
+                    allow_exact_matches=False).collect()[0]["v"]
+    assert inc == 7.0 and exc == 8.0
+
+
 def test_range_join_matches_naive(spark):
     import random
 

@@ -56,3 +56,13 @@ def test_two_phase_agg_matches_plain(spark):
     }
     assert out[1] == (1000, sum(float(i) for i in range(1000)), 999.0)
     assert out[2] == (1, 5.0, 5.0)
+
+
+def test_salted_join_rejects_outer(spark):
+    import pytest
+
+    big = spark.createDataFrame([(1, "a")], ["k", "v"])
+    small = spark.createDataFrame([(1, "x")], ["k", "name"])
+    for how in ("right", "full", "outer"):
+        with pytest.raises(ValueError):
+            salted_join(big, small, "k", how=how)
