@@ -55,17 +55,20 @@ def token_ngrams(docs: DataFrame, text_col: str, n: int, id_col: str = "doc_id")
         F.col(id_col), F.split(normalize_text(F.col(text_col)), " ").alias("t")
     )
     # docs shorter than n tokens yield no grams; the sequence bound makes
-    # every emitted slice exactly n tokens, so no post-filter re-split
-    grams = toks.where(F.size("t") >= n).select(
+    # every emitted slice exactly n tokens, so no post-filter re-split.
+    # Per-doc set semantics come from array_distinct BEFORE the explode:
+    # a row-local array op instead of a corpus-wide DISTINCT shuffle.
+    return toks.where(F.size("t") >= n).select(
         id_col,
         F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.size("t") - n),
-                lambda i: F.array_join(F.slice("t", i + 1, n), " "),
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("t") - n),
+                    lambda i: F.array_join(F.slice("t", i + 1, n), " "),
+                )
             )
         ).alias("gram"),
     )
-    return grams.distinct()
 
 
 def ngram_jaccard_pairs(
@@ -74,12 +77,35 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_gram_df: int | None = 100_000,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for all pairs sharing >=1 gram.
 
     Returns (id_a, id_b, jaccard) with id_a < id_b and jaccard >= threshold.
+
+    ``max_gram_df`` drops grams whose document frequency exceeds the cap
+    BEFORE the self-join: one stop-phrase gram shared by m documents
+    produces an O(m²) bucket, which at web scale is quadratic in the
+    corpus. Similarity is then Jaccard over the remaining informative
+    grams (sizes are recomputed post-cap, so the metric stays
+    self-consistent). None disables the cap.
     """
-    grams = token_ngrams(docs, text_col, n, id_col)
+    # One explicit shuffle on gram, whose exchange is REUSED by every
+    # consumer (hot-gram agg, both self-join sides): the split/explode
+    # pipeline runs once, and the gram-keyed agg + self-join need no
+    # further exchange because HashPartitioning(gram) already holds.
+    grams = token_ngrams(docs, text_col, n, id_col).repartition(F.col("gram"))
+    if max_gram_df is not None:
+        # The offending set (grams with df > cap) is small by
+        # construction, so ship it as a broadcast anti-join instead of
+        # shuffling the full gram-frequency table back onto the grams.
+        hot = (
+            grams.groupBy("gram")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .where(F.col("__df") > max_gram_df)
+            .select("gram")
+        )
+        grams = grams.join(F.broadcast(hot), "gram", "left_anti")
     sizes = grams.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
 
     a = grams.select(F.col(id_col).alias("id_a"), "gram")
@@ -107,6 +133,17 @@ def ngram_jaccard_pairs(
     )
 
 
+def xxhash64_hash_fn(c, s: int):
+    """Engine-default MinHash hash: seeded xxhash64, JVM-native."""
+    return F.xxhash64(c, F.lit(s))
+
+
+def md5_hash_fn(c, s: int):
+    """Portable MinHash hash: md5 over a seed-salted gram — any SQL
+    engine can replay it, so the oracle harness uses this twin."""
+    return F.md5(F.concat(c, F.lit(f"#{s}")))
+
+
 def minhash_signatures(
     docs: DataFrame,
     n: int = 3,
@@ -117,13 +154,13 @@ def minhash_signatures(
 ) -> DataFrame:
     """k min-hash values per document over its n-gram set.
 
-    ``hash_fn(gram_col, seed) -> Column``; defaults to md5 over a
-    seed-salted gram (slower than xxhash64 but portable — the oracle
-    harness replays it in any SQL engine). Pass
-    ``lambda c, s: F.xxhash64(c, F.lit(s))`` for the fast path.
+    ``hash_fn(gram_col, seed) -> Column``; the engine default is
+    xxhash64 (seeded, JVM-native — ~10x cheaper than md5-over-string).
+    Pass ``md5_hash_fn`` for a hash any SQL engine can replay (the
+    oracle-parity twin used by the correctness harness).
     """
     if hash_fn is None:
-        hash_fn = lambda c, s: F.md5(F.concat(c, F.lit(f"#{s}")))
+        hash_fn = xxhash64_hash_fn
     grams = token_ngrams(docs, text_col, n, id_col)
     aggs = [
         F.min(hash_fn(F.col("gram"), s)).alias(f"mh{s}") for s in range(num_hashes)

@@ -22,28 +22,22 @@ LANG_MARKERS: dict[str, list[str]] = {
 STOPWORDS = sorted({w for ws in LANG_MARKERS.values() for w in ws})
 
 
-def _occurrences(col, word: str):
-    """Count whole-word occurrences via length-delta of a replace —
-    deterministic integer arithmetic, portable to any SQL engine."""
-    padded = F.concat(F.lit(" "), col, F.lit(" "))
-    needle = f" {word} "
-    return (
-        (F.length(padded) - F.length(F.regexp_replace(padded, needle, " ")))
-        / F.lit(len(needle) - 1)
-    ).cast("int")
+def _word_hits(words_col, vocab: list[str]):
+    """Tokens matching any vocab word, counted over the already-split
+    token array — one split per document, no per-word regex passes."""
+    return F.size(F.filter(words_col, lambda t: t.isin(*vocab)))
 
 
 def language_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Heuristic language ID: argmax of marker-word hit counts, 'und'
-    (undetermined) when no marker appears."""
-    norm = normalize_text(F.col(text_col))
+    (undetermined) when no marker appears. The text is split once; each
+    language score is an array filter over the token array (the
+    regexp-replace-per-word formulation cost ~20 full-text regex passes
+    per row)."""
+    words = F.split(normalize_text(F.col(text_col)), " ")
     scored = docs
-    for lang, words in LANG_MARKERS.items():
-        score = None
-        for w in words:
-            occ = _occurrences(norm, w)
-            score = occ if score is None else score + occ
-        scored = scored.withColumn(f"__s_{lang}", score)
+    for lang, markers in LANG_MARKERS.items():
+        scored = scored.withColumn(f"__s_{lang}", _word_hits(words, markers))
     langs = list(LANG_MARKERS)
     best = F.greatest(*[F.col(f"__s_{l}") for l in langs])
     pred = F.lit("und")
@@ -62,10 +56,7 @@ def quality_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
     n_chars = F.length(norm)
     n_words = F.size(words)
     n_punct = F.length(F.regexp_replace(norm, r"[a-z0-9 ]", ""))
-    stop_hits = None
-    for w in STOPWORDS:
-        occ = _occurrences(norm, w)
-        stop_hits = occ if stop_hits is None else stop_hits + occ
+    stop_hits = _word_hits(words, STOPWORDS)
     avg_word_len = (n_chars - (n_words - 1)) / n_words
     return docs.select(
         "*",

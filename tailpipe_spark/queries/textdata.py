@@ -49,18 +49,25 @@ FROM documents
 
 # --- n-gram Jaccard near-dup pairs ---
 
+_MAX_GRAM_DF = 1000  # hot-gram cap, mirrored in the oracle below
+
+
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dd.ngram_jaccard_pairs(_docs(spark, sf_dir), n=3, threshold=0.2).orderBy(
-        "id_a", "id_b"
-    )
+    return dd.ngram_jaccard_pairs(
+        _docs(spark, sf_dir), n=3, threshold=0.2, max_gram_df=_MAX_GRAM_DF
+    ).orderBy("id_a", "id_b")
 
 
 DEDUP_JACCARD_SQL = f"""
 WITH {_GRAMS_SQL},
-sizes AS (SELECT doc_id, COUNT(*) AS sz FROM grams GROUP BY doc_id),
+gram_df AS (SELECT gram, COUNT(*) AS df FROM grams GROUP BY gram),
+kept AS (
+  SELECT g.doc_id, g.gram FROM grams g
+  JOIN gram_df d ON d.gram = g.gram AND d.df <= {_MAX_GRAM_DF}),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM kept GROUP BY doc_id),
 common AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
-  FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
+  FROM kept a JOIN kept b ON a.gram = b.gram AND a.doc_id < b.doc_id
   GROUP BY 1, 2)
 SELECT id_a, id_b,
        common / (sa.sz + sb.sz - common) AS jaccard
@@ -80,6 +87,19 @@ _ROWS_PER_BAND = _NUM_HASHES // _BANDS
 
 
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """md5 hash variant: the portable twin DuckDB can replay, so the
+    whole LSH pipeline (grams → signatures → bands → bucket join) is
+    value-checked. The engine default is xxhash64 (dedup_minhash_fast)."""
+    return dd.minhash_lsh_pairs(
+        _docs(spark, sf_dir), n=3, num_hashes=_NUM_HASHES, bands=_BANDS,
+        hash_fn=dd.md5_hash_fn,
+    ).orderBy("id_a", "id_b")
+
+
+def dedup_minhash_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine-default MinHash LSH (seeded xxhash64, JVM-native). Same
+    plan shape as dedup_minhash_lsh; hash values are engine-specific so
+    the harness checks rows-only — the md5 twin covers value parity."""
     return dd.minhash_lsh_pairs(
         _docs(spark, sf_dir), n=3, num_hashes=_NUM_HASHES, bands=_BANDS
     ).orderBy("id_a", "id_b")
@@ -131,24 +151,22 @@ def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _langid_sql() -> str:
-    def occ(word: str) -> str:
-        needle = f" {word} "
-        return (
-            f"CAST((length(padded) - length(regexp_replace(padded, ' {word} ', ' ', 'g')))"
-            f" / {len(needle) - 1} AS INTEGER)"
-        )
+def _hits_sql(vocab: list[str]) -> str:
+    """DuckDB twin of text._word_hits: token-array filter, one split."""
+    lst = ", ".join(f"'{w}'" for w in vocab)
+    return f"len(list_filter(words, t -> list_contains([{lst}], t)))"
 
+
+def _langid_sql() -> str:
     score_cols = ", ".join(
-        " + ".join(occ(w) for w in words) + f" AS s_{lang}"
-        for lang, words in tx.LANG_MARKERS.items()
+        f"{_hits_sql(words)} AS s_{lang}" for lang, words in tx.LANG_MARKERS.items()
     )
     langs = sorted(tx.LANG_MARKERS)
     best = "GREATEST(" + ", ".join(f"s_{l}" for l in langs) + ")"
     case = " ".join(f"WHEN s_{l} = best THEN '{l}'" for l in langs)
     return f"""
 WITH scored AS (
-  SELECT ' ' || {_NORM_SQL} || ' ' AS padded FROM documents),
+  SELECT string_split({_NORM_SQL}, ' ') AS words FROM documents),
 s AS (SELECT {score_cols} FROM scored),
 p AS (SELECT CASE WHEN {best} > 0
              THEN CASE {case.replace('best', best)} END
@@ -174,24 +192,16 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _quality_sql() -> str:
-    def occ(word: str) -> str:
-        needle = f" {word} "
-        return (
-            f"CAST((length(padded) - length(regexp_replace(padded, ' {word} ', ' ', 'g')))"
-            f" / {len(needle) - 1} AS INTEGER)"
-        )
-
-    stop_sum = " + ".join(occ(w) for w in tx.STOPWORDS)
     return f"""
 WITH base AS (
-  SELECT doc_id, {_NORM_SQL} AS norm, ' ' || {_NORM_SQL} || ' ' AS padded
+  SELECT doc_id, {_NORM_SQL} AS norm, string_split({_NORM_SQL}, ' ') AS words
   FROM documents),
 feat AS (
   SELECT doc_id,
          length(norm) AS q_chars,
-         len(string_split(norm, ' ')) AS q_words,
+         len(words) AS q_words,
          length(regexp_replace(norm, '[a-z0-9 ]', '', 'g')) AS n_punct,
-         {stop_sum} AS stop_hits
+         {_hits_sql(tx.STOPWORDS)} AS stop_hits
   FROM base)
 SELECT doc_id, q_chars, q_words,
        (q_chars - (q_words - 1)) / q_words AS q_avg_word_len,
@@ -288,7 +298,8 @@ SPECS = [
     QuerySpec("mm_checksums", mm_checksums, MM_CHECKSUMS_SQL, "multimodal binary payloads through Arrow mapInPandas (checksum parity)"),
     QuerySpec("dedup_exact", dedup_exact, DEDUP_EXACT_SQL, "exact dedup via md5 hash-groupBy"),
     QuerySpec("dedup_ngram_jaccard", dedup_ngram_jaccard, DEDUP_JACCARD_SQL, "word-3-gram Jaccard near-dup pairs"),
-    QuerySpec("dedup_minhash_lsh", dedup_minhash_lsh, _minhash_sql(), "MinHash(12) + 4-band LSH candidate pairs"),
+    QuerySpec("dedup_minhash_lsh", dedup_minhash_lsh, _minhash_sql(), "MinHash(12) + 4-band LSH candidate pairs (portable md5 twin)"),
+    QuerySpec("dedup_minhash_fast", dedup_minhash_fast, None, "MinHash(12) + 4-band LSH, engine-default seeded xxhash64 (rows-only)"),
     QuerySpec("dedup_simhash", dedup_simhash, None, "64-bit SimHash fingerprints + Hamming-chunk candidates (xxhash64; rows-only)"),
     QuerySpec("text_language_id", text_language_id, _langid_sql(), "marker-word language ID heuristic"),
     QuerySpec("text_quality", text_quality, _quality_sql(), "per-doc quality features + keep flag"),

@@ -128,15 +128,28 @@ def _nano_timestamp_cols(path: str) -> list[str]:
     ]
 
 
+#: (applicationId, path) → DataFrame. The driver's testdata is
+#: immutable, so the logical plan (file listing + schema) is reusable;
+#: without this every query pays a driver-side directory listing,
+#: JVM schema inference, and the footer scan above. Engine-written
+#: (mutable) tables go through Catalog.read_table, never this cache.
+_DF_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
 def read_table(spark: SparkSession, path: str) -> DataFrame:
     """Read a parquet table, transparently converting nano-timestamp
     columns (unreadable by Spark's vectorized reader) to TimestampType."""
     from pyspark.sql import functions as F
 
+    key = (spark.sparkContext.applicationId, path)
+    cached = _DF_CACHE.get(key)
+    if cached is not None:
+        return cached
     configure_runtime(spark)
     df = spark.read.parquet(path)
     for c in _nano_timestamp_cols(path):
         df = df.withColumn(c, F.timestamp_micros(F.expr(f"CAST(`{c}` DIV 1000 AS BIGINT)")))
+    _DF_CACHE[key] = df
     return df
 
 

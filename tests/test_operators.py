@@ -238,3 +238,19 @@ def test_cosine_pairs_threshold_exact_vs_lsh(spark):
            cosine_pairs_threshold(df, 0.99, use_lsh=True).collect()}
     assert lsh <= exact  # LSH candidates re-ranked exactly: subset, no false positives
     assert (0, 1) in lsh  # identical-direction vectors share every band
+
+
+def test_ngram_jaccard_hot_gram_cap(spark):
+    """An adversarial corpus where every doc shares one phrase: the cap
+    drops the shared grams before the self-join (no quadratic bucket),
+    and similarity is Jaccard over the remaining informative grams."""
+    shared = "lorem ipsum dolor sit amet"
+    docs = [(i, f"{shared} unique{i} token{i} word{i}") for i in range(30)]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    out = ngram_jaccard_pairs(df, n=3, threshold=0.1, max_gram_df=5).collect()
+    # shared-phrase grams have df=30 > 5; surviving grams are unique per
+    # doc (they all contain a uniqueN token), so no pair reaches 0.1
+    assert out == []
+    # uncapped, every pair matches via the shared phrase
+    uncapped = ngram_jaccard_pairs(df, n=3, threshold=0.1, max_gram_df=None)
+    assert uncapped.count() == 30 * 29 // 2
