@@ -216,31 +216,11 @@ def cmd_list(args) -> int:
 
 
 def _load_config(path: str) -> dict:
-    """JSON config file → TableConfig/PartitionConfig objects."""
-    from tailpipe_spark.config import (
-        ColumnConfig,
-        FormatConfig,
-        PartitionConfig,
-        SourceConfig,
-        TableConfig,
-    )
+    """Config file or dir → TableConfig/PartitionConfig objects.
+    HCL (.tpc/.hcl — the reference's native format) or the JSON mirror."""
+    from tailpipe_spark.config_io import load_config
 
-    with open(path) as f:
-        raw = json.load(f)
-    tables = {}
-    for t in raw.get("tables", []):
-        cols = [ColumnConfig(**c) for c in t.pop("columns", [])]
-        tables[t["name"]] = TableConfig(columns=cols, **t)
-    partitions = []
-    for p in raw.get("partitions", []):
-        src = p.pop("source", None)
-        if src:
-            fmt = src.pop("format", None)
-            src = SourceConfig(
-                format=FormatConfig(**fmt) if fmt else None, **src
-            )
-        partitions.append(PartitionConfig(source=src, **p))
-    return {"tables": tables, "partitions": partitions}
+    return load_config(path)
 
 
 def main(argv: list[str] | None = None) -> int:

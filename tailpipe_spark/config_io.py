@@ -1,0 +1,163 @@
+"""Config file loading: HCL (.tpc/.hcl — the reference's native format)
+and the JSON mirror, for a file or a config directory.
+
+Block → dataclass mapping follows the reference's schema
+(internal/config/partition.go:31-78, table.go, format.go,
+internal/parse/load_config.go): ``format`` blocks register presets,
+``table`` blocks carry ``column`` sub-blocks, ``partition`` blocks carry
+an optional ``source`` sub-block whose ``format`` attribute may
+reference a preset (``format.<type>.<name>``).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from tailpipe_spark.config import (
+    ColumnConfig,
+    ConfigValidationError,
+    FormatConfig,
+    PartitionConfig,
+    SourceConfig,
+    TableConfig,
+    register_format_preset,
+    resolve_format,
+)
+from tailpipe_spark.hcl import HclBlock, HclRef, parse_hcl
+
+
+def _resolve_format_value(v) -> FormatConfig | None:
+    if v is None:
+        return None
+    if isinstance(v, HclRef):
+        if v.path[0] != "format" or len(v.path) != 3:
+            raise ConfigValidationError(f"unknown format reference {v}")
+        return resolve_format(f"{v.path[1]}.{v.path[2]}")
+    if isinstance(v, str):
+        return resolve_format(v)
+    raise ConfigValidationError(f"bad format value {v!r}")
+
+
+def _column_from_block(b: HclBlock) -> ColumnConfig:
+    if len(b.labels) != 1:
+        raise ConfigValidationError("column block needs exactly one label")
+    allowed = {"type", "source", "transform", "required", "null_if", "description"}
+    bad = set(b.attrs) - allowed
+    if bad:
+        raise ConfigValidationError(f"column {b.labels[0]}: unknown attrs {sorted(bad)}")
+    return ColumnConfig(name=b.labels[0], **b.attrs)
+
+
+def _table_from_block(b: HclBlock) -> tuple[TableConfig, FormatConfig | None]:
+    if len(b.labels) != 1:
+        raise ConfigValidationError("table block needs exactly one label")
+    fmt = _resolve_format_value(b.attrs.get("format"))
+    cols = [_column_from_block(c) for c in b.find("column")]
+    kwargs = {}
+    if "null_if" in b.attrs:
+        kwargs["null_if"] = b.attrs["null_if"]
+    if "map_fields" in b.attrs:
+        kwargs["map_fields"] = list(b.attrs["map_fields"])
+    elif cols:
+        # a table with declared columns maps nothing implicitly — the
+        # reference's table block is a full schema declaration
+        kwargs["map_fields"] = []
+    return TableConfig(name=b.labels[0], columns=cols, **kwargs), fmt
+
+
+def _source_from_block(b: HclBlock, default_format: FormatConfig | None) -> SourceConfig:
+    src_type = b.labels[0] if b.labels else "file"
+    if src_type not in ("file",):
+        raise ConfigValidationError(
+            f"unsupported source type {src_type!r} (plugin sources are "
+            "format readers here; use source \"file\" with a format)"
+        )
+    fmt = _resolve_format_value(b.attrs.get("format")) or default_format
+    paths = b.attrs.get("paths")
+    if not paths:
+        raise ConfigValidationError("source block needs paths = [...]")
+    return SourceConfig(
+        paths=list(paths),
+        file_layout=b.attrs.get("file_layout"),
+        format=fmt,
+    )
+
+
+def load_hcl_text(text: str) -> dict:
+    """Parse HCL config text → {'tables', 'partitions', 'formats'}."""
+    root = parse_hcl(text)
+    formats = {}
+    for fb in root.find("format"):
+        if len(fb.labels) != 2:
+            raise ConfigValidationError("format block needs type and name labels")
+        ftype, fname = fb.labels
+        fmt = FormatConfig(type=ftype, name=fname, **fb.attrs)
+        register_format_preset(f"{ftype}.{fname}", fmt)
+        formats[f"{ftype}.{fname}"] = fmt
+
+    tables: dict[str, TableConfig] = {}
+    table_formats: dict[str, FormatConfig | None] = {}
+    for tb in root.find("table"):
+        tcfg, tfmt = _table_from_block(tb)
+        tables[tcfg.name] = tcfg
+        table_formats[tcfg.name] = tfmt
+
+    partitions: list[PartitionConfig] = []
+    for pb in root.find("partition"):
+        if len(pb.labels) != 2:
+            raise ConfigValidationError("partition block needs table and name labels")
+        table, name = pb.labels
+        srcs = pb.find("source")
+        src = (
+            _source_from_block(srcs[0], table_formats.get(table))
+            if srcs
+            else None
+        )
+        partitions.append(
+            PartitionConfig(
+                table=table,
+                name=name,
+                source=src,
+                filter=pb.attrs.get("filter"),
+                tp_index=pb.attrs.get("tp_index"),
+            )
+        )
+    return {"tables": tables, "partitions": partitions, "formats": formats}
+
+
+def load_json_text(text: str) -> dict:
+    raw = json.loads(text)
+    tables = {}
+    for t in raw.get("tables", []):
+        cols = [ColumnConfig(**c) for c in t.pop("columns", [])]
+        tables[t["name"]] = TableConfig(columns=cols, **t)
+    partitions = []
+    for p in raw.get("partitions", []):
+        src = p.pop("source", None)
+        if src:
+            fmt = src.pop("format", None)
+            src = SourceConfig(format=FormatConfig(**fmt) if fmt else None, **src)
+        partitions.append(PartitionConfig(source=src, **p))
+    return {"tables": tables, "partitions": partitions, "formats": {}}
+
+
+def load_config(path: str) -> dict:
+    """Load one config file or every ``*.tpc``/``*.hcl``/``*.json`` in a
+    directory (the reference loads the whole config dir —
+    internal/parse/load_config.go)."""
+    if os.path.isdir(path):
+        merged = {"tables": {}, "partitions": [], "formats": {}}
+        for name in sorted(os.listdir(path)):
+            if not name.endswith((".tpc", ".hcl", ".json")):
+                continue
+            part = load_config(os.path.join(path, name))
+            merged["tables"].update(part["tables"])
+            merged["partitions"].extend(part["partitions"])
+            merged["formats"].update(part["formats"])
+        return merged
+    with open(path) as f:
+        text = f.read()
+    if path.endswith(".json"):
+        return load_json_text(text)
+    return load_hcl_text(text)

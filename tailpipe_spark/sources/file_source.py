@@ -44,9 +44,16 @@ class FileSource:
                 if any(ch in pattern for ch in "*?[")
                 else ([pattern] if os.path.exists(pattern) else [])
             )
+            # a directory path means "scan it" (reference: paths name the
+            # source dir and file_layout picks files — core_formats.bats:22-28)
+            expanded: list[str] = []
             for p in paths:
                 if os.path.isdir(p):
-                    continue
+                    for root, _dirs, names in os.walk(p):
+                        expanded.extend(os.path.join(root, n) for n in sorted(names))
+                else:
+                    expanded.append(p)
+            for p in expanded:
                 if self._layout is None:
                     out.append(MatchedFile(p, {}))
                     continue

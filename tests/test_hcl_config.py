@@ -1,0 +1,187 @@
+"""HCL config surface: parser unit tests + an end-to-end collect through
+a reference-shaped .tpc config (mirrors the acceptance fixture in
+reference tests/acceptance/test_files/table_block.bats:25-48; the
+strptime transform is adapted to Spark's to_timestamp)."""
+
+import json
+
+import pytest
+
+from tailpipe_spark.config import ConfigValidationError
+from tailpipe_spark.config_io import load_config, load_hcl_text
+from tailpipe_spark.hcl import HclParseError, HclRef, parse_hcl
+
+
+def test_parse_blocks_attrs_values():
+    root = parse_hcl(
+        """
+# comment
+format "delimited" "t" {
+  delimiter = ","   // trailing comment
+  header = true
+}
+partition "logs" "p1" {
+  filter = "status = 'ok'"
+  tp_index = "host"
+  source "file" {
+    format = format.delimited.t
+    paths = ["/a", "/b"]
+  }
+}
+"""
+    )
+    fmt = root.find("format")[0]
+    assert fmt.labels == ["delimited", "t"]
+    assert fmt.attrs == {"delimiter": ",", "header": True}
+    part = root.find("partition")[0]
+    assert part.attrs["filter"] == "status = 'ok'"
+    src = part.find("source")[0]
+    assert src.labels == ["file"]
+    assert src.attrs["format"] == HclRef(("format", "delimited", "t"))
+    assert src.attrs["paths"] == ["/a", "/b"]
+
+
+def test_parse_numbers_bools_null_escapes():
+    root = parse_hcl('a = 3\nb = -1.5\nc = false\nd = null\ne = "x\\"y\\n"')
+    assert root.attrs == {"a": 3, "b": -1.5, "c": False, "d": None, "e": 'x"y\n'}
+
+
+@pytest.mark.parametrize(
+    "bad",
+    ["a = ", "block {", 'x = [1, ', "= 3", 'table "t" { a }'],
+)
+def test_parse_errors(bad):
+    with pytest.raises(HclParseError):
+        parse_hcl(bad)
+
+
+def test_load_hcl_maps_to_config_objects():
+    cfg = load_hcl_text(
+        """
+format "delimited" "csvx" { delimiter = "," }
+table "web" {
+  format = format.delimited.csvx
+  column "tp_timestamp" { source = "timestamp"  type = "timestamp" }
+  column "status" { type = "integer"  required = true }
+  column "is_err" { type = "boolean"  transform = "status >= 500" }
+}
+partition "web" "local" {
+  filter = "status < 600"
+  source "file" { paths = ["/logs/"]  file_layout = "%{DATA}.csv" }
+}
+"""
+    )
+    t = cfg["tables"]["web"]
+    assert [c.name for c in t.columns] == ["tp_timestamp", "status", "is_err"]
+    assert t.columns[2].transform == "status >= 500"
+    assert t.map_fields == []  # declared schema maps nothing implicitly
+    p = cfg["partitions"][0]
+    assert (p.table, p.name) == ("web", "local")
+    assert p.filter == "status < 600"
+    # source format falls back to the table's format reference
+    assert p.source.format.delimiter == ","
+    assert p.source.file_layout == "%{DATA}.csv"
+
+
+def test_load_hcl_validates_filter_and_transform():
+    with pytest.raises(ConfigValidationError):
+        load_hcl_text('partition "t" "p" { filter = "1=1; drop table x" }')
+    with pytest.raises(ConfigValidationError):
+        load_hcl_text(
+            'table "t" { column "c" { transform = "reflect(\'a\',\'b\')" } }'
+        )
+
+
+def test_config_dir_merges_files(tmp_path):
+    (tmp_path / "formats.tpc").write_text(
+        'format "delimited" "m" { delimiter = ";" }'
+    )
+    (tmp_path / "tables.tpc").write_text(
+        'table "t1" { column "tp_timestamp" { type = "timestamp" } }\n'
+        'partition "t1" "p" { source "file" { format = format.delimited.m paths = ["/x"] } }'
+    )
+    cfg = load_config(str(tmp_path))
+    assert set(cfg["tables"]) == {"t1"}
+    assert cfg["partitions"][0].source.format.delimiter == ";"
+
+
+def test_reference_fixture_collects_end_to_end(spark, workspace, tmp_path):
+    """The table_block.bats shape: delimited format, transform columns
+    (doubling, CASE categorization, LIKE booleans), collected end-to-end
+    through the config surface."""
+    csv = tmp_path / "transform_data.csv"
+    csv.write_text(
+        "timestamp,raw_value,status_code,user_agent,ip_address\n"
+        "2024-05-01T10:00:00,21,200,Mozilla (Windows NT),192.168.0.9\n"
+        "2024-05-01T11:00:00,40,404,Mozilla (Macintosh),10.1.2.3\n"
+        "2024-05-01T12:00:00,7,503,curl/8.0,8.8.8.8\n"
+    )
+    tpc = tmp_path / "table_transform.tpc"
+    tpc.write_text(
+        f"""
+format "delimited" "transform_test" {{
+  delimiter = ","
+}}
+
+table "transform_test" {{
+  format = format.delimited.transform_test
+
+  column "tp_timestamp" {{
+    source = "timestamp"
+    type = "timestamp"
+  }}
+
+  column "value_doubled" {{
+    type = "integer"
+    transform = "raw_value * 2"
+  }}
+
+  column "status_category" {{
+    type = "varchar"
+    transform = "CASE WHEN status_code < 300 THEN 'success' WHEN status_code < 400 THEN 'redirect' WHEN status_code < 500 THEN 'client_error' ELSE 'server_error' END"
+  }}
+
+  column "browser" {{
+    type = "varchar"
+    transform = "CASE WHEN user_agent LIKE '%Windows%' THEN 'Windows' WHEN user_agent LIKE '%Macintosh%' THEN 'Mac' ELSE 'Other' END"
+  }}
+
+  column "is_internal" {{
+    type = "boolean"
+    transform = "ip_address LIKE '192.168.%' OR ip_address LIKE '10.%' OR ip_address LIKE '172.16.%'"
+  }}
+}}
+
+partition "transform_test" "local" {{
+  source "file" {{
+    format = format.delimited.transform_test
+    paths = ["{tmp_path}"]
+    file_layout = "transform_data.csv"
+  }}
+}}
+"""
+    )
+    cfg = load_config(str(tpc))
+    part = cfg["partitions"][0]
+    table = cfg["tables"]["transform_test"]
+
+    from tailpipe_spark.collect import collect
+    from tailpipe_spark.sources.file_source import FileSource
+
+    src_df = FileSource(part.source).read(spark)
+    res = collect(spark, workspace, table, part, source_df=src_df)
+    assert res.rows_written == 3
+
+    workspace.register_views(spark)
+    rows = {
+        r["value_doubled"]: (r["status_category"], r["browser"], r["is_internal"])
+        for r in spark.sql(
+            "select value_doubled, status_category, browser, is_internal "
+            "from transform_test"
+        ).collect()
+    }
+    assert rows == {
+        42: ("success", "Windows", True),
+        80: ("client_error", "Mac", True),
+        14: ("server_error", "Other", False),
+    }
