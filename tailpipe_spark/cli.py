@@ -33,35 +33,98 @@ def _catalog(args):
     return Catalog(args.workspace)
 
 
-def render(df: DataFrame, output: str, header: bool = True, separator: str = ",") -> str:
-    """Driver-side result rendering (csv/json/table) — the reference's
-    output formats (reference: cmd/query.go:57-58)."""
-    rows = df.collect()
+def render_stream(
+    df: DataFrame,
+    output: str,
+    header: bool = True,
+    separator: str = ",",
+    page_size: int = 1000,
+):
+    """Stream result rendering (csv/json/table): rows arrive through
+    ``toLocalIterator`` one partition at a time and are emitted in
+    ``page_size`` chunks, so a select-* over a huge table never
+    materializes on the driver — the reference streams results row by
+    row the same way (reference: internal/query/execute.go:154-202 =
+    A32, cmd/query.go:57-58 for the formats).
+
+    For ``table`` output, column widths come from the first page only
+    (a full-result width pass would defeat streaming).
+    """
     cols = df.columns
-    if output == "json":
-        return json.dumps([{c: _jsonable(r[c]) for c in cols} for r in rows], default=str)
-    if output == "csv":
-        out = []
-        if header:
-            out.append(separator.join(cols))
+    rows = df.toLocalIterator()
+
+    def pages():
+        page = []
         for r in rows:
-            out.append(
-                separator.join("" if r[c] is None else str(r[c]) for c in cols)
+            page.append(r)
+            if len(page) >= page_size:
+                yield page
+                page = []
+        if page:
+            yield page
+
+    if output == "json":
+        yield "["
+        first = True
+        for page in pages():
+            body = ",\n".join(
+                json.dumps({c: _jsonable(r[c]) for c in cols}, default=str)
+                for r in page
             )
-        return "\n".join(out)
-    # table
-    widths = [
-        max(len(c), *(len(str(r[c])) for r in rows)) if rows else len(c) for c in cols
-    ]
-    lines = [
-        " | ".join(c.ljust(w) for c, w in zip(cols, widths)),
-        "-+-".join("-" * w for w in widths),
-    ]
-    for r in rows:
-        lines.append(
-            " | ".join(str(r[c] if r[c] is not None else "").ljust(w) for c, w in zip(cols, widths))
-        )
-    return "\n".join(lines)
+            yield body if first else ",\n" + body
+            first = False
+        yield "]"
+        return
+
+    if output == "csv":
+        if header:
+            yield separator.join(cols)
+        for page in pages():
+            yield "\n".join(
+                separator.join("" if r[c] is None else str(r[c]) for c in cols)
+                for r in page
+            )
+        return
+
+    if output == "line":
+        # one "column = value" line per column, rows separated by a
+        # blank line (the reference's fourth format: .output line)
+        first = True
+        w = max((len(c) for c in cols), default=0)
+        for page in pages():
+            for r in page:
+                if not first:
+                    yield ""
+                first = False
+                for c in cols:
+                    yield f"{c.ljust(w)} = {'' if r[c] is None else r[c]}"
+        return
+
+    # table: widths fixed after the first page
+    widths = None
+    for page in pages():
+        if widths is None:
+            widths = [
+                max(len(c), *(len(str(r[c])) for r in page)) for c in cols
+            ]
+            yield " | ".join(c.ljust(w) for c, w in zip(cols, widths))
+            yield "-+-".join("-" * w for w in widths)
+        for r in page:
+            yield " | ".join(
+                str(r[c] if r[c] is not None else "").ljust(w)
+                for c, w in zip(cols, widths)
+            )
+    if widths is None:  # empty result: still print the header
+        widths = [len(c) for c in cols]
+        yield " | ".join(c.ljust(w) for c, w in zip(cols, widths))
+        yield "-+-".join("-" * w for w in widths)
+
+
+def render(df: DataFrame, output: str, header: bool = True, separator: str = ",") -> str:
+    """Materialized convenience wrapper over :func:`render_stream` (small
+    results, tests). The CLI path prints the stream incrementally."""
+    sep = "" if output == "json" else "\n"
+    return sep.join(render_stream(df, output, header=header, separator=separator))
 
 
 def _jsonable(v):
@@ -101,7 +164,13 @@ def cmd_query(args) -> int:
     if args.explain:
         result.explain(mode="formatted")
         return 0
-    print(render(result, args.output, header=not args.no_header, separator=args.separator))
+    end = "" if args.output == "json" else "\n"
+    for chunk in render_stream(
+        result, args.output, header=not args.no_header, separator=args.separator
+    ):
+        print(chunk, end=end, flush=True)
+    if args.output == "json":
+        print()
     return 0
 
 
@@ -234,7 +303,7 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument("--to", dest="time_to")
     q.add_argument("--index", action="append")
     q.add_argument("--partition", action="append")
-    q.add_argument("--output", choices=["csv", "json", "table"], default="csv")
+    q.add_argument("--output", choices=["csv", "json", "table", "line"], default="csv")
     q.add_argument("--no-header", action="store_true")
     q.add_argument("--separator", default=",")
     q.add_argument("--explain", action="store_true",

@@ -122,12 +122,10 @@ def collect_incremental(
     if partition.source is None:
         raise ValueError("collect_incremental needs a partition file source")
     src = FileSource(partition.source)
-    files = src.list_files()
+    files = src.list_files(spark)
     state = load_state(catalog, table.name, partition.name)
     seen: dict[str, float] = state.get("ingested_files", {})
-    fresh = [
-        f for f in files if seen.get(f.path) != os.path.getmtime(f.path)
-    ]
+    fresh = [f for f in files if seen.get(f.path) != f.mtime]
     if not fresh:
         return CollectResult(
             table=table.name,
@@ -143,7 +141,7 @@ def collect_incremental(
     state = load_state(catalog, table.name, partition.name)
     state["ingested_files"] = {
         **seen,
-        **{f.path: os.path.getmtime(f.path) for f in fresh},
+        **{f.path: f.mtime for f in fresh},
     }
     save_state(catalog, table.name, partition.name, state)
     return res

@@ -171,6 +171,10 @@ class SourceConfig:
     paths: list[str]
     file_layout: str | None = None
     format: FormatConfig | None = None
+    #: filesystem options applied to the Hadoop conf before listing/
+    #: reading URI paths — the credential surface for cloud sources
+    #: (e.g. fs.s3a.access.key / fs.s3a.endpoint)
+    options: dict[str, str] | None = None
 
 
 @dataclass

@@ -77,10 +77,14 @@ def _source_from_block(b: HclBlock, default_format: FormatConfig | None) -> Sour
     paths = b.attrs.get("paths")
     if not paths:
         raise ConfigValidationError("source block needs paths = [...]")
+    options = {
+        k: v for ob in b.find("options") for k, v in ob.attrs.items()
+    } or None
     return SourceConfig(
         paths=list(paths),
         file_layout=b.attrs.get("file_layout"),
         format=fmt,
+        options=options,
     )
 
 

@@ -535,10 +535,14 @@ ORDER BY c_mktsegment, bal_bucket
 
 
 def q_cte_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-subquery CTE: the threshold stays IN the plan as a
+    broadcast crossJoin with the 1-row aggregate (one lazy plan, no
+    driver-side collect between stages)."""
     o = _t(spark, sf_dir, "orders")
-    avg_price = o.agg(davg("o_totalprice", "a")).collect()[0]["a"]
+    stats = o.agg(davg("o_totalprice", "a"))
     return (
-        o.filter(F.col("o_totalprice") > F.lit(avg_price))
+        o.crossJoin(F.broadcast(stats))
+        .filter(F.col("o_totalprice") > F.col("a"))
         .groupBy("o_orderstatus")
         .agg(F.count(F.lit(1)).alias("n_above_avg"), dsum("o_totalprice", "total"))
         .orderBy("o_orderstatus")

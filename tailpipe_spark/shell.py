@@ -2,29 +2,52 @@
 client surface (reference: internal/metaquery/definitions.go:24-128,
 internal/interactive/interactive_client.go:346-347).
 
-Metaqueries:
-  .tables                 list tables with row/file stats (.inspect alias)
+Metaqueries (same set as the reference):
+  .help                   list metaqueries
+  .tables                 list tables with row/file stats
   .inspect [table]        table detail: columns, partitions, stats
-  .output csv|json|table  result format
-  .header on|off          CSV header toggle
+  .output csv|json|table|line   result format
+  .headers on|off         column header toggle (.header alias)
   .separator <ch>         CSV separator
+  .multi on|off           multiline mode (statements end with ';')
+  .autocomplete on|off    tab-completion toggle
   .clear                  clear screen
   .exit / .quit           leave
 
 Everything else is executed as Spark SQL over the registered views.
 Designed to be drivable programmatically (``Shell.handle`` returns the
 rendered string) so the acceptance tests exercise the same path a human
-types into.
+types into. Query history persists to the workspace metadata dir and
+feeds readline; ``Shell.complete`` powers tab-completion over
+metaqueries, table names, and column names.
 """
 
 from __future__ import annotations
 
+import json
+import os
 import sys
 
 from pyspark.sql import SparkSession
 
 from tailpipe_spark.catalog import Catalog
 from tailpipe_spark.cli import render
+
+_METAQUERIES: dict[str, str] = {
+    ".help": "Show help on metaqueries",
+    ".tables": "List tables",
+    ".inspect": "View tables & column information",
+    ".output": "Set output format: csv, json, table or line",
+    ".headers": "Enable or disable column headers",
+    ".separator": "Set csv output separator",
+    ".multi": "Enable or disable multiline mode",
+    ".autocomplete": "Enable or disable auto-completion",
+    ".clear": "Clear the console",
+    ".exit": "Exit from the terminal",
+    ".quit": "Exit from the terminal",
+}
+
+_HISTORY_LIMIT = 500
 
 
 class Shell:
@@ -34,13 +57,56 @@ class Shell:
         self.output = "table"
         self.header = True
         self.separator = ","
+        self.multiline = False
+        self.autocomplete = True
+        self.history: list[str] = []
+        self._history_path = os.path.join(
+            catalog.metadata_dir, "shell_history.json"
+        )
+        self._load_history()
         self.catalog.register_views(spark)
+
+    # --- history (persisted per workspace) ---
+    def _load_history(self) -> None:
+        if os.path.exists(self._history_path):
+            try:
+                with open(self._history_path) as f:
+                    self.history = list(json.load(f))[-_HISTORY_LIMIT:]
+            except (OSError, ValueError):
+                self.history = []
+
+    def _save_history(self) -> None:
+        try:
+            with open(self._history_path, "w") as f:
+                json.dump(self.history[-_HISTORY_LIMIT:], f)
+        except OSError:
+            pass
+
+    # --- completion (metaqueries, tables, columns) ---
+    def complete(self, prefix: str) -> list[str]:
+        """Candidates for the token ``prefix`` — drives tab-completion
+        (reference: interactive_client.go autocomplete suggestions)."""
+        if not self.autocomplete:
+            return []
+        if prefix.startswith("."):
+            return sorted(m for m in _METAQUERIES if m.startswith(prefix))
+        cands: set[str] = set()
+        for t in self.catalog.list_tables():
+            cands.add(t)
+            try:
+                cands.update(self.catalog.table_schema(t))
+            except KeyError:
+                pass
+        low = prefix.lower()
+        return sorted(c for c in cands if c.lower().startswith(low))
 
     # --- metaquery dispatch (reference: metaquery/handlers.go:14-22) ---
     def handle(self, line: str) -> str:
         line = line.strip()
         if not line:
             return ""
+        self.history.append(line)
+        self._save_history()
         if line.startswith("."):
             return self._metaquery(line)
         try:
@@ -52,23 +118,35 @@ class Shell:
             return f"Error: {msg}"
         return render(df, self.output, header=self.header, separator=self.separator)
 
+    def _on_off(self, cmd: str, args: list[str], attr: str) -> str:
+        if args and args[0] in ("on", "off"):
+            setattr(self, attr, args[0] == "on")
+            return f"{cmd.lstrip('.')}: {args[0]}"
+        return f"usage: {cmd} on|off"
+
     def _metaquery(self, line: str) -> str:
         parts = line.split()
         cmd, args = parts[0].lower(), parts[1:]
         if cmd in (".exit", ".quit"):
             raise EOFError
+        if cmd == ".help":
+            w = max(len(m) for m in _METAQUERIES)
+            return "\n".join(
+                f"{m.ljust(w)}  {d}" for m, d in sorted(_METAQUERIES.items())
+            )
         if cmd == ".clear":
             return "\033[2J\033[H"
         if cmd == ".output":
-            if args and args[0] in ("csv", "json", "table"):
+            if args and args[0] in ("csv", "json", "table", "line"):
                 self.output = args[0]
                 return f"output format: {self.output}"
-            return "usage: .output csv|json|table"
-        if cmd == ".header":
-            if args and args[0] in ("on", "off"):
-                self.header = args[0] == "on"
-                return f"header: {args[0]}"
-            return "usage: .header on|off"
+            return "usage: .output csv|json|table|line"
+        if cmd in (".header", ".headers"):
+            return self._on_off(".headers", args, "header")
+        if cmd == ".multi":
+            return self._on_off(".multi", args, "multiline")
+        if cmd == ".autocomplete":
+            return self._on_off(".autocomplete", args, "autocomplete")
         if cmd == ".separator":
             if args:
                 self.separator = args[0]
@@ -82,7 +160,11 @@ class Shell:
                 s = self.catalog.file_stats(t)
                 lines.append(f"{t}\t{s['rows']} rows\t{s['files']} files\t{s['bytes']} bytes")
             return "\n".join(lines) if lines else "(no tables)"
-        return f"unknown metaquery {cmd!r} (try .tables .inspect .output .header .separator .exit)"
+        return (
+            f"unknown metaquery {cmd!r} (try "
+            + " ".join(sorted(_METAQUERIES))
+            + ")"
+        )
 
     def _inspect_table(self, table: str) -> str:
         """Reference: internal/metaquery/handler_inspect.go:17-75."""
@@ -102,7 +184,21 @@ class Shell:
         return "\n".join(lines)
 
     def repl(self) -> None:  # pragma: no cover — interactive loop
-        print("tailpipe-spark shell — .exit to quit, .tables to list")
+        print("tailpipe-spark shell — .exit to quit, .help for metaqueries")
+        try:
+            import readline
+
+            for h in self.history:
+                readline.add_history(h)
+
+            def _rl_complete(text, state):
+                cands = self.complete(text)
+                return cands[state] if state < len(cands) else None
+
+            readline.set_completer(_rl_complete)
+            readline.parse_and_bind("tab: complete")
+        except ImportError:
+            pass
         buf: list[str] = []
         while True:
             try:
@@ -112,8 +208,14 @@ class Shell:
                 print()
                 return
             buf.append(line)
-            # multi-line statements end with ';' (metaqueries are single-line)
-            if not line.strip().startswith(".") and not line.rstrip().endswith(";") and line.strip():
+            # in multiline mode statements end with ';' (metaqueries are
+            # always single-line — reference: setMultiLine semantics)
+            if (
+                self.multiline
+                and not line.strip().startswith(".")
+                and not line.rstrip().endswith(";")
+                and line.strip()
+            ):
                 continue
             stmt = "\n".join(buf)
             buf = []

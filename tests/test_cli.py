@@ -128,3 +128,38 @@ def test_cli_collect_with_config(spark, tmp_path, capsys):
     ])
     assert rc == 0
     assert "collected t.evens: 3 rows" in capsys.readouterr().out
+
+
+def test_render_streams_without_collect(spark, monkeypatch):
+    """A huge result must flow through toLocalIterator pages, never a
+    full driver-side collect (reference A32 streams row-by-row)."""
+    from pyspark.sql import DataFrame
+
+    from tailpipe_spark.cli import render_stream
+
+    df = spark.range(0, 5000).selectExpr("id", "id * 2 as dbl")
+    monkeypatch.setattr(
+        DataFrame, "collect",
+        lambda self: (_ for _ in ()).throw(AssertionError("collect() called")),
+    )
+    chunks = list(render_stream(df, "csv", page_size=500))
+    # header + ceil(5000/500) pages — page size respected
+    assert len(chunks) == 1 + 10
+    assert chunks[0] == "id,dbl"
+    assert all(len(c.split("\n")) == 500 for c in chunks[1:])
+    rows = [line for c in chunks[1:] for line in c.split("\n")]
+    assert len(rows) == 5000 and rows[0] == "0,0"
+
+
+def test_render_stream_lazy_first_page(spark):
+    """The first page is available without draining the iterator."""
+    from tailpipe_spark.cli import render_stream
+
+    df = spark.range(0, 100000).selectExpr("id")
+    gen = render_stream(df, "table", page_size=100)
+    header = next(gen)
+    rule = next(gen)
+    first = next(gen)
+    assert header.strip() == "id" and set(rule) <= {"-", "+"}
+    assert first.strip() == "0"
+    gen.close()

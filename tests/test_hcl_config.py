@@ -185,3 +185,65 @@ partition "transform_test" "local" {{
         80: ("client_error", "Mac", True),
         14: ("server_error", "Other", False),
     }
+
+
+def test_uri_source_lists_via_hadoop_fs(spark, tmp_path):
+    """file:// is the mocked FS scheme: the same Hadoop-FS listing path
+    that s3a:// takes on a real cluster (glob + dir scan + file_layout)."""
+    from tailpipe_spark.config import FormatConfig, SourceConfig
+    from tailpipe_spark.sources.file_source import FileSource
+
+    d = tmp_path / "logs"
+    d.mkdir()
+    (d / "app-2024-05.jsonl").write_text('{"id": 1, "time": "2024-05-01T00:00:00"}\n')
+    (d / "app-2024-06.jsonl").write_text('{"id": 2, "time": "2024-06-01T00:00:00"}\n')
+    (d / "ignore.txt").write_text("nope\n")
+
+    src = FileSource(
+        SourceConfig(
+            paths=[f"file://{d}"],
+            file_layout="app-%{YEAR:year}-%{MONTHNUM:month}.jsonl",
+            format=FormatConfig(type="jsonl"),
+        )
+    )
+    assert src.needs_spark()
+    files = src.list_files(spark)
+    assert [f.layout_fields["month"] for f in files] == ["05", "06"]
+    assert all(f.mtime > 0 for f in files)
+
+    df = src.read(spark)
+    rows = {r["id"]: r["month"] for r in df.select("id", "month").collect()}
+    assert rows == {1: "05", 2: "06"}
+
+    # glob form through the same Hadoop listing
+    g = FileSource(
+        SourceConfig(paths=[f"file://{d}/app-*.jsonl"], format=FormatConfig(type="jsonl"))
+    )
+    assert len(g.list_files(spark)) == 2
+
+
+def test_cloud_source_config_round_trip():
+    """s3a config surface: URI paths + credential options parse from HCL."""
+    from tailpipe_spark.config_io import load_hcl_text
+
+    cfg = load_hcl_text(
+        """
+partition "aws_logs" "prod" {
+  source "file" {
+    format = format.jsonl.default
+    paths = ["s3a://my-bucket/cloudtrail/*.jsonl"]
+    file_layout = "%{DATA}.jsonl"
+    options {
+      fs.s3a.endpoint = "s3.eu-central-1.amazonaws.com"
+      fs.s3a.access.key = "AKIA_TEST"
+    }
+  }
+}
+"""
+    )
+    src = cfg["partitions"][0].source
+    assert src.paths == ["s3a://my-bucket/cloudtrail/*.jsonl"]
+    assert src.options["fs.s3a.endpoint"] == "s3.eu-central-1.amazonaws.com"
+    from tailpipe_spark.sources.file_source import FileSource
+
+    assert FileSource(src).needs_spark()

@@ -109,3 +109,19 @@ def test_compaction_time_clusters_row_groups(spark, workspace, tmp_path):
             if prev_max is not None:
                 assert st.min >= prev_max
             prev_max = st.max
+
+
+def test_cte_subquery_is_one_lazy_plan(spark, monkeypatch):
+    """The scalar threshold must stay in the plan (broadcast 1-row agg),
+    not be fetched with a driver-side collect during plan construction."""
+    from pyspark.sql import DataFrame
+
+    from tailpipe_spark.queries.relational import q_cte_subquery
+
+    monkeypatch.setattr(
+        DataFrame, "collect",
+        lambda self: (_ for _ in ()).throw(AssertionError("collect() during plan build")),
+    )
+    df = q_cte_subquery(spark, "/root/testdata/sf0.001")
+    monkeypatch.undo()
+    assert df.count() > 0

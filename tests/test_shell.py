@@ -94,3 +94,41 @@ def test_collect_resume_watermark(spark, workspace, tmp_path):
                   source_df=read_jsonl(spark, [str(b)]), resume=True)
     assert res.rows_written == 2
     assert workspace.file_stats("resume_t")["rows"] == 5
+
+
+def test_shell_help_and_multi_autocomplete_toggles(shell):
+    help_out = shell.handle(".help")
+    for m in (".multi", ".autocomplete", ".headers", ".output", ".inspect"):
+        assert m in help_out
+    assert shell.multiline is False
+    assert ".multi" in shell.handle(".multi")  # usage
+    assert shell.handle(".multi on") == "multi: on" and shell.multiline
+    assert shell.handle(".multi off") == "multi: off" and not shell.multiline
+    assert shell.handle(".autocomplete off") == "autocomplete: off"
+    assert shell.complete("lo") == []  # disabled
+    assert shell.handle(".autocomplete on") == "autocomplete: on"
+    assert shell.handle(".headers off") == "headers: off" and not shell.header
+
+
+def test_shell_completion_tables_columns_metaqueries(shell):
+    assert shell.complete(".out") == [".output"]
+    assert "logs" in shell.complete("lo")
+    assert "lvl" in shell.complete("lv")
+    assert "tp_timestamp" in shell.complete("tp_")
+
+
+def test_shell_history_persists(shell, spark, workspace):
+    shell.handle("select 1")
+    shell.handle(".tables")
+    assert shell.history[-2:] == ["select 1", ".tables"]
+    reopened = Shell(spark, workspace)
+    assert reopened.history[-2:] == ["select 1", ".tables"]
+
+
+def test_shell_line_output(shell):
+    assert shell.handle(".output line") == "output format: line"
+    out = shell.handle("select id, lvl from logs order by id limit 2")
+    blocks = out.split("\n\n")
+    assert len(blocks) == 2
+    assert blocks[0].splitlines()[0].startswith("id ") and "= 0" in blocks[0]
+    assert "lvl" in blocks[0]
