@@ -164,13 +164,21 @@ def cmd_query(args) -> int:
     if args.explain:
         result.explain(mode="formatted")
         return 0
-    end = "" if args.output == "json" else "\n"
-    for chunk in render_stream(
-        result, args.output, header=not args.no_header, separator=args.separator
-    ):
-        print(chunk, end=end, flush=True)
-    if args.output == "json":
-        print()
+
+    def emit() -> None:
+        end = "" if args.output == "json" else "\n"
+        for chunk in render_stream(
+            result, args.output, header=not args.no_header, separator=args.separator
+        ):
+            print(chunk, end=end, flush=True)
+        if args.output == "json":
+            print()
+
+    # invalid-parquet files are quarantined and the query retried, like
+    # the reference's error-retry loop (duck_db_error.go:25-80)
+    from tailpipe_spark.repair import run_with_quarantine_retry
+
+    run_with_quarantine_retry(cat, cat.list_tables(), emit)
     return 0
 
 
@@ -284,6 +292,26 @@ def cmd_list(args) -> int:
     return 0
 
 
+def cmd_migrate(args) -> int:
+    """A34: the reference's migration verb (internal/migration/
+    migration.go:38-160) — legacy parquet → hive layout + catalog."""
+    from tailpipe_spark.migrate import migrate_legacy_table
+
+    spark = _build_spark()
+    cat = _catalog(args)
+    rows = migrate_legacy_table(
+        spark,
+        cat,
+        args.legacy_path,
+        args.table,
+        partition=args.partition,
+        timestamp_col=args.timestamp_col,
+        index_expr=args.index_expr,
+    )
+    print(f"migrated {rows} rows from {args.legacy_path} into {args.table}")
+    return 0
+
+
 def _load_config(path: str) -> dict:
     """Config file or dir → TableConfig/PartitionConfig objects.
     HCL (.tpc/.hcl — the reference's native format) or the JSON mirror."""
@@ -334,6 +362,14 @@ def main(argv: list[str] | None = None) -> int:
     ls = sub.add_parser("list")
     ls.add_argument("what", choices=["tables", "snapshots"])
     ls.set_defaults(fn=cmd_list)
+
+    mg = sub.add_parser("migrate", help="copy a legacy parquet dir into the workspace layout")
+    mg.add_argument("legacy_path")
+    mg.add_argument("table")
+    mg.add_argument("--partition", default="migrated")
+    mg.add_argument("--timestamp-col", default="tp_timestamp")
+    mg.add_argument("--index-expr")
+    mg.set_defaults(fn=cmd_migrate)
 
     args = ap.parse_args(argv)
     return args.fn(args)

@@ -50,9 +50,11 @@ def migrate_legacy_table(
     catalog.backup_metadata()
     out_schema = {f.name: to_type_string(f.dataType) for f in df.schema.fields}
     catalog.ensure_table(table, out_schema)
-    before = catalog.file_stats(table)["rows"]
-    writer.append(catalog, table, df)
-    migrated = catalog.file_stats(table)["rows"] - before
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    writer.append(catalog, table, df.observe(obs, F.count(F.lit(1)).alias("n")))
+    migrated = obs.get["n"]
     catalog.record_snapshot(
         "migrate", {"table": table, "from": legacy_path, "rows": migrated}
     )

@@ -53,3 +53,43 @@ def quarantine_invalid_files(catalog: Catalog, table: str) -> list[str]:
 
 def enable_corrupt_file_tolerance(spark) -> None:
     spark.conf.set("spark.sql.files.ignoreCorruptFiles", "true")
+
+
+_CORRUPT_MARKERS = (
+    "is not a Parquet file",
+    "Could not read footer",
+    "CANNOT_READ_FILE_FOOTER",
+    "FAILED_READ_FILE",
+    "Parquet file is corrupted",
+)
+
+
+def is_corrupt_parquet_error(err: BaseException) -> bool:
+    msg = str(err)
+    return any(m in msg for m in _CORRUPT_MARKERS)
+
+
+def run_with_quarantine_retry(
+    catalog: Catalog,
+    tables: list[str],
+    action,
+    max_retries: int = 3,
+):
+    """Run ``action()``; on an invalid-parquet failure, quarantine the
+    offending files and retry — the reference's error-retry loop
+    (internal/database/duck_db_error.go:25-80 retries after renaming the
+    invalid file). ``tables`` bounds the quarantine sweep. The retry cap
+    is small because each attempt removes the files it tripped on."""
+    attempt = 0
+    while True:
+        try:
+            return action()
+        except Exception as e:  # noqa: BLE001 — inspect then re-raise
+            if attempt >= max_retries or not is_corrupt_parquet_error(e):
+                raise
+            moved = [
+                p for t in tables for p in quarantine_invalid_files(catalog, t)
+            ]
+            if not moved:
+                raise  # nothing to remove: the retry cannot make progress
+            attempt += 1

@@ -66,3 +66,24 @@ def test_migrate_legacy_table(spark, workspace, tmp_path):
 
     keys = enumerate_partition_keys(workspace, "migrated_logs")
     assert len({(k.tp_year, k.tp_month) for k in keys}) == 12
+
+
+def test_migrate_cli_verb(spark, workspace, tmp_path, capsys, monkeypatch):
+    """A34 CLI wiring: tailpipe-spark migrate <legacy_dir> <table>."""
+    from datetime import datetime
+
+    legacy = tmp_path / "legacy"
+    spark.createDataFrame(
+        [(1, datetime(2024, 3, 1)), (2, datetime(2024, 4, 1))], ["id", "event_time"]
+    ).write.parquet(str(legacy))
+
+    from tailpipe_spark import cli
+
+    monkeypatch.setattr(cli, "_build_spark", lambda: spark)
+    rc = cli.main([
+        "--workspace", workspace.workspace,
+        "migrate", str(legacy), "moved", "--timestamp-col", "event_time",
+    ])
+    assert rc == 0
+    assert "migrated 2 rows" in capsys.readouterr().out
+    assert workspace.file_stats("moved")["rows"] == 2

@@ -78,3 +78,57 @@ def test_run_synthetic_collect_pipeline(spark, workspace, tmp_path):
     assert out["chunks"] >= 5
     df = workspace.read_table(spark, out["table"])
     assert df.count() == 500
+
+
+def test_query_retries_after_quarantine(spark, workspace, tmp_path):
+    """The reference retries an operation after renaming the invalid
+    file (duck_db_error.go:25-80); our loop quarantines then re-runs."""
+    import glob
+    import os
+
+    from tailpipe_spark.collect import collect
+    from tailpipe_spark.config import ColumnConfig, PartitionConfig, TableConfig
+    from tailpipe_spark.repair import run_with_quarantine_retry
+    from tailpipe_spark.sources.formats import read_jsonl
+
+    p = tmp_path / "c.jsonl"
+    p.write_text(json.dumps({"id": 7, "time": "2024-05-01T00:00:00"}))
+    table = TableConfig(
+        name="qr",
+        columns=[
+            ColumnConfig(name="id", type="bigint"),
+            ColumnConfig(name="tp_timestamp", type="timestamp", source="time"),
+        ],
+        map_fields=[],
+    )
+    collect(spark, workspace, table, PartitionConfig("qr", "default"),
+            source_df=read_jsonl(spark, [str(p)]))
+    part_dir = os.path.dirname(
+        glob.glob(workspace.table_dir("qr") + "/**/*.parquet", recursive=True)[0]
+    )
+    with open(os.path.join(part_dir, "part-corrupt.parquet"), "wb") as f:
+        f.write(b"not a parquet file at all")
+
+    def read_all():
+        return workspace.read_table(spark, "qr").select("id").collect()
+
+    # direct read fails on the planted file; the retry loop heals it
+    out = run_with_quarantine_retry(workspace, ["qr"], read_all)
+    assert [r["id"] for r in out] == [7]
+    # the corrupt file went to quarantine, data intact
+    assert glob.glob(workspace.workspace + "/quarantine/qr/**/*.invalid", recursive=True)
+
+
+def test_retry_gives_up_when_nothing_to_quarantine(workspace):
+    import pytest
+
+    from tailpipe_spark.repair import run_with_quarantine_retry
+
+    class Boom(Exception):
+        pass
+
+    def action():
+        raise Boom("unrelated failure")
+
+    with pytest.raises(Boom):
+        run_with_quarantine_retry(workspace, [], action)
