@@ -1,8 +1,9 @@
 """Similarity-search queries over ``embeddings`` (array<float>, dim 64).
 
-The exact path accumulates dot/norm through decimal casts so values are
-bit-identical to the DuckDB oracle (see operators.similarity); the LSH
-path is approximate by construction and gets a rows-only check.
+The exact path accumulates dot/norm in 1e-12 fixed-point (floor of the
+scaled product, summed as integers — operators.similarity._exact_dot)
+so values are bit-identical to the DuckDB oracle at primitive speed;
+the LSH path is approximate by construction and gets a rows-only check.
 """
 
 from __future__ import annotations
@@ -16,10 +17,24 @@ from tailpipe_spark.queries import QuerySpec
 _PROBE_ID = 0
 _K = 10
 
-#: DuckDB decimal-exact sum of products; x/y are unnested element pairs
-_DOT = "CAST(SUM(CAST(CAST(x AS DOUBLE) * CAST(y AS DOUBLE) AS DECIMAL(30,15))) AS DOUBLE)"
-_SQX = "CAST(SUM(CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(30,15))) AS DOUBLE)"
-_SQY = "CAST(SUM(CAST(CAST(y AS DOUBLE) * CAST(y AS DOUBLE) AS DECIMAL(30,15))) AS DOUBLE)"
+#: DuckDB twin of the fixed-point folds: floor((x*y)*1e12) summed as
+#: integers, back to value units — every step bit-identical to Spark's
+_F = "1000000000000"
+
+
+def _fxp(prod: str) -> str:
+    return f"CAST(SUM(CAST(FLOOR(({prod}) * {_F}) AS BIGINT)) AS DOUBLE) / {_F}"
+
+
+def _q12(expr: str) -> str:
+    """DuckDB twin of similarity.quantize12: scale -> integer round ->
+    unscale, bit-identical to Spark (plain ROUND(x, 12) is not)."""
+    return f"CAST(ROUND(({expr}) * {_F}) AS BIGINT) / {_F}"
+
+
+_DOT = _fxp("CAST(x AS DOUBLE) * CAST(y AS DOUBLE)")
+_SQX = _fxp("CAST(x AS DOUBLE) * CAST(x AS DOUBLE)")
+_SQY = _fxp("CAST(y AS DOUBLE) * CAST(y AS DOUBLE)")
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -50,7 +65,7 @@ stats AS (
          {_DOT} AS dotp, {_SQX} AS nx, {_SQY} AS ny
   FROM pairs GROUP BY probe_id, vec_id),
 scored AS (
-  SELECT probe_id, vec_id, ROUND(dotp / (SQRT(nx) * SQRT(ny)), 12) AS cosine
+  SELECT probe_id, vec_id, {_q12("dotp / (SQRT(nx) * SQRT(ny))")} AS cosine
   FROM stats)
 SELECT probe_id, vec_id, cosine FROM scored
 ORDER BY cosine DESC, vec_id ASC
@@ -71,13 +86,21 @@ def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def emb_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
-    norm = F.round(F.sqrt(sim._exact_sq_norm(F.col("embedding"))), 12)
+    norm = sim.quantize12(F.sqrt(sim._exact_sq_norm(F.col("embedding"))))
     per_row = emb.select("label", norm.alias("norm"))
+    # norms are 1e-12-quantized, so the cross-row sum is exact (and
+    # engine-identical) in integer units of the quantum; a decimal cast
+    # of the rounded double would re-round its true binary value and
+    # drift by an ulp per boundary row across engines
+    sum_fx = (
+        F.sum(F.round(F.col("norm") * F.lit(1e12)).cast("long")).cast("double")
+        / F.lit(1e12)
+    )
     return (
         per_row.groupBy("label")
         .agg(
             F.count(F.lit(1)).alias("n_vectors"),
-            F.sum(F.col("norm").cast("decimal(27,12)")).cast("double").alias("sum_norm"),
+            sum_fx.alias("sum_norm"),
             F.min("norm").alias("min_norm"),
             F.max("norm").alias("max_norm"),
         )
@@ -85,15 +108,14 @@ def emb_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-EMB_NORM_SQL = """
+EMB_NORM_SQL = f"""
 WITH per_row AS (
   SELECT label,
-         ROUND(SQRT(CAST(SUM(CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
-                            AS DECIMAL(30,15))) AS DOUBLE)), 12) AS norm
+         {_q12(f'SQRT({_SQX})')} AS norm
   FROM (SELECT label, vec_id, unnest(embedding) AS x FROM embeddings)
   GROUP BY label, vec_id)
 SELECT label, COUNT(*) AS n_vectors,
-       CAST(SUM(CAST(norm AS DECIMAL(27,12))) AS DOUBLE) AS sum_norm,
+       CAST(SUM(CAST(ROUND(norm * {_F}) AS BIGINT)) AS DOUBLE) / {_F} AS sum_norm,
        MIN(norm) AS min_norm, MAX(norm) AS max_norm
 FROM per_row GROUP BY label ORDER BY label
 """
@@ -116,9 +138,9 @@ WITH pairs AS (
 stats AS (
   SELECT id_a, id_b, {_DOT} AS dotp, {_SQX} AS nx, {_SQY} AS ny
   FROM pairs GROUP BY id_a, id_b)
-SELECT id_a, id_b, ROUND(dotp / (SQRT(nx) * SQRT(ny)), 12) AS cosine
+SELECT id_a, id_b, {_q12('dotp / (SQRT(nx) * SQRT(ny))')} AS cosine
 FROM stats
-WHERE ROUND(dotp / (SQRT(nx) * SQRT(ny)), 12) >= 0.4
+WHERE {_q12('dotp / (SQRT(nx) * SQRT(ny))')} >= 0.4
 ORDER BY id_a, id_b
 """
 
@@ -137,9 +159,9 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SPECS = [
-    QuerySpec("sim_cosine_topk", sim_cosine_topk, SIM_TOPK_SQL, "exact brute-force cosine top-k (decimal-exact)"),
+    QuerySpec("sim_cosine_topk", sim_cosine_topk, SIM_TOPK_SQL, "exact brute-force cosine top-k (fixed-point exact)"),
     QuerySpec("sim_lsh_topk", sim_lsh_topk, None, "hyperplane-LSH bucketed ANN + exact re-rank (rows-only)"),
     QuerySpec("sim_ivf_topk", sim_ivf_topk, None, "IVF coarse-quantizer ANN + exact re-rank (rows-only)"),
-    QuerySpec("dedup_embedding_cosine", dedup_embedding_cosine, DEDUP_EMB_SQL, "embedding-cosine near-dup pairs (exact, decimal-stable)"),
+    QuerySpec("dedup_embedding_cosine", dedup_embedding_cosine, DEDUP_EMB_SQL, "embedding-cosine near-dup pairs (exact, fixed-point stable)"),
     QuerySpec("emb_norm_stats", emb_norm_stats, EMB_NORM_SQL, "per-label embedding norm statistics"),
 ]
