@@ -67,6 +67,24 @@ def stream_collect(
     df = df.filter(F.col("tp_timestamp").isNotNull())
     df = with_partition_columns(df)
 
+    # register the table in the manifest BEFORE the stream starts so
+    # list_tables/register_views/schema checks see streaming tables too
+    # (they previously bypassed the catalog; the checkpoint remains the
+    # source of truth for stream progress)
+    from tailpipe_spark.schema import to_type_string
+
+    out_schema = {
+        f.name: to_type_string(f.dataType)
+        for f in df.schema.fields
+        # layout columns stay out of the manifest, matching the batch
+        # path (ensure_table sees the pre-partition-column schema there)
+        if f.name not in ("tp_year", "tp_month")
+    }
+    catalog.ensure_table(table.name, out_schema)
+    catalog.record_snapshot(
+        "stream_start", {"table": table.name, "partition": partition.name}
+    )
+
     checkpoint = f"{catalog.metadata_dir}/checkpoints/{table.name}.{partition.name}"
     w = (
         df.writeStream.format("parquet")

@@ -254,3 +254,29 @@ def test_ngram_jaccard_hot_gram_cap(spark):
     # uncapped, every pair matches via the shared phrase
     uncapped = ngram_jaccard_pairs(df, n=3, threshold=0.1, max_gram_df=None)
     assert uncapped.count() == 30 * 29 // 2
+
+
+def test_lsh_multiprobe_improves_recall(spark):
+    import numpy as np
+
+    from tailpipe_spark.operators.similarity import brute_force_topk, lsh_topk
+
+    rnd = np.random.RandomState(3)
+    vecs = rnd.randn(200, 16).astype("float32")
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(200)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    probe = df.filter(F.col("vec_id") == 0)
+
+    truth = {r["vec_id"] for r in brute_force_topk(df, probe, k=10).collect()}
+
+    def recall(multiprobe):
+        got = {
+            r["vec_id"]
+            for r in lsh_topk(df, probe, k=10, num_planes=16, bands=4,
+                              multiprobe=multiprobe).collect()
+        }
+        return len(got & truth) / len(truth)
+
+    r0, r1 = recall(0), recall(1)
+    assert r1 >= r0  # probe-side bucket expansion can only add candidates
+    assert r1 >= 0.5  # and at this layout it must clear single-probe's floor

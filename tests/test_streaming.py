@@ -73,3 +73,32 @@ def test_session_windows_batch(spark):
     assert len(out) == 2  # two sessions: 10:00-10:10 and 12:00
     ns = sorted(r["n_events"] for r in out)
     assert ns == [1, 2]
+
+
+def test_stream_collect_registers_in_manifest(spark, workspace, tmp_path):
+    import json as _json
+
+    from pyspark.sql import types as T
+
+    from tailpipe_spark.config import PartitionConfig, TableConfig
+    from tailpipe_spark.streaming.collect_stream import stream_collect
+
+    land = tmp_path / "land"
+    land.mkdir()
+    (land / "c0.json").write_text(
+        "\n".join(_json.dumps({"id": i, "tp_timestamp": "2024-05-01T00:00:00"}) for i in range(4))
+    )
+    schema = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("tp_timestamp", T.TimestampType())]
+    )
+    q = stream_collect(
+        spark, workspace, TableConfig(name="stream_t"),
+        PartitionConfig("stream_t", "default"), str(land), schema,
+    )
+    q.awaitTermination(60)
+    # streaming tables appear in the catalog like batch ones
+    assert "stream_t" in workspace.list_tables()
+    assert "tp_timestamp" in workspace.table_schema("stream_t")
+    # and register_views serves them to SQL
+    workspace.register_views(spark)
+    assert spark.sql("select count(*) n from stream_t").collect()[0]["n"] == 4
