@@ -276,7 +276,52 @@ def cmd_connect(args) -> int:
     return 0
 
 
+def _describe_source(src) -> dict | None:
+    if src is None:
+        return None
+    return {
+        "paths": src.paths,
+        "file_layout": src.file_layout,
+        "format": vars(src.format) if src.format else None,
+        "options": src.options,
+    }
+
+
+def _describe_partition(p) -> dict:
+    return {
+        "table": p.table,
+        "name": p.name,
+        "filter": p.filter,
+        "tp_index": p.tp_index,
+        "source": _describe_source(p.source),
+    }
+
+
 def cmd_list(args) -> int:
+    """Introspection verbs (reference: partition/source/format list+show
+    — tests/acceptance/test_files/introspection.bats)."""
+    if args.what in ("partitions", "sources", "formats"):
+        if not args.config:
+            print("error: --config is required to list config blocks", file=sys.stderr)
+            return 2
+        cfg = _load_config(args.config)
+        if args.what == "partitions":
+            out = [_describe_partition(p) for p in cfg["partitions"]]
+        elif args.what == "sources":
+            out = [
+                {"partition": p.qualified_name, **(_describe_source(p.source) or {})}
+                for p in cfg["partitions"]
+                if p.source is not None
+            ]
+        else:
+            from tailpipe_spark.config import FORMAT_PRESETS
+
+            out = {
+                name: vars(f)
+                for name, f in {**FORMAT_PRESETS, **cfg["formats"]}.items()
+            }
+        print(json.dumps(out, indent=1))
+        return 0
     cat = _catalog(args)
     if args.what == "tables":
         out = []
@@ -290,6 +335,54 @@ def cmd_list(args) -> int:
     elif args.what == "snapshots":
         print(json.dumps(cat._load()["snapshots"], indent=1))
     return 0
+
+
+def cmd_show(args) -> int:
+    """`show partition|table|format <name>` → JSON detail (reference:
+    introspection.bats 'partition show displays correct JSON')."""
+    if args.kind == "table" and not args.config:
+        cat = _catalog(args)
+        try:
+            schema = cat.table_schema(args.name)
+        except KeyError:
+            print(f"error: table {args.name!r} not found", file=sys.stderr)
+            return 1
+        stats = cat.file_stats(args.name)
+        print(json.dumps({"table": args.name, "columns": schema, **stats}, indent=1))
+        return 0
+    if not args.config:
+        print("error: --config is required", file=sys.stderr)
+        return 2
+    cfg = _load_config(args.config)
+    if args.kind == "partition":
+        for p in cfg["partitions"]:
+            if p.qualified_name == args.name or p.name == args.name:
+                print(json.dumps(_describe_partition(p), indent=1))
+                return 0
+    elif args.kind == "table":
+        t = cfg["tables"].get(args.name)
+        if t is not None:
+            print(
+                json.dumps(
+                    {
+                        "name": t.name,
+                        "columns": [vars(c) for c in t.columns],
+                        "map_fields": t.map_fields,
+                        "null_if": t.null_if,
+                    },
+                    indent=1,
+                )
+            )
+            return 0
+    else:
+        from tailpipe_spark.config import FORMAT_PRESETS
+
+        f = {**FORMAT_PRESETS, **cfg["formats"]}.get(args.name)
+        if f is not None:
+            print(json.dumps(vars(f), indent=1))
+            return 0
+    print(f"error: {args.kind} {args.name!r} not found", file=sys.stderr)
+    return 1
 
 
 def cmd_migrate(args) -> int:
@@ -360,8 +453,17 @@ def main(argv: list[str] | None = None) -> int:
     n.set_defaults(fn=cmd_connect)
 
     ls = sub.add_parser("list")
-    ls.add_argument("what", choices=["tables", "snapshots"])
+    ls.add_argument(
+        "what", choices=["tables", "snapshots", "partitions", "sources", "formats"]
+    )
+    ls.add_argument("--config")
     ls.set_defaults(fn=cmd_list)
+
+    sh = sub.add_parser("show", help="JSON detail for one config block or table")
+    sh.add_argument("kind", choices=["partition", "table", "format"])
+    sh.add_argument("name")
+    sh.add_argument("--config")
+    sh.set_defaults(fn=cmd_show)
 
     mg = sub.add_parser("migrate", help="copy a legacy parquet dir into the workspace layout")
     mg.add_argument("legacy_path")

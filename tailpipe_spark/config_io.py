@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 
 from tailpipe_spark.config import (
     ColumnConfig,
@@ -88,6 +89,18 @@ def _source_from_block(b: HclBlock, default_format: FormatConfig | None) -> Sour
     )
 
 
+_NAME_RE = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
+
+
+def _check_name(kind: str, name: str) -> str:
+    """Block labels must be bare identifiers (reference rejects e.g.
+    'verify partition with invalid table name format' —
+    partition_tests.bats)."""
+    if not _NAME_RE.match(name):
+        raise ConfigValidationError(f"invalid {kind} name {name!r}")
+    return name
+
+
 def load_hcl_text(text: str) -> dict:
     """Parse HCL config text → {'tables', 'partitions', 'formats'}."""
     root = parse_hcl(text)
@@ -104,14 +117,23 @@ def load_hcl_text(text: str) -> dict:
     table_formats: dict[str, FormatConfig | None] = {}
     for tb in root.find("table"):
         tcfg, tfmt = _table_from_block(tb)
+        _check_name("table", tcfg.name)
+        if tcfg.name in tables:
+            raise ConfigValidationError(f"duplicate table {tcfg.name!r}")
         tables[tcfg.name] = tcfg
         table_formats[tcfg.name] = tfmt
 
     partitions: list[PartitionConfig] = []
+    seen_parts: set[str] = set()
     for pb in root.find("partition"):
         if len(pb.labels) != 2:
             raise ConfigValidationError("partition block needs table and name labels")
         table, name = pb.labels
+        _check_name("table", table)
+        _check_name("partition", name)
+        if f"{table}.{name}" in seen_parts:
+            raise ConfigValidationError(f"duplicate partition {table}.{name}")
+        seen_parts.add(f"{table}.{name}")
         srcs = pb.find("source")
         src = (
             _source_from_block(srcs[0], table_formats.get(table))
@@ -156,6 +178,17 @@ def load_config(path: str) -> dict:
             if not name.endswith((".tpc", ".hcl", ".json")):
                 continue
             part = load_config(os.path.join(path, name))
+            dup_t = set(part["tables"]) & set(merged["tables"])
+            if dup_t:
+                raise ConfigValidationError(
+                    f"duplicate table(s) across config files: {sorted(dup_t)}"
+                )
+            have = {p.qualified_name for p in merged["partitions"]}
+            for p in part["partitions"]:
+                if p.qualified_name in have:
+                    raise ConfigValidationError(
+                        f"duplicate partition {p.qualified_name} across config files"
+                    )
             merged["tables"].update(part["tables"])
             merged["partitions"].extend(part["partitions"])
             merged["formats"].update(part["formats"])

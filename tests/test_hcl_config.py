@@ -247,3 +247,58 @@ partition "aws_logs" "prod" {
     from tailpipe_spark.sources.file_source import FileSource
 
     assert FileSource(src).needs_spark()
+
+
+def test_duplicate_partition_and_bad_names_rejected(tmp_path):
+    with pytest.raises(ConfigValidationError, match="duplicate partition"):
+        load_hcl_text(
+            'partition "t" "p" { filter = "a > 1" }\n'
+            'partition "t" "p" { filter = "a > 2" }'
+        )
+    with pytest.raises(ConfigValidationError, match="invalid table name"):
+        load_hcl_text('partition "bad.name" "p" { filter = "a > 1" }')
+    (tmp_path / "a.tpc").write_text('partition "t" "p" { filter = "a > 1" }')
+    (tmp_path / "b.tpc").write_text('partition "t" "p" { filter = "a > 2" }')
+    with pytest.raises(ConfigValidationError, match="across config files"):
+        load_config(str(tmp_path))
+
+
+def test_cli_introspection_verbs(tmp_path, capsys):
+    from tailpipe_spark import cli
+
+    tpc = tmp_path / "conf.tpc"
+    tpc.write_text(
+        """
+format "delimited" "semi" { delimiter = ";" }
+table "web" { column "tp_timestamp" { type = "timestamp" } }
+partition "web" "prod" {
+  filter = "status < 600"
+  source "file" { format = format.delimited.semi paths = ["/logs/"] }
+}
+"""
+    )
+    ws = str(tmp_path / "ws")
+
+    assert cli.main(["--workspace", ws, "list", "partitions", "--config", str(tpc)]) == 0
+    parts = json.loads(capsys.readouterr().out)
+    assert parts[0]["table"] == "web" and parts[0]["name"] == "prod"
+    assert parts[0]["source"]["format"]["delimiter"] == ";"
+
+    assert cli.main(["--workspace", ws, "list", "formats", "--config", str(tpc)]) == 0
+    fmts = json.loads(capsys.readouterr().out)
+    assert "delimited.semi" in fmts and "jsonl.default" in fmts
+
+    assert cli.main(["--workspace", ws, "show", "partition", "web.prod",
+                     "--config", str(tpc)]) == 0
+    shown = json.loads(capsys.readouterr().out)
+    assert shown["filter"] == "status < 600"
+
+    assert cli.main(["--workspace", ws, "show", "table", "web",
+                     "--config", str(tpc)]) == 0
+    t = json.loads(capsys.readouterr().out)
+    assert t["columns"][0]["name"] == "tp_timestamp"
+
+    assert cli.main(["--workspace", ws, "show", "format", "grok.syslog",
+                     "--config", str(tpc)]) == 0
+    g = json.loads(capsys.readouterr().out)
+    assert g["type"] == "grok"
