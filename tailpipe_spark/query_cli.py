@@ -93,4 +93,18 @@ def apply_query_filters(
     ):
         if cond is not None:
             df = df.filter(cond)
+    # derive the implied (tp_year, tp_month) bounds so Catalyst prunes
+    # partition DIRECTORIES, not just rows — without this a --from/--to
+    # query scans every month of the table (plans/pruning.py rationale)
+    if (time_from or time_to) and {"tp_year", "tp_month"}.issubset(df.columns):
+        from tailpipe_spark.plans.pruning import time_range_to_partition_predicate
+
+        part = time_range_to_partition_predicate(
+            parse_time(time_from, now) if time_from else None,
+            parse_time(time_to, now) if time_to else None,
+        )
+        if part is not None:
+            # null tp_year rows (null-timestamp hive default partition)
+            # stay, mirroring the row filter's null-keep lower bound
+            df = df.filter(F.col("tp_year").isNull() | part)
     return df

@@ -125,3 +125,39 @@ def test_cte_subquery_is_one_lazy_plan(spark, monkeypatch):
     df = q_cte_subquery(spark, "/root/testdata/sf0.001")
     monkeypatch.undo()
     assert df.count() > 0
+
+
+def test_query_time_filter_prunes_partition_dirs(spark, workspace, tmp_path):
+    """--from/--to must reach the scan as PartitionFilters on
+    (tp_year, tp_month): directory pruning, not just row filtering."""
+    import json as _json
+
+    from tailpipe_spark.collect import collect
+    from tailpipe_spark.config import ColumnConfig, PartitionConfig, TableConfig
+    from tailpipe_spark.query_cli import apply_query_filters
+    from tailpipe_spark.sources.formats import read_jsonl
+
+    rows = [
+        {"id": i, "time": f"2024-{m:02d}-15T00:00:00"}
+        for i, m in enumerate([1, 2, 3, 4, 5, 6])
+    ]
+    p = tmp_path / "c.jsonl"
+    p.write_text("\n".join(_json.dumps(r) for r in rows))
+    table = TableConfig(
+        name="pruned_t",
+        columns=[
+            ColumnConfig(name="id", type="bigint"),
+            ColumnConfig(name="tp_timestamp", type="timestamp", source="time"),
+        ],
+        map_fields=[],
+    )
+    collect(spark, workspace, table, PartitionConfig("pruned_t", "default"),
+            source_df=read_jsonl(spark, [str(p)]))
+
+    df = workspace.read_table(spark, "pruned_t")
+    filtered = apply_query_filters(
+        df, time_from="2024-03-01T00:00:00", time_to="2024-04-30T00:00:00"
+    )
+    assert filtered.count() == 2  # March + April rows only
+    plan = filtered._jdf.queryExecution().executedPlan().toString()
+    assert "tp_year" in plan.split("PartitionFilters")[1][:400]
