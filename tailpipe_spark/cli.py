@@ -208,14 +208,16 @@ def cmd_collect(args) -> int:
         print(f"error: config file not found: {args.config}", file=sys.stderr)
         return 2
     cfg = _load_config(args.config)
-    from tailpipe_spark.config import match_partitions
+    from tailpipe_spark.config import TableConfig, match_partitions
     from tailpipe_spark.collect import collect
     from tailpipe_spark.query_cli import parse_time
 
     partitions = {p.qualified_name: p for p in cfg["partitions"]}
     matched = match_partitions(args.patterns, partitions)
     for part in matched:
-        table = cfg["tables"][part.table]
+        # a partition may reference a table with no table block (the
+        # reference's plugin-defined tables): auto-map all source fields
+        table = cfg["tables"].get(part.table) or TableConfig(name=part.table)
         res = collect(
             spark,
             cat,

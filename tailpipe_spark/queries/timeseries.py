@@ -9,7 +9,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from tailpipe_spark.functions.exact import dsum, oracle_dsum
+from tailpipe_spark.functions.exact import dsum, dwindow_sum, oracle_dsum
 from tailpipe_spark.operators.asof import asof_join
 from tailpipe_spark.operators.range_join import range_join_time
 from tailpipe_spark.operators.sessionize import session_stats
@@ -42,12 +42,8 @@ def q_window_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))).alias(
             "gap_us"
         ),
-        F.sum(F.col("value").cast("decimal(27,6)")).over(wsum).cast("double").alias(
-            "running_value"
-        ),
-        F.sum(F.col("value").cast("decimal(27,6)")).over(wmove).cast("double").alias(
-            "moving5_value"
-        ),
+        dwindow_sum("value", wsum).alias("running_value"),
+        dwindow_sum("value", wmove).alias("moving5_value"),
     ).orderBy("user_id", "rn")
 
 
