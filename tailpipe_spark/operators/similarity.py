@@ -107,12 +107,17 @@ def brute_force_topk(
     )
 
 
+#: auto mode flips to LSH above this corpus size: n² pairs at 20k is
+#: 2e8 comparisons — the practical ceiling for the exact baseline
+AUTO_LSH_THRESHOLD = 20_000
+
+
 def cosine_pairs_threshold(
     vectors: DataFrame,
     threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    use_lsh: bool = False,
+    use_lsh: bool | None = None,
     num_planes: int = 16,
     bands: int = 4,
 ) -> DataFrame:
@@ -120,10 +125,15 @@ def cosine_pairs_threshold(
     id_a < id_b and cosine >= threshold.
 
     ``use_lsh=False`` is the exact baseline (all pairs — O(n²) compare,
-    only viable to ~10^5 vectors). ``use_lsh=True`` restricts the
+    only viable to ~10^4-10^5 vectors). ``use_lsh=True`` restricts the
     pairwise work to LSH-bucket collisions (the 100 TB path; recall
     bounded by the band layout, re-ranking is exact either way).
+    The default (None) counts the corpus and picks: exact below
+    ``AUTO_LSH_THRESHOLD`` vectors, LSH above — an all-pairs default
+    must not silently go quadratic on a large corpus.
     """
+    if use_lsh is None:
+        use_lsh = vectors.count() > AUTO_LSH_THRESHOLD
     # Per-vector norms computed ONCE (tiny per-row fold); pairwise dot
     # products are per-pair fixed-point folds — no explode, no shuffle:
     # the pair row count is the only cost driver.

@@ -127,7 +127,11 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tailpipe_spark.operators.similarity import cosine_pairs_threshold
 
     emb = _emb(spark, sf_dir)
-    return cosine_pairs_threshold(emb, threshold=0.4).orderBy("id_a", "id_b")
+    # pinned exact: the oracle replays all pairs; the operator's default
+    # auto-flips to LSH above AUTO_LSH_THRESHOLD vectors
+    return cosine_pairs_threshold(emb, threshold=0.4, use_lsh=False).orderBy(
+        "id_a", "id_b"
+    )
 
 
 DEDUP_EMB_SQL = f"""

@@ -280,3 +280,22 @@ def test_lsh_multiprobe_improves_recall(spark):
     r0, r1 = recall(0), recall(1)
     assert r1 >= r0  # probe-side bucket expansion can only add candidates
     assert r1 >= 0.5  # and at this layout it must clear single-probe's floor
+
+
+def test_cosine_pairs_auto_flips_to_lsh(spark, monkeypatch):
+    import numpy as np
+
+    from tailpipe_spark.operators import similarity as sim
+
+    rnd = np.random.RandomState(5)
+    vecs = rnd.randn(40, 8).astype("float32")
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(40)],
+        ["vec_id", "embedding"],
+    )
+    monkeypatch.setattr(sim, "AUTO_LSH_THRESHOLD", 10)
+    auto = sim.cosine_pairs_threshold(df, threshold=0.5)  # 40 > 10 -> LSH
+    exact = sim.cosine_pairs_threshold(df, threshold=0.5, use_lsh=False)
+    got_auto = {(r["id_a"], r["id_b"]) for r in auto.collect()}
+    got_exact = {(r["id_a"], r["id_b"]) for r in exact.collect()}
+    assert got_auto <= got_exact  # LSH candidates are a subset of all pairs
