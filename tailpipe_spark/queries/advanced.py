@@ -470,6 +470,50 @@ def sec_entropy_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- exact percentiles / median (§2.b ordered-set aggregates) ---
+
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (Spark `percentile` ==
+    DuckDB `quantile_cont`). Values quantize to a 1e-9 grid: both
+    engines interpolate (1-f)*lo + f*hi in doubles, identical to ~1e-14,
+    and the shared grid makes the comparison engine-exact."""
+    e = _t(spark, sf_dir, "events")
+
+    def pq(p, alias):
+        v = F.expr(f"percentile(value, {p})")
+        return (
+            (F.round(v * F.lit(1e9)).cast("long").cast("double") / F.lit(1e9))
+            .alias(alias)
+        )
+
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            pq(0.5, "median_value"),
+            pq(0.9, "p90_value"),
+            pq(0.99, "p99_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def _pq_sql(p: str, alias: str) -> str:
+    return (
+        f"CAST(ROUND(quantile_cont(value, {p}) * 1000000000) AS BIGINT)"
+        f" / 1000000000 AS {alias}"
+    )
+
+
+Q_PERCENTILES_SQL = f"""
+SELECT event_type, COUNT(*) AS n,
+       {_pq_sql('0.5', 'median_value')},
+       {_pq_sql('0.9', 'p90_value')},
+       {_pq_sql('0.99', 'p99_value')}
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
 # --- array explode / positional access (§2.b array-struct surface) ---
 
 def q_array_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -513,6 +557,7 @@ SPECS = [
     QuerySpec("sec_error_burst", sec_error_burst, SEC_BURST_SQL, "threat detection: sliding-window burst detector"),
     QuerySpec("sec_entropy_scan", sec_entropy_scan, None, "threat detection: Shannon entropy scoring (rows-only)"),
     QuerySpec("q_skew_two_phase_agg", q_skew_two_phase_agg, Q_SKEW_AGG_SQL, "salted two-phase agg == plain GROUP BY (skew operator equivalence)"),
+    QuerySpec("q_percentiles", q_percentiles, Q_PERCENTILES_SQL, "exact interpolated percentiles / median per group (quantized grid)"),
     QuerySpec("q_pivot", q_pivot, Q_PIVOT_SQL, "pivot / wide CASE aggregation"),
     QuerySpec("q_set_ops_all", q_set_ops_all, Q_SET_OPS_ALL_SQL, "EXCEPT ALL / INTERSECT ALL multiset semantics"),
     QuerySpec("q_ilike", q_ilike, Q_ILIKE_SQL, "case-insensitive LIKE"),

@@ -299,3 +299,62 @@ def test_cosine_pairs_auto_flips_to_lsh(spark, monkeypatch):
     got_auto = {(r["id_a"], r["id_b"]) for r in auto.collect()}
     got_exact = {(r["id_a"], r["id_b"]) for r in exact.collect()}
     assert got_auto <= got_exact  # LSH candidates are a subset of all pairs
+
+
+def test_asof_join_matches_pandas_merge_asof(spark):
+    """Property test: asof_join == pandas.merge_asof on random inputs,
+    both directions x exact-match toggles (the reference semantics)."""
+    import pandas as pd
+    from hypothesis import given, settings, strategies as st
+
+    times = st.integers(min_value=0, max_value=500)
+    keys = st.integers(min_value=1, max_value=3)
+
+    @settings(max_examples=6, deadline=None)
+    @given(
+        left=st.lists(st.tuples(keys, times), min_size=1, max_size=12),
+        right=st.lists(st.tuples(keys, times), min_size=1, max_size=12),
+        direction=st.sampled_from(["backward", "forward"]),
+        exact=st.booleans(),
+    )
+    def check(left, right, direction, exact):
+        ldf = spark.createDataFrame(
+            [(k, ts(t), i) for i, (k, t) in enumerate(left)], ["k", "t", "lid"]
+        )
+        rdf = spark.createDataFrame(
+            [(k, ts(t), float(i)) for i, (k, t) in enumerate(right)],
+            ["k", "qt", "rv"],
+        )
+        got = {
+            r["lid"]: r["rv"]
+            for r in asof_join(
+                ldf, rdf, on="k", left_time="t", right_time="qt",
+                value_cols=["rv"], direction=direction,
+                allow_exact_matches=exact,
+            ).collect()
+        }
+        lp = pd.DataFrame(
+            [(k, ts(t), i) for i, (k, t) in enumerate(left)],
+            columns=["k", "t", "lid"],
+        ).sort_values("t", kind="stable")
+        rp = pd.DataFrame(
+            [(k, ts(t), float(i)) for i, (k, t) in enumerate(right)],
+            columns=["k", "qt", "rv"],
+        ).sort_values("qt", kind="stable")
+        want_df = pd.merge_asof(
+            lp, rp, left_on="t", right_on="qt", by="k",
+            direction=direction, allow_exact_matches=exact,
+        )
+        want = {
+            int(r.lid): (None if pd.isna(r.rv) else float(r.rv))
+            for r in want_df.itertuples()
+        }
+        # tie-break freedom: when several right rows share the matched
+        # timestamp, engines may pick different rv — compare the matched
+        # TIMESTAMP by mapping rv back to qt
+        rv_to_qt = {float(i): ts(t) for i, (k, t) in enumerate(right)}
+        got_t = {lid: rv_to_qt.get(v) for lid, v in got.items()}
+        want_t = {lid: rv_to_qt.get(v) for lid, v in want.items()}
+        assert got_t == want_t
+
+    check()
