@@ -218,15 +218,25 @@ def cmd_collect(args) -> int:
         # a partition may reference a table with no table block (the
         # reference's plugin-defined tables): auto-map all source fields
         table = cfg["tables"].get(part.table) or TableConfig(name=part.table)
-        res = collect(
+
+        # OOM-shaped failures retry with smaller work units (A39 — the
+        # reference shrinks the conversion chunk on DuckDB OOM). Safe to
+        # re-run: a failed append commits nothing and state persists
+        # only on success.
+        from tailpipe_spark.repair import run_with_oom_retry
+
+        res = run_with_oom_retry(
             spark,
-            cat,
-            table,
-            part,
-            time_from=parse_time(args.time_from) if args.time_from else None,
-            time_to=parse_time(args.time_to) if args.time_to else None,
-            overwrite=args.overwrite,
-            timestamp_source=args.timestamp_source,
+            lambda: collect(
+                spark,
+                cat,
+                table,
+                part,
+                time_from=parse_time(args.time_from) if args.time_from else None,
+                time_to=parse_time(args.time_to) if args.time_to else None,
+                overwrite=args.overwrite,
+                timestamp_source=args.timestamp_source,
+            ),
         )
         print(
             f"collected {part.qualified_name}: {res.rows_written} rows "

@@ -55,6 +55,75 @@ def enable_corrupt_file_tolerance(spark) -> None:
     spark.conf.set("spark.sql.files.ignoreCorruptFiles", "true")
 
 
+_OOM_MARKERS = (
+    "java.lang.OutOfMemoryError",
+    "GC overhead limit exceeded",
+    "Not enough memory to build and broadcast",
+    "Total memory usage during row decode exceeds",
+    "SparkOutOfMemoryError",
+    "Unable to acquire",  # TaskMemoryManager page acquisition
+)
+
+
+def classify_engine_error(err: BaseException) -> str:
+    """Error taxonomy for operational handling — the Spark analog of the
+    reference's typed DuckDB errors (invalid parquet, OOM —
+    internal/database/convertor_convert.go:268-275, duck_db_error.go):
+    'oom' | 'corrupt_parquet' | 'missing_table' | 'unknown'."""
+    msg = str(err)
+    if any(m in msg for m in _OOM_MARKERS):
+        return "oom"
+    if any(m in msg for m in _CORRUPT_MARKERS):
+        return "corrupt_parquet"
+    if "TABLE_OR_VIEW_NOT_FOUND" in msg:
+        return "missing_table"
+    return "unknown"
+
+
+_SIZE_SUFFIX = {"b": 1, "k": 1 << 10, "m": 1 << 20, "g": 1 << 30}
+
+
+def _parse_bytes(v: str) -> int:
+    v = v.strip().lower()
+    for suf, mult in _SIZE_SUFFIX.items():
+        if v.endswith(suf):
+            return int(v[: -len(suf)]) * mult
+    return int(v)
+
+
+def run_with_oom_retry(spark, action, max_retries: int = 2):
+    """Run ``action()``; on an OOM-shaped failure, retry with smaller
+    units of work — halve ``files.maxPartitionBytes`` and double
+    ``shuffle.partitions`` per attempt (the reference reacts to DuckDB
+    conversion OOM by shrinking the conversion chunk; Spark's lever is
+    task granularity). Conf is restored afterwards."""
+    saved = {
+        k: spark.conf.get(k)
+        for k in ("spark.sql.files.maxPartitionBytes", "spark.sql.shuffle.partitions")
+    }
+    try:
+        for attempt in range(max_retries + 1):
+            try:
+                return action()
+            except Exception as e:  # noqa: BLE001 — inspect then re-raise
+                if attempt >= max_retries or classify_engine_error(e) != "oom":
+                    raise
+                cur_bytes = _parse_bytes(
+                    spark.conf.get("spark.sql.files.maxPartitionBytes")
+                )
+                cur_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+                spark.conf.set(
+                    "spark.sql.files.maxPartitionBytes",
+                    str(max(1 << 20, cur_bytes // 2)),
+                )
+                spark.conf.set(
+                    "spark.sql.shuffle.partitions", str(min(10000, cur_parts * 2))
+                )
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+
+
 _CORRUPT_MARKERS = (
     "is not a Parquet file",
     "Could not read footer",

@@ -132,3 +132,50 @@ def test_retry_gives_up_when_nothing_to_quarantine(workspace):
 
     with pytest.raises(Boom):
         run_with_quarantine_retry(workspace, [], action)
+
+
+def test_classify_engine_error():
+    from tailpipe_spark.repair import classify_engine_error
+
+    assert classify_engine_error(Exception("java.lang.OutOfMemoryError: heap")) == "oom"
+    assert classify_engine_error(
+        Exception("FAILED_READ_FILE ... is not a Parquet file")
+    ) == "corrupt_parquet"
+    assert classify_engine_error(
+        Exception("[TABLE_OR_VIEW_NOT_FOUND] t missing")
+    ) == "missing_table"
+    assert classify_engine_error(Exception("boom")) == "unknown"
+
+
+def test_oom_retry_shrinks_work_units_then_restores(spark):
+    from tailpipe_spark.repair import run_with_oom_retry
+
+    before_bytes = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    before_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    seen = []
+
+    def action():
+        seen.append(
+            (spark.conf.get("spark.sql.files.maxPartitionBytes"),
+             spark.conf.get("spark.sql.shuffle.partitions"))
+        )
+        if len(seen) == 1:
+            raise Exception("SparkOutOfMemoryError: Unable to acquire 65536 bytes")
+        return "done"
+
+    assert run_with_oom_retry(spark, action) == "done"
+    assert len(seen) == 2
+    # retry ran with smaller scan units and more reducers
+    assert int(seen[1][1]) == 2 * int(seen[0][1])
+    # conf restored afterwards
+    assert spark.conf.get("spark.sql.files.maxPartitionBytes") == before_bytes
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before_parts
+
+
+def test_oom_retry_reraises_other_errors(spark):
+    import pytest
+
+    from tailpipe_spark.repair import run_with_oom_retry
+
+    with pytest.raises(ValueError, match="nope"):
+        run_with_oom_retry(spark, lambda: (_ for _ in ()).throw(ValueError("nope")))
