@@ -102,3 +102,46 @@ def test_stream_collect_registers_in_manifest(spark, workspace, tmp_path):
     # and register_views serves them to SQL
     workspace.register_views(spark)
     assert spark.sql("select count(*) n from stream_t").collect()[0]["n"] == 4
+
+
+def test_dedup_stream_with_ttl(spark, tmp_path):
+    """Custom stateful operator (applyInPandasWithState): first event
+    per key passes, repeats within the TTL are suppressed, a key quiet
+    past the TTL passes again."""
+    import json as _json
+
+    from pyspark.sql import types as T
+
+    from tailpipe_spark.streaming.stateful import dedup_stream_with_ttl
+
+    land = tmp_path / "land"
+    land.mkdir()
+    rows = [
+        {"k": "a", "tp_timestamp": "2024-05-01T00:00:00"},
+        {"k": "a", "tp_timestamp": "2024-05-01T00:10:00"},  # dup within 1h
+        {"k": "b", "tp_timestamp": "2024-05-01T00:05:00"},
+        {"k": "a", "tp_timestamp": "2024-05-01T02:00:00"},  # quiet >1h: passes
+    ]
+    (land / "c0.json").write_text("\n".join(_json.dumps(r) for r in rows))
+    schema = T.StructType(
+        [T.StructField("k", T.StringType()),
+         T.StructField("tp_timestamp", T.TimestampType())]
+    )
+    src = spark.readStream.schema(schema).json(str(land))
+    out = dedup_stream_with_ttl(src, "k", ttl_seconds=3600)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dedup_ttl_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        (r["k"], str(r["tp_timestamp"])) for r in spark.table("dedup_ttl_out").collect()
+    )
+    assert got == [
+        ("a", "2024-05-01 00:00:00"),
+        ("a", "2024-05-01 02:00:00"),
+        ("b", "2024-05-01 00:05:00"),
+    ]
