@@ -126,6 +126,34 @@ def resize_images(assets: DataFrame, width: int, height: int) -> DataFrame:
     )
 
 
+def resample_audio(assets: DataFrame, sample_rate: int) -> DataFrame:
+    """Audio resample plumbing: filters to audio, rewrites sample_rate
+    metadata, passes payloads through the (stubbed) kernel batch-wise —
+    same Arrow shape as :func:`resize_images`; swap the body for a
+    torchaudio/ffmpeg call in production."""
+
+    out_schema = T.StructType(list(ASSET_SCHEMA.fields))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["meta"] = [
+                {
+                    "width": None,
+                    "height": None,
+                    "duration_ms": (m or {}).get("duration_ms"),
+                    "sample_rate": sample_rate,
+                }
+                for m in pdf["meta"]
+            ]
+            yield pdf
+
+    return (
+        assets.filter(F.col("modality") == "audio")
+        .mapInPandas(run, schema=out_schema)
+    )
+
+
 def sample_frames(assets: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video → frame rows (one row per sampled frame). The explode is
     computed from metadata JVM-side; frame decode itself is the stub."""

@@ -38,3 +38,14 @@ def test_sample_frames(spark):
     out = sample_frames(_assets(spark), every_ms=1000).collect()
     # 3500ms video at 1000ms cadence → 3 frames (0,1000,2000)
     assert [r["frame_ts_ms"] for r in sorted(out, key=lambda r: r["frame_no"])] == [0, 1000, 2000]
+
+
+def test_resample_audio_only_audio(spark):
+    from tailpipe_spark.operators.multimodal import resample_audio
+
+    out = resample_audio(_assets(spark), 8000).collect()
+    assert len(out) == 1
+    assert out[0]["asset_id"] == 2
+    assert out[0]["meta"]["sample_rate"] == 8000
+    assert out[0]["meta"]["duration_ms"] == 2500  # preserved
+    assert out[0]["payload"] is not None
