@@ -65,6 +65,13 @@ def build_session(
         # row-group time skipping silently stop working. Micros int64
         # stats make time-range scans prune inside month partitions.
         .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+        # zstd: ~30% smaller files than snappy at similar decode speed —
+        # at 100 TB the scan is IO-bound, so ratio wins
+        .config("spark.sql.parquet.compression.codec", "zstd")
+        # cap rows per written file (the reference chunks conversion at
+        # 5M rows — internal/database/compact.go:16-19); bounds both
+        # file sizes and the memory of any single write task
+        .config("spark.sql.files.maxRecordsPerFile", "5000000")
         .config("spark.sql.parquet.aggregatePushdown", "true")
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")
