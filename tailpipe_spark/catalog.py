@@ -80,9 +80,23 @@ class Catalog:
         os.makedirs(d)
         return d
 
-    def cleanup_staging(self) -> None:
-        if os.path.isdir(self.staging_dir):
-            shutil.rmtree(self.staging_dir, ignore_errors=True)
+    #: staging dirs older than this are crash droppings; younger ones
+    #: may belong to a live rewrite in another process (a `query` must
+    #: not sweep the staging of a concurrent `compact`)
+    STAGING_TTL_SECONDS = 24 * 3600
+
+    def cleanup_staging(self, ttl_seconds: int | None = None) -> None:
+        ttl = self.STAGING_TTL_SECONDS if ttl_seconds is None else ttl_seconds
+        if not os.path.isdir(self.staging_dir):
+            return
+        cutoff = time.time() - ttl
+        for name in os.listdir(self.staging_dir):
+            p = os.path.join(self.staging_dir, name)
+            try:
+                if os.path.getmtime(p) < cutoff:
+                    shutil.rmtree(p, ignore_errors=True)
+            except OSError:
+                continue
 
     # --- manifest ---
     def _load(self) -> dict:

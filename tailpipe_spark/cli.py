@@ -137,49 +137,62 @@ def cmd_query(args) -> int:
     spark = _build_spark()
     cat = _catalog(args)
     from tailpipe_spark.query_cli import apply_query_filters
+    from tailpipe_spark.repair import is_corrupt_parquet_error, quarantine_invalid_files
 
-    for t in cat.list_tables():
-        df = cat.read_table(spark, t)
-        df = apply_query_filters(
-            df,
-            time_from=args.time_from,
-            time_to=args.time_to,
-            index_patterns=args.index,
-            partition_patterns=args.partition,
-        )
-        df.drop("tp_year", "tp_month").createOrReplaceTempView(t)
-    try:
-        result = spark.sql(args.sql)
-    except Exception as e:  # noqa: BLE001
-        msg = str(e)
-        if "TABLE_OR_VIEW_NOT_FOUND" in msg:
-            # reference rewrites missing-table errors (execute.go:125-144)
-            print(
-                "Error: no data has been collected for this table yet "
-                f"(underlying: {msg.splitlines()[0]})",
-                file=sys.stderr,
-            )
-            return 1
-        raise
-    if args.explain:
-        result.explain(mode="formatted")
-        return 0
-
-    def emit() -> None:
-        end = "" if args.output == "json" else "\n"
-        for chunk in render_stream(
-            result, args.output, header=not args.no_header, separator=args.separator
-        ):
-            print(chunk, end=end, flush=True)
-        if args.output == "json":
-            print()
-
-    # invalid-parquet files are quarantined and the query retried, like
-    # the reference's error-retry loop (duck_db_error.go:25-80)
-    from tailpipe_spark.repair import run_with_quarantine_retry
-
-    run_with_quarantine_retry(cat, cat.list_tables(), emit)
-    return 0
+    # Invalid-parquet files are quarantined and the query retried, like
+    # the reference's error-retry loop (duck_db_error.go:25-80). Each
+    # attempt rebuilds the views AND the plan — a retried DataFrame
+    # would still carry the pre-quarantine file listing — and a retry is
+    # only attempted while nothing has been printed yet (a streamed
+    # partial page must never be emitted twice).
+    attempts = 0
+    while True:
+        emitted = False
+        try:
+            # registration reads footers too — keep it inside the retry
+            for t in cat.list_tables():
+                df = cat.read_table(spark, t)
+                df = apply_query_filters(
+                    df,
+                    time_from=args.time_from,
+                    time_to=args.time_to,
+                    index_patterns=args.index,
+                    partition_patterns=args.partition,
+                )
+                df.drop("tp_year", "tp_month").createOrReplaceTempView(t)
+            result = spark.sql(args.sql)
+            if args.explain:
+                result.explain(mode="formatted")
+                return 0
+            end = "" if args.output == "json" else "\n"
+            for chunk in render_stream(
+                result, args.output,
+                header=not args.no_header, separator=args.separator,
+            ):
+                emitted = True
+                print(chunk, end=end, flush=True)
+            if args.output == "json":
+                print()
+            return 0
+        except Exception as e:  # noqa: BLE001
+            msg = str(e)
+            if "TABLE_OR_VIEW_NOT_FOUND" in msg:
+                # reference rewrites missing-table errors (execute.go:125-144)
+                print(
+                    "Error: no data has been collected for this table yet "
+                    f"(underlying: {msg.splitlines()[0]})",
+                    file=sys.stderr,
+                )
+                return 1
+            if emitted or attempts >= 3 or not is_corrupt_parquet_error(e):
+                raise
+            moved = [
+                p for t in cat.list_tables()
+                for p in quarantine_invalid_files(cat, t)
+            ]
+            if not moved:
+                raise  # nothing to remove: a retry cannot make progress
+            attempts += 1
 
 
 def cmd_collect(args) -> int:

@@ -54,23 +54,28 @@ def _exact_sq_norm(a):
     return s.cast("double") / F.lit(_FXP)
 
 
-def quantize12(col):
-    """Quantize a double to the 1e-12 grid via scale → integer round →
-    unscale. Unlike ROUND(x, 12) — whose decimal conversion differs
-    between engines by an ulp on boundary values — every step here
-    (IEEE multiply, round-half-away at scale 0, long, divide) is
+def quantize(col, digits: int = 12):
+    """Quantize a double to the 10^-digits grid via scale → integer
+    round → unscale. Unlike ROUND(x, digits) — whose decimal conversion
+    differs between engines by an ulp on boundary values — every step
+    here (IEEE multiply, round-half-away at scale 0, long, divide) is
     bit-identical across engines."""
-    return F.round(col * F.lit(_FXP)).cast("long").cast("double") / F.lit(_FXP)
+    f = F.lit(float(10 ** digits))
+    return F.round(col * f).cast("long").cast("double") / f
+
+
+def quantize12(col):
+    return quantize(col, 12)
 
 
 def exact_cosine(a, b, round_digits: int | None = 12):
     """Deterministic cosine similarity between two array columns,
-    quantized to the 1e-12 grid for cross-engine comparability (the
-    fixed-point folds are bit-identical everywhere; sqrt/division are
-    IEEE-identical; quantize12 keeps the final value engine-portable).
-    """
+    quantized to the 10^-round_digits grid for cross-engine
+    comparability (the fixed-point folds are bit-identical everywhere;
+    sqrt/division are IEEE-identical; quantization keeps the final
+    value engine-portable). None skips quantization."""
     c = _exact_dot(a, b) / (F.sqrt(_exact_sq_norm(a)) * F.sqrt(_exact_sq_norm(b)))
-    return quantize12(c) if round_digits is not None else c
+    return quantize(c, round_digits) if round_digits is not None else c
 
 
 def brute_force_topk(

@@ -15,6 +15,7 @@ internal/database/duck_db_error.go:25-80). Spark-side the equivalent is:
 from __future__ import annotations
 
 import os
+import re
 
 from tailpipe_spark.catalog import Catalog
 
@@ -80,15 +81,17 @@ def classify_engine_error(err: BaseException) -> str:
     return "unknown"
 
 
-_SIZE_SUFFIX = {"b": 1, "k": 1 << 10, "m": 1 << 20, "g": 1 << 30}
+_SIZE_SUFFIX = {"": 1, "b": 1, "k": 1 << 10, "kb": 1 << 10, "m": 1 << 20,
+                "mb": 1 << 20, "g": 1 << 30, "gb": 1 << 30, "t": 1 << 40,
+                "tb": 1 << 40}
 
 
 def _parse_bytes(v: str) -> int:
-    v = v.strip().lower()
-    for suf, mult in _SIZE_SUFFIX.items():
-        if v.endswith(suf):
-            return int(v[: -len(suf)]) * mult
-    return int(v)
+    """Spark byte-string ('128mb', '64k', '134217728b', '1g') → bytes."""
+    m = re.fullmatch(r"(\d+)\s*([a-z]*)", v.strip().lower())
+    if not m or m.group(2) not in _SIZE_SUFFIX:
+        raise ValueError(f"unparseable byte size {v!r}")
+    return int(m.group(1)) * _SIZE_SUFFIX[m.group(2)]
 
 
 def run_with_oom_retry(spark, action, max_retries: int = 2):

@@ -148,10 +148,15 @@ def read_table(spark: SparkSession, path: str) -> DataFrame:
     columns (unreadable by Spark's vectorized reader) to TimestampType."""
     from pyspark.sql import functions as F
 
-    key = (spark.sparkContext.applicationId, path)
+    app = spark.sparkContext.applicationId
+    key = (app, path)
     cached = _DF_CACHE.get(key)
     if cached is not None:
         return cached
+    # entries from terminated applications are dead weight — evict them
+    # when a new application shows up
+    for k in [k for k in _DF_CACHE if k[0] != app]:
+        del _DF_CACHE[k]
     configure_runtime(spark)
     df = spark.read.parquet(path)
     for c in _nano_timestamp_cols(path):

@@ -44,7 +44,8 @@ def dedup_stream_with_ttl(
     )
     ttl_us = ttl_seconds * 1_000_000
     names = [f.name for f in in_schema.fields]
-    ts_idx = names.index(ts_col)
+    if ts_col not in names:
+        raise ValueError(f"{ts_col!r} not in stream schema {names}")
 
     def fn(key, pdf_iter, state: GroupState):
         import pandas as pd

@@ -23,6 +23,28 @@ from tailpipe_spark.catalog import PARTITION_COLS, Catalog
 from tailpipe_spark.enrich import with_partition_columns
 
 
+import os as _os
+import re as _re
+
+
+def _unescape_hive(s: str) -> str:
+    """Reverse Spark's hive-partition-dir escaping (%XX per char)."""
+    return _re.sub(r"%([0-9A-Fa-f]{2})", lambda m: chr(int(m.group(1), 16)), s)
+
+
+def _partition_leaf_dirs(base: str):
+    """Yield (relpath, unescaped (p,i,y,mo) value tuple) for every leaf
+    partition dir under ``base``."""
+    for root, _dirs, names in _os.walk(base):
+        if not any(n.endswith(".parquet") for n in names):
+            continue
+        rel = _os.path.relpath(root, base)
+        parts = [seg.split("=", 1) for seg in rel.split(_os.sep) if "=" in seg]
+        vals = {k: _unescape_hive(v) for k, v in parts}
+        if set(vals) >= set(PARTITION_COLS):
+            yield rel, tuple(vals[c] for c in PARTITION_COLS)
+
+
 def append(catalog: Catalog, table: str, df: DataFrame) -> None:
     """Append enriched rows (must carry tp_* columns) to the table."""
     out = with_partition_columns(df)
@@ -87,17 +109,19 @@ def delete_range(
         .mode("overwrite")
         .parquet(staged)
     )
-    for p, i, y, mo in affected:
-        rel = os.path.join(
-            f"tp_partition={p}", f"tp_index={i}", f"tp_year={y}", f"tp_month={mo}"
-        )
-        src = os.path.join(staged, rel)
-        dst = os.path.join(catalog.table_dir(table), rel)
-        if os.path.isdir(dst):
-            shutil.rmtree(dst)
-        if os.path.isdir(src):  # absent = every row in this key was doomed
-            os.makedirs(os.path.dirname(dst), exist_ok=True)
-            os.replace(src, dst)
+    # Swap by the dir names Spark actually wrote: hive layout
+    # percent-escapes special characters (tp_index='a:b' becomes
+    # tp_index=a%3Ab), so dir paths must never be rebuilt from raw
+    # values — match existing dirs by their UNESCAPED key tuple instead.
+    affected_vals = {tuple(str(v) for v in key) for key in affected}
+    base = catalog.table_dir(table)
+    for rel, key in _partition_leaf_dirs(base):
+        if key in affected_vals:
+            shutil.rmtree(os.path.join(base, rel))
+    for rel, _key in _partition_leaf_dirs(staged):
+        dst = os.path.join(base, rel)
+        os.makedirs(os.path.dirname(dst), exist_ok=True)
+        os.replace(os.path.join(staged, rel), dst)
     shutil.rmtree(staged, ignore_errors=True)
     catalog.record_snapshot(
         "delete", {"table": table, "partition": partition, "rows": n}

@@ -399,5 +399,44 @@ def test_stale_staging_swept_on_open(workspace):
     d = workspace.new_staging_dir("t.crashed")
     (open(os.path.join(d, "leftover.parquet"), "w")).close()
     assert os.path.isdir(d)
-    Catalog(workspace.workspace)  # reopen = startup sweep
+    Catalog(workspace.workspace)  # reopen: FRESH staging must survive
+    assert os.path.isdir(d)       # (a live rewrite in another process)
+    old = 1_000_000.0
+    os.utime(d, (old, old))
+    Catalog(workspace.workspace)  # stale (past TTL) staging is swept
     assert not os.path.isdir(d)
+
+
+def test_delete_range_with_escaped_partition_values(spark, workspace, tmp_path):
+    """Hive layout percent-escapes special chars in dir names
+    (tp_index='a:b' -> tp_index=a%3Ab); delete_range must match dirs by
+    unescaped value, not rebuild paths from raw strings."""
+    from tailpipe_spark.sources.formats import read_jsonl
+
+    rows = [
+        {"id": i, "idx": "a:b", "time": f"2024-{m:02d}-01T00:00:00"}
+        for i, m in enumerate([1, 2, 3])
+    ]
+    p = tmp_path / "c.jsonl"
+    p.write_text("\n".join(json.dumps(r) for r in rows))
+    table = TableConfig(
+        name="t_esc",
+        columns=[
+            ColumnConfig(name="id", type="bigint"),
+            ColumnConfig(name="idx", type="varchar"),
+            ColumnConfig(name="tp_timestamp", type="timestamp", source="time"),
+        ],
+        map_fields=[],
+    )
+    part = PartitionConfig("t_esc", "default", tp_index="idx")
+    collect(spark, workspace, table, part, source_df=read_jsonl(spark, [str(p)]))
+    assert workspace.file_stats("t_esc")["rows"] == 3
+
+    n = writer.delete_range(
+        workspace, spark, "t_esc", "default",
+        datetime(2024, 2, 1), datetime(2024, 2, 28),
+    )
+    assert n == 1
+    df = workspace.read_table(spark, "t_esc")
+    assert df.count() == 2
+    assert {r["tp_index"] for r in df.select("tp_index").collect()} == {"a:b"}

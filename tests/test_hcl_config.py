@@ -259,7 +259,7 @@ def test_duplicate_partition_and_bad_names_rejected(tmp_path):
         load_hcl_text('partition "bad.name" "p" { filter = "a > 1" }')
     (tmp_path / "a.tpc").write_text('partition "t" "p" { filter = "a > 1" }')
     (tmp_path / "b.tpc").write_text('partition "t" "p" { filter = "a > 2" }')
-    with pytest.raises(ConfigValidationError, match="across config files"):
+    with pytest.raises(ConfigValidationError, match="duplicate partition"):
         load_config(str(tmp_path))
 
 
@@ -302,3 +302,36 @@ partition "web" "prod" {
                      "--config", str(tpc)]) == 0
     g = json.loads(capsys.readouterr().out)
     assert g["type"] == "grok"
+
+
+def test_config_dir_cross_file_references(tmp_path):
+    """Format defined in a LATER-sorted file resolves from an earlier
+    one: the whole dir parses before references resolve (reference:
+    internal/parse/load_config.go loads the config dir as one unit)."""
+    (tmp_path / "a_partitions.tpc").write_text(
+        'partition "t" "p" {\n'
+        '  source "file" { format = format.delimited.zzz paths = ["/x"] }\n'
+        "}\n"
+        'table "t" { format = format.delimited.zzz }\n'
+    )
+    (tmp_path / "z_formats.tpc").write_text(
+        'format "delimited" "zzz" { delimiter = "|" }'
+    )
+    cfg = load_config(str(tmp_path))
+    assert cfg["partitions"][0].source.format.delimiter == "|"
+
+
+def test_unknown_attrs_rejected():
+    with pytest.raises(ConfigValidationError, match="unknown attribute"):
+        load_hcl_text('format "delimited" "x" { delimter = "," }')  # typo
+    with pytest.raises(ConfigValidationError, match="unknown attribute"):
+        load_hcl_text('table "t" { formt = format.jsonl.default }')
+    with pytest.raises(ConfigValidationError, match="unknown attribute"):
+        load_hcl_text(
+            'partition "t" "p" { source "file" { paths = ["/x"] file_layot = "x" } }'
+        )
+    with pytest.raises(ConfigValidationError, match="duplicate format"):
+        load_hcl_text(
+            'format "delimited" "dup" { delimiter = "," }\n'
+            'format "delimited" "dup" { delimiter = ";" }'
+        )

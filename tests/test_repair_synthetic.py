@@ -179,3 +179,18 @@ def test_oom_retry_reraises_other_errors(spark):
 
     with pytest.raises(ValueError, match="nope"):
         run_with_oom_retry(spark, lambda: (_ for _ in ()).throw(ValueError("nope")))
+
+
+def test_parse_bytes_suffixes():
+    from tailpipe_spark.repair import _parse_bytes
+
+    assert _parse_bytes("134217728") == 134217728
+    assert _parse_bytes("134217728b") == 134217728
+    assert _parse_bytes("128mb") == 128 << 20
+    assert _parse_bytes("128m") == 128 << 20
+    assert _parse_bytes("64kb") == 64 << 10
+    assert _parse_bytes("1g") == 1 << 30
+    import pytest
+
+    with pytest.raises(ValueError):
+        _parse_bytes("weird")
