@@ -40,6 +40,9 @@ _VERIFY_FIRST = [
     "q_pivot",
     "q_set_ops_all",
     "q_ilike",
+    # new in round 2 — never driver-verified either
+    "q_percentiles",
+    "dedup_minhash_fast",
 ]
 
 

@@ -161,3 +161,22 @@ def test_query_time_filter_prunes_partition_dirs(spark, workspace, tmp_path):
     assert filtered.count() == 2  # March + April rows only
     plan = filtered._jdf.queryExecution().executedPlan().toString()
     assert "tp_year" in plan.split("PartitionFilters")[1][:400]
+
+
+def test_ngram_jaccard_reuses_gram_exchange(spark):
+    """The gram pipeline must compute once: the explicit repartition on
+    gram is the shared exchange every consumer (hot-gram agg, both
+    self-join sides) reuses. A restructure that loses ReusedExchange
+    recomputes the split/explode 3-4x (measured slower)."""
+    from tailpipe_spark.queries.textdata import dedup_ngram_jaccard
+
+    prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        plan = (
+            dedup_ngram_jaccard(spark, "/root/testdata/sf0.001")
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev)
+    assert "ReusedExchange" in plan
