@@ -32,13 +32,16 @@ def _unescape_hive(s: str) -> str:
     return _re.sub(r"%([0-9A-Fa-f]{2})", lambda m: chr(int(m.group(1), 16)), s)
 
 
-def _partition_leaf_dirs(base: str):
+def _partition_leaf_dirs(base: str, prefix: str = ""):
     """Yield (relpath, unescaped (p,i,y,mo) value tuple) for every leaf
-    partition dir under ``base``."""
+    partition dir under ``base``; ``prefix`` re-roots relpaths when
+    ``base`` is itself a partition-level subdir."""
     for root, _dirs, names in _os.walk(base):
         if not any(n.endswith(".parquet") for n in names):
             continue
         rel = _os.path.relpath(root, base)
+        if prefix:
+            rel = _os.path.join(prefix, rel)
         parts = [seg.split("=", 1) for seg in rel.split(_os.sep) if "=" in seg]
         vals = {k: _unescape_hive(v) for k, v in parts}
         if set(vals) >= set(PARTITION_COLS):
@@ -115,9 +118,18 @@ def delete_range(
     # values — match existing dirs by their UNESCAPED key tuple instead.
     affected_vals = {tuple(str(v) for v in key) for key in affected}
     base = catalog.table_dir(table)
-    for rel, key in _partition_leaf_dirs(base):
-        if key in affected_vals:
-            shutil.rmtree(os.path.join(base, rel))
+    # only the target tp_partition's subtree needs walking — a delete on
+    # one partition must not list every leaf dir of a huge table
+    sub_roots = [
+        os.path.join(base, name)
+        for name in os.listdir(base)
+        if name.startswith("tp_partition=")
+        and _unescape_hive(name.split("=", 1)[1]) == partition
+    ]
+    for sub in sub_roots:
+        for rel, key in _partition_leaf_dirs(sub, prefix=os.path.basename(sub)):
+            if key in affected_vals:
+                shutil.rmtree(os.path.join(base, rel))
     for rel, _key in _partition_leaf_dirs(staged):
         dst = os.path.join(base, rel)
         os.makedirs(os.path.dirname(dst), exist_ok=True)
