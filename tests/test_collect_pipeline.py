@@ -440,3 +440,22 @@ def test_delete_range_with_escaped_partition_values(spark, workspace, tmp_path):
     df = workspace.read_table(spark, "t_esc")
     assert df.count() == 2
     assert {r["tp_index"] for r in df.select("tp_index").collect()} == {"a:b"}
+
+
+def test_collect_all_rows_invalid_writes_nothing(spark, workspace, tmp_path):
+    """Empty valid set: the observed write resolves (no metric hang),
+    zero rows land, and the watermark stays unset."""
+    from tailpipe_spark.sources.formats import read_jsonl
+
+    p = tmp_path / "c.jsonl"
+    p.write_text(json.dumps({"server_id": "a", "time": None}))
+    res = collect(
+        spark, workspace, _metrics_table(),
+        PartitionConfig("server_metrics", "default"),
+        source_df=read_jsonl(spark, [str(p)]),
+        required=("tp_timestamp",),
+    )
+    assert res.rows_written == 0 and res.rows_dropped == 1
+    st = load_state(workspace, "server_metrics", "default")
+    assert st.get("watermark") is None
+    assert st["rows_total"] == 0
