@@ -372,6 +372,9 @@ def q_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("l_suppkey").alias("d_supps"),
         F.countDistinct("l_returnflag", "l_linestatus").alias("d_flag_status"),
         F.count(F.lit(1)).alias("n_rows"),
+        # the reference also uses list(distinct col) (convertor_validate
+        # .go:68-69) — sorted for a deterministic cross-engine value
+        F.sort_array(F.collect_set("l_returnflag")).alias("flags"),
     )
 
 
@@ -379,7 +382,8 @@ Q_DISTINCT_SQL = """
 SELECT COUNT(DISTINCT l_partkey) AS d_parts,
        COUNT(DISTINCT l_suppkey) AS d_supps,
        COUNT(DISTINCT (l_returnflag, l_linestatus)) AS d_flag_status,
-       COUNT(*) AS n_rows
+       COUNT(*) AS n_rows,
+       list_sort(list(DISTINCT l_returnflag)) AS flags
 FROM lineitem
 """
 
