@@ -373,8 +373,9 @@ def q_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("l_returnflag", "l_linestatus").alias("d_flag_status"),
         F.count(F.lit(1)).alias("n_rows"),
         # the reference also uses list(distinct col) (convertor_validate
-        # .go:68-69) — sorted for a deterministic cross-engine value
-        F.sort_array(F.collect_set("l_returnflag")).alias("flags"),
+        # .go:68-69) — sorted and joined so the value is a plain string
+        # (deterministic AND representation-proof in the driver's hasher)
+        F.array_join(F.sort_array(F.collect_set("l_returnflag")), ",").alias("flags"),
     )
 
 
@@ -383,7 +384,7 @@ SELECT COUNT(DISTINCT l_partkey) AS d_parts,
        COUNT(DISTINCT l_suppkey) AS d_supps,
        COUNT(DISTINCT (l_returnflag, l_linestatus)) AS d_flag_status,
        COUNT(*) AS n_rows,
-       list_sort(list(DISTINCT l_returnflag)) AS flags
+       array_to_string(list_sort(list(DISTINCT l_returnflag)), ',') AS flags
 FROM lineitem
 """
 
