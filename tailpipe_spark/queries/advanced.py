@@ -454,20 +454,39 @@ FROM events GROUP BY event_type ORDER BY event_type
 
 def sec_entropy_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shannon entropy of document texts (DGA-style randomness scoring).
-    Rows-only: per-character p*log2(p) accumulation order differs
-    across engines at the last ulp."""
+    Per-character p*log2(p) accumulation order differs across engines at
+    the last ulp (~1e-15 over ~40 distinct chars); the shared 1e-9
+    quantization grid absorbs it, making the value oracle-checkable."""
     from tailpipe_spark.functions.security import shannon_entropy
+    from tailpipe_spark.operators.similarity import quantize
 
     d = _t(spark, sf_dir, "documents")
     return (
         d.select(
             "doc_id",
-            F.round(shannon_entropy(F.substring(F.col("text"), 1, 64)), 6).alias(
-                "entropy_bits"
-            ),
+            quantize(
+                shannon_entropy(F.substring(F.col("text"), 1, 64)), 9
+            ).alias("entropy_bits"),
         )
         .orderBy("doc_id")
     )
+
+
+SEC_ENTROPY_SQL = """
+WITH chars AS (
+  SELECT doc_id, unnest(regexp_split_to_array(substr(lower(text), 1, 64), '')) AS ch
+  FROM documents
+), counts AS (
+  SELECT doc_id, ch, COUNT(*) AS c FROM chars WHERE ch <> '' GROUP BY doc_id, ch
+), totals AS (
+  SELECT doc_id, SUM(c) AS n FROM counts GROUP BY doc_id
+)
+SELECT c.doc_id,
+       CAST(ROUND(SUM(-(c.c / t.n) * log2(c.c / t.n)) * 1000000000) AS BIGINT)
+         / 1000000000 AS entropy_bits
+FROM counts c JOIN totals t USING (doc_id)
+GROUP BY c.doc_id ORDER BY c.doc_id
+"""
 
 
 # --- exact percentiles / median (§2.b ordered-set aggregates) ---
@@ -555,7 +574,7 @@ SPECS = [
     QuerySpec("q_describe_query", q_describe_query, Q_DESCRIBE_SQL, "A31 DESCRIBE <query> column defs without execution"),
     QuerySpec("sec_ip_classify", sec_ip_classify, SEC_IP_SQL, "threat detection: IP parse/CIDR/private classification"),
     QuerySpec("sec_error_burst", sec_error_burst, SEC_BURST_SQL, "threat detection: sliding-window burst detector"),
-    QuerySpec("sec_entropy_scan", sec_entropy_scan, None, "threat detection: Shannon entropy scoring (rows-only)"),
+    QuerySpec("sec_entropy_scan", sec_entropy_scan, SEC_ENTROPY_SQL, "threat detection: Shannon entropy scoring (quantized grid)"),
     QuerySpec("q_skew_two_phase_agg", q_skew_two_phase_agg, Q_SKEW_AGG_SQL, "salted two-phase agg == plain GROUP BY (skew operator equivalence)"),
     QuerySpec("q_percentiles", q_percentiles, Q_PERCENTILES_SQL, "exact interpolated percentiles / median per group (quantized grid)"),
     QuerySpec("q_pivot", q_pivot, Q_PIVOT_SQL, "pivot / wide CASE aggregation"),
