@@ -358,3 +358,44 @@ def test_asof_join_matches_pandas_merge_asof(spark):
         assert got_t == want_t
 
     check()
+
+
+def test_sessionize_matches_naive_property(spark):
+    """Property test: sessionize == a naive per-key gap scan on random
+    inputs (sorted-by-time semantics, gap strictly-greater splits)."""
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=6, deadline=None)
+    @given(
+        events=st.lists(
+            st.tuples(st.integers(1, 3), st.integers(0, 400)),
+            min_size=1, max_size=25,
+        ),
+        gap_minutes=st.integers(1, 60),
+    )
+    def check(events, gap_minutes):
+        df = spark.createDataFrame(
+            [(k, ts(t), i) for i, (k, t) in enumerate(events)],
+            ["user", "t", "eid"],
+        )
+        got = {
+            r["eid"]: r["session_id"]
+            for r in sessionize(df, "user", "t", gap_seconds=gap_minutes * 60).collect()
+        }
+        # naive reference: per key, sort by (time, eid), split when the
+        # gap exceeds the threshold
+        want = {}
+        bykey = {}
+        for i, (k, t) in enumerate(events):
+            bykey.setdefault(k, []).append((t, i))
+        for k, rows in bykey.items():
+            rows.sort()
+            sid, last = 0, None
+            for t, i in rows:
+                if last is not None and (t - last) * 60 > gap_minutes * 60:
+                    sid += 1
+                want[i] = sid
+                last = t
+        assert got == want
+
+    check()
