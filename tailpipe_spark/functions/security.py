@@ -54,7 +54,9 @@ def is_private_ip(ip: Column) -> Column:
 
 def extract_domain(url: Column) -> Column:
     """Registrable-ish domain from a URL or hostname (no PSL — last two
-    labels), for fast log triage."""
+    labels), for fast log triage. Case-folded first: schemes and hosts
+    are case-insensitive, and 'HTTP://x' must not yield 'HTTP'."""
+    url = F.lower(url)
     host = F.regexp_extract(url, r"^(?:[a-z][a-z0-9+.-]*://)?(?:[^/@]*@)?([^/:?#]+)", 1)
     labels = F.split(host, r"\.")
     n = F.size(labels)

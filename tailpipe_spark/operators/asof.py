@@ -42,6 +42,12 @@ def asof_join(
     if direction not in ("backward", "forward"):
         raise ValueError("direction must be 'backward' or 'forward'")
     value_cols = value_cols or [c for c in right.columns if c not in (on, right_time)]
+    # SQL join semantics: NULL keys never match. Without this filter the
+    # window partition groups all NULL keys together and they match each
+    # other — diverging from any ASOF JOIN engine. NULL-key left rows
+    # survive unmatched (left-join contract); NULL-key right rows can
+    # never match anything, so drop them before the union.
+    right = right.filter(F.col(on).isNotNull())
 
     lhs = left.select(
         F.col(on).alias("__k"),

@@ -38,6 +38,8 @@ def range_join_time(
     the caller (alias before joining).
     """
     extra_on = extra_on or []
+    if span_seconds <= 0:
+        raise ValueError("span_seconds must be > 0")
     bucket = lambda c: F.floor(F.unix_micros(F.col(c)) / F.lit(span_seconds * 1_000_000))
 
     lb = left.withColumn("__bkt", bucket(left_time))

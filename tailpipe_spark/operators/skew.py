@@ -19,6 +19,11 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def _salt_col(salt: int):
+    """Uniform [0, salt) bucket per row — shared by both skew rewrites."""
+    return F.abs(F.xxhash64(F.monotonically_increasing_id()) % salt).cast("int")
+
+
 def salted_join(
     big: DataFrame,
     small: DataFrame,
@@ -38,9 +43,7 @@ def salted_join(
             f"salted_join supports how='inner'/'left' only (got {how!r}); "
             "the replicated small side breaks right/full outer semantics"
         )
-    big_s = big.withColumn(
-        "__salt", (F.xxhash64(F.monotonically_increasing_id()) % salt).cast("int")
-    ).withColumn("__salt", F.abs(F.col("__salt")))
+    big_s = big.withColumn("__salt", _salt_col(salt))
     small_s = small.withColumn(
         "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt)]))
     )
@@ -57,10 +60,7 @@ def two_phase_agg(
     """Skew-safe aggregation: ``aggs`` is [(col, fn, alias)] with fn in
     {count, sum, min, max, count_distinct-approx}. Phase 1 aggregates by
     (key, salt); phase 2 merges per key."""
-    salted = df.withColumn(
-        "__salt",
-        F.abs(F.xxhash64(F.monotonically_increasing_id()) % salt).cast("int"),
-    )
+    salted = df.withColumn("__salt", _salt_col(salt))
     phase1_exprs, phase2_exprs = [], []
     for col, fn, alias in aggs:
         if fn == "count":

@@ -148,14 +148,21 @@ class FileSource:
             )
         df = read_with_format(spark, [f.path for f in files], fmt)
         if self._layout is not None:
-            # map layout fields onto rows by source file, JVM-side:
-            # chained when(input_file_name() endswith basename, lit(v))
+            # map layout fields onto rows by source file, JVM-side.
+            # input_file_name() is a URI, so compare the LAST path
+            # segment for equality against both the raw and URI-quoted
+            # basename — a bare endswith() would let 'app-2024.log'
+            # shadow '1-app-2024.log' (suffix collision).
+            from urllib.parse import quote
+
+            fname = F.element_at(F.split(F.input_file_name(), "/"), -1)
             for name in self._layout.fields:
                 expr = F.lit(None).cast("string")
                 for f in files:
+                    base = os.path.basename(f.path)
                     expr = (
                         F.when(
-                            F.input_file_name().endswith(os.path.basename(f.path)),
+                            fname.isin(base, quote(base)),
                             F.lit(f.layout_fields[name]),
                         ).otherwise(expr)
                     )

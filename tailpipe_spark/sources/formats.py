@@ -54,38 +54,15 @@ def read_delimited(
 
 def _java_named_groups(pattern: str) -> tuple[str, dict[str, int]]:
     """Convert ``(?P<name>...)``/``(?<name>...)`` to plain groups and
-    return name → group index (Java regexp_extract uses indices)."""
-    names: dict[str, int] = {}
-    idx = [0]
+    return name → group index. Indices count EVERY capturing group (raw
+    ``(`` too) and skip escapes/character classes — delegated to
+    grok.capture_group_indices so ``[(]`` or an extra bare group can't
+    shift the mapping."""
+    from tailpipe_spark.sources.grok import capture_group_indices
 
-    out = []
-    pos = 0
-    depth_chars = list(pattern)
-    i = 0
-    while i < len(depth_chars):
-        ch = depth_chars[i]
-        if ch == "\\":
-            out.append(ch)
-            if i + 1 < len(depth_chars):
-                out.append(depth_chars[i + 1])
-            i += 2
-            continue
-        if ch == "(":
-            m = _NAMED_GROUP.match(pattern, i)
-            if m:
-                idx[0] += 1
-                names[m.group(1)] = idx[0]
-                out.append("(")
-                i = m.end()
-                continue
-            if pattern[i : i + 2] != "(?":
-                idx[0] += 1
-            out.append(ch)
-            i += 1
-            continue
-        out.append(ch)
-        i += 1
-    return "".join(out), names
+    names = capture_group_indices(pattern)
+    out = re.sub(r"\(\?P?<(?![=!])[^>]+>", "(", pattern)
+    return out, names
 
 
 def read_regex(

@@ -65,15 +65,65 @@ class CompiledGrok:
     fields: dict[str, tuple[int, str | None]] = field(default_factory=dict)
 
 
+def capture_group_indices(regex: str) -> dict[str, int]:
+    """Map named-group name → actual capture index, counting EVERY
+    capturing group — raw ``(`` groups included — while skipping
+    escapes and character classes (a ``(`` inside ``[...]`` or after a
+    backslash is a literal, not a group). Group numbering must match
+    the regex engine's or ``regexp_extract(idx)`` grabs the wrong
+    field."""
+    idx = 0
+    names: dict[str, int] = {}
+    i, in_class = 0, False
+    while i < len(regex):
+        ch = regex[i]
+        if ch == "\\":
+            i += 2
+            continue
+        if in_class:
+            if ch == "]":
+                in_class = False
+            i += 1
+            continue
+        if ch == "[":
+            in_class = True
+            i += 1
+            continue
+        if ch == "(":
+            nxt = regex[i + 1 : i + 2]
+            if nxt != "?":
+                idx += 1  # raw capturing group
+            else:
+                rest = regex[i + 2 :]
+                name_start = None
+                if rest[:1] == "<" and rest[1:2] not in ("=", "!"):
+                    name_start = i + 3  # Java style (?<name>…)
+                elif rest[:2] == "P<":
+                    name_start = i + 4  # Python style (?P<name>…)
+                if name_start is not None:
+                    j = regex.index(">", name_start)
+                    idx += 1
+                    names[regex[name_start:j]] = idx
+                    i = j + 1
+                    continue
+                # other (?...) forms: non-capturing / lookaround — no index
+        i += 1
+    return names
+
+
 def compile_grok(
     pattern: str, extra_patterns: dict[str, str] | None = None
 ) -> CompiledGrok:
     """Expand ``%{NAME:field:type}`` refs into one regex whose capture
     groups carry the named fields. Unnamed refs (``%{INT}``) match
-    without capturing; nested references expand recursively."""
+    without capturing; nested references expand recursively.
+
+    Field captures are emitted as synthetic NAMED groups and indices are
+    computed by scanning the final regex — so a literal ``(`` in the
+    user's pattern (a real capture group to the engine) can't shift the
+    field→index mapping."""
     patterns = {**BASE_PATTERNS, **(extra_patterns or {})}
-    fields: dict[str, tuple[int, str | None]] = {}
-    counter = [0]
+    gname_fields: list[tuple[str, str, str | None]] = []
 
     def _expand(pat: str, depth: int, capture_names: bool) -> str:
         if depth > 20:
@@ -85,19 +135,24 @@ def compile_grok(
                 raise ValueError(f"unknown grok pattern %{{{name}}}")
             body = _expand(patterns[name], depth + 1, capture_names and fieldname is None)
             if fieldname and capture_names:
-                counter[0] += 1
-                fields[fieldname] = (counter[0], typ)
-                return f"({body})"
+                gname = f"g{len(gname_fields)}"
+                gname_fields.append((gname, fieldname, typ))
+                return f"(?P<{gname}>{body})"
             return f"(?:{body})"
 
         return _GROK_REF.sub(sub, pat)
 
-    # Pre-count: groups are numbered by '(' order, so expansion must
-    # allocate indices in textual order — _expand does (outer-first,
-    # left-to-right), matching regex group numbering as long as named
-    # captures never nest inside other named captures (grok disallows
-    # field refs inside base patterns, so that holds).
-    regex = _expand(pattern, 0, True)
+    marked = _expand(pattern, 0, True)
+    indices = capture_group_indices(marked)
+    fields = {
+        fieldname: (indices[gname], typ) for gname, fieldname, typ in gname_fields
+    }
+    # strip the markers to plain groups: the final regex must be valid
+    # for BOTH engines that consume it (Java regexp_extract and Python
+    # re for file_layout matching); group numbering is unchanged.
+    regex = marked
+    for gname, _f, _t in gname_fields:
+        regex = regex.replace(f"(?P<{gname}>", "(")
     return CompiledGrok(regex=regex, fields=fields)
 
 

@@ -117,8 +117,14 @@ def write_jsonl_chunks(
     n_chunks = max(1, (rows + chunk_size - 1) // chunk_size)
     staged = os.path.join(out_dir, "_staged")
     (
+        # range-partition by chunk id: hash partitioning maps distinct
+        # chunk ids onto colliding buckets (near-certain for n keys into
+        # n partitions), merging chunks and emitting fewer files than
+        # requested; range partitioning gives one contiguous chunk per
+        # output partition
         df.withColumn("__chunk", (F.col("id") / chunk_size).cast("int"))
-        .repartition(n_chunks, "__chunk")
+        .repartitionByRange(n_chunks, "__chunk")
+        .sortWithinPartitions("id")
         .drop("__chunk")
         .write.mode("overwrite")
         .json(staged)
@@ -152,7 +158,7 @@ def run_synthetic_collect(
     name = f"synthetic_{spec.cols}cols_{spec.rows}rows"
     t0 = time.time()
     df = synthetic_df(spark, spec.cols, spec.rows)
-    chunks = write_jsonl_chunks(df, work_dir, spec.chunk_size, 0)
+    chunks = write_jsonl_chunks(df, work_dir, spec.chunk_size, spec.interval_ms)
     gen_s = time.time() - t0
 
     t1 = time.time()

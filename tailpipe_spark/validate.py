@@ -28,6 +28,14 @@ def null_count_report(df: DataFrame, required: list[str]) -> DataFrame:
     )
 
 
+def _any_null(cols: list[str]):
+    cond = None
+    for c in cols:
+        p = F.col(c).isNull()
+        cond = p if cond is None else (cond | p)
+    return cond
+
+
 @dataclass
 class ValidationResult:
     valid: DataFrame
@@ -47,22 +55,26 @@ def validate_required(df: DataFrame, required: list[str]) -> ValidationResult:
     if missing:
         raise ValueError(f"required columns missing from schema: {missing}")
 
-    report = {
-        r["column_name"]: r["null_count"]
-        for r in null_count_report(df, present).collect()
-    }
+    # one aggregation pass yields BOTH the per-column null counts and
+    # the any-null row count — a separate count() would re-scan the
+    # whole source on the ingest hot path
+    aggs = [
+        F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).cast("long").alias(c)
+        for c in present
+    ]
+    invalid_agg = (
+        F.sum(F.when(_any_null(present), 1).otherwise(0)).cast("long")
+        if present
+        else F.lit(0).cast("long")
+    )
+    row = df.agg(*aggs, invalid_agg.alias("__invalid")).collect()[0] if present else None
+    report = {c: row[c] for c in present} if row is not None else {}
     null_cols = sorted(c for c, n in report.items() if n and n > 0)
+    invalid = int(row["__invalid"] or 0) if row is not None else 0
+
     cond = None
     for c in present:
         p = F.col(c).isNotNull()
         cond = p if cond is None else (cond & p)
     valid = df.filter(cond) if cond is not None else df
-    # invalid rows = rows with >=1 null among required; compute exactly
-    invalid = 0
-    if null_cols:
-        anynull = None
-        for c in null_cols:
-            p = F.col(c).isNull()
-            anynull = p if anynull is None else (anynull | p)
-        invalid = df.filter(anynull).count()
     return ValidationResult(valid=valid, invalid_count=invalid, null_columns=null_cols)

@@ -126,3 +126,33 @@ def test_file_source_layout(spark, tmp_path):
     df = src.read(spark)
     rows = {r["word"]: r["month"] for r in df.collect()}
     assert rows == {"a": "05", "b": "05", "c": "06"}
+
+
+def test_grok_raw_paren_does_not_shift_groups(spark, tmp_path):
+    """A literal '(' in the pattern is a real capture group to the
+    engine; field indices must account for it."""
+    from tailpipe_spark.sources.grok import compile_grok
+
+    g = compile_grok(r"(%{WORD:a}|x) %{WORD:b}")
+    # raw '(' is group 1; a's group nests inside it; b follows
+    ia, ta = g.fields["a"]
+    ib, tb = g.fields["b"]
+    assert ia == 2 and ib == 3
+    import re as _re
+
+    m = _re.fullmatch(g.regex, "hello world")
+    assert m.group(ia) == "hello" and m.group(ib) == "world"
+
+
+def test_regex_format_char_class_paren(spark, tmp_path):
+    """'[(]' must not count as a capture group."""
+    from tailpipe_spark.config import FormatConfig
+    from tailpipe_spark.sources.formats import read_regex
+
+    p = tmp_path / "l.log"
+    p.write_text("(42) ok\n(7) fail\n")
+    fmt = FormatConfig(
+        type="regex", pattern=r"[(](?<num>\d+)[)] (?<status>\w+)"
+    )
+    rows = {r["num"]: r["status"] for r in read_regex(spark, [str(p)], fmt).collect()}
+    assert rows == {"42": "ok", "7": "fail"}

@@ -399,3 +399,19 @@ def test_sessionize_matches_naive_property(spark):
         assert got == want
 
     check()
+
+
+def test_asof_null_keys_never_match(spark):
+    left = spark.createDataFrame([(None, ts(10), "L")], "k int, t timestamp, tag string")
+    right = spark.createDataFrame([(None, ts(5), 42.0)], "k int, qt timestamp, v double")
+    out = asof_join(left, right, on="k", left_time="t", right_time="qt",
+                    value_cols=["v"]).collect()
+    assert len(out) == 1 and out[0]["v"] is None  # left survives unmatched
+
+
+def test_range_join_rejects_nonpositive_span(spark):
+    import pytest
+
+    df = spark.createDataFrame([(1, ts(0))], ["i", "t"])
+    with pytest.raises(ValueError):
+        range_join_time(df, df, "t", "t", span_seconds=0)

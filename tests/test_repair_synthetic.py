@@ -194,3 +194,16 @@ def test_parse_bytes_suffixes():
 
     with pytest.raises(ValueError):
         _parse_bytes("weird")
+
+
+def test_synthetic_chunk_count_exact(spark, tmp_path):
+    """Range partitioning by chunk id: exactly ceil(rows/chunk) files,
+    each holding the requested rows (hash partitioning collided chunk
+    ids into shared files)."""
+    from tailpipe_spark.synthetic import synthetic_df, write_jsonl_chunks
+
+    df = synthetic_df(spark, 3, 1000)
+    chunks = write_jsonl_chunks(df, str(tmp_path / "out"), 100)
+    assert len(chunks) == 10
+    sizes = [sum(1 for _ in open(c)) for c in chunks]
+    assert sizes == [100] * 10
