@@ -145,6 +145,14 @@ class Catalog:
             raise KeyError(f"table {name!r} does not exist")
         return dict(t["type_strings"])
 
+    def table_schemas(self) -> dict[str, dict[str, str]]:
+        """Every table's column→type map in ONE manifest read (shell
+        completion calls this per keystroke)."""
+        return {
+            name: dict(t["type_strings"])
+            for name, t in self._load()["tables"].items()
+        }
+
     def record_snapshot(self, op: str, detail: dict | None = None) -> int:
         m = self._load()
         snap_id = len(m["snapshots"]) + 1

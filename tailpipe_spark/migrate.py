@@ -38,12 +38,13 @@ def migrate_legacy_table(
 
     configure_runtime(spark)
     df = spark.read.parquet(legacy_path)
+    if timestamp_col not in df.columns:
+        raise ValueError(
+            f"legacy data needs timestamp column {timestamp_col!r} "
+            f"(available: {df.columns})"
+        )
     if timestamp_col != "tp_timestamp":
         df = df.withColumn("tp_timestamp", F.col(timestamp_col))
-    if "tp_timestamp" not in df.columns:
-        raise ValueError(
-            f"legacy data needs a timestamp column (got {df.columns})"
-        )
     df = enrich_tp(df, table=table, partition=partition, index_expr=index_expr)
     df = df.filter(F.col("tp_timestamp").isNotNull())
 

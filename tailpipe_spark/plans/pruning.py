@@ -69,5 +69,10 @@ def apply_pruned_time_filter(
     if {"tp_year", "tp_month"}.issubset(df.columns):
         part = time_range_to_partition_predicate(time_from, time_to)
         if part is not None:
+            if keep_null_lower:
+                # null-timestamp rows live in the hive default partition
+                # (tp_year=null); the partition predicate must not undo
+                # the row filter's null-keep
+                part = F.col("tp_year").isNull() | part
             df = df.filter(part)
     return df

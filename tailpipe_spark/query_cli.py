@@ -32,7 +32,10 @@ _UNITS = {
 
 
 def parse_time(value: str, now: datetime | None = None) -> datetime:
-    """Absolute ISO timestamps or relative ``T-7d`` style offsets."""
+    """Absolute ISO timestamps or relative ``T-7d`` style offsets.
+
+    Offset-aware inputs convert to UTC (the session timezone) — merely
+    stripping tzinfo would shift the bound by the offset."""
     m = _REL.match(value.strip())
     if m:
         now = now or datetime.now(timezone.utc)
@@ -40,31 +43,20 @@ def parse_time(value: str, now: datetime | None = None) -> datetime:
         if unit == "y":
             return now - timedelta(days=365 * qty)
         return now - timedelta(**{_UNITS[unit]: qty})
-    return datetime.fromisoformat(value)
+    t = datetime.fromisoformat(value)
+    if t.tzinfo is not None:
+        t = t.astimezone(timezone.utc).replace(tzinfo=None)  # naive UTC
+    return t
 
 
 def wildcard_to_like(pattern: str) -> str:
-    """``*`` → ``%`` (reference: cmd/connect.go:372-399)."""
-    return pattern.replace("*", "%")
-
-
-def time_range_condition(
-    time_from: str | None,
-    time_to: str | None,
-    ts_col: str = "tp_timestamp",
-    now: datetime | None = None,
-) -> Column | None:
-    cond = None
-    c = F.col(ts_col)
-    if time_from:
-        f = parse_time(time_from, now)
-        lower = c.isNull() | (c >= F.lit(f.replace(tzinfo=None)))
-        cond = lower
-    if time_to:
-        t = parse_time(time_to, now)
-        upper = c <= F.lit(t.replace(tzinfo=None))
-        cond = upper if cond is None else (cond & upper)
-    return cond
+    """``*`` → ``%`` (reference: cmd/connect.go:372-399). Literal
+    ``%``/``_``/``\\`` in the user pattern are escaped first — LIKE's
+    default backslash escape — so ``a_b`` matches only 'a_b'."""
+    escaped = (
+        pattern.replace("\\", "\\\\").replace("%", "\\%").replace("_", "\\_")
+    )
+    return escaped.replace("*", "%")
 
 
 def pattern_condition(patterns: list[str] | None, col: str) -> Column | None:
@@ -86,25 +78,20 @@ def apply_query_filters(
     partition_patterns: list[str] | None = None,
     now: datetime | None = None,
 ) -> DataFrame:
+    # the time range (row filter + the (tp_year, tp_month) partition-dir
+    # pruning rewrite, null-keep on the lower bound) is ONE shared
+    # implementation — plans.pruning.apply_pruned_time_filter
+    from tailpipe_spark.plans.pruning import apply_pruned_time_filter
+
+    df = apply_pruned_time_filter(
+        df,
+        time_from=parse_time(time_from, now) if time_from else None,
+        time_to=parse_time(time_to, now) if time_to else None,
+    )
     for cond in (
-        time_range_condition(time_from, time_to, now=now),
         pattern_condition(index_patterns, "tp_index"),
         pattern_condition(partition_patterns, "tp_partition"),
     ):
         if cond is not None:
             df = df.filter(cond)
-    # derive the implied (tp_year, tp_month) bounds so Catalyst prunes
-    # partition DIRECTORIES, not just rows — without this a --from/--to
-    # query scans every month of the table (plans/pruning.py rationale)
-    if (time_from or time_to) and {"tp_year", "tp_month"}.issubset(df.columns):
-        from tailpipe_spark.plans.pruning import time_range_to_partition_predicate
-
-        part = time_range_to_partition_predicate(
-            parse_time(time_from, now) if time_from else None,
-            parse_time(time_to, now) if time_to else None,
-        )
-        if part is not None:
-            # null tp_year rows (null-timestamp hive default partition)
-            # stay, mirroring the row filter's null-keep lower bound
-            df = df.filter(F.col("tp_year").isNull() | part)
     return df

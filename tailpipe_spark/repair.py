@@ -40,8 +40,14 @@ def quarantine_invalid_files(catalog: Catalog, table: str) -> list[str]:
             try:
                 pq.read_metadata(p)
             except Exception:  # noqa: BLE001 — any footer failure = corrupt
+                import time as _time
+
                 rel = os.path.relpath(p, base)
-                dst = os.path.join(qdir, rel + INVALID_SUFFIX)
+                # unique suffix: a later corrupt file with the same name
+                # must not overwrite previously quarantined evidence
+                dst = os.path.join(
+                    qdir, f"{rel}.{int(_time.time() * 1000)}{INVALID_SUFFIX}"
+                )
                 os.makedirs(os.path.dirname(dst), exist_ok=True)
                 os.replace(p, dst)
                 moved.append(dst)

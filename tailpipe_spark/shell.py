@@ -90,13 +90,13 @@ class Shell:
             return []
         if prefix.startswith("."):
             return sorted(m for m in _METAQUERIES if m.startswith(prefix))
+        # one manifest read per call (readline invokes complete()
+        # repeatedly per TAB press — per-table schema loads would be
+        # dozens of JSON parses per keystroke)
         cands: set[str] = set()
-        for t in self.catalog.list_tables():
+        for t, cols in self.catalog.table_schemas().items():
             cands.add(t)
-            try:
-                cands.update(self.catalog.table_schema(t))
-            except KeyError:
-                pass
+            cands.update(cols)
         low = prefix.lower()
         return sorted(c for c in cands if c.lower().startswith(low))
 
@@ -207,15 +207,22 @@ class Shell:
             except (EOFError, KeyboardInterrupt):
                 print()
                 return
+            # a metaquery typed mid-statement dispatches ON ITS OWN and
+            # preserves the SQL buffer (the user can .output/.help/.exit
+            # without losing or mangling the statement in progress)
+            if line.strip().startswith("."):
+                try:
+                    out = self.handle(line)
+                except EOFError:
+                    return
+                if out:
+                    print(out)
+                continue
+            if not line.strip() and not buf:
+                continue
             buf.append(line)
-            # in multiline mode statements end with ';' (metaqueries are
-            # always single-line — reference: setMultiLine semantics)
-            if (
-                self.multiline
-                and not line.strip().startswith(".")
-                and not line.rstrip().endswith(";")
-                and line.strip()
-            ):
+            # in multiline mode statements end with ';'
+            if self.multiline and not line.rstrip().endswith(";"):
                 continue
             stmt = "\n".join(buf)
             buf = []

@@ -56,20 +56,24 @@ def dedup_stream_with_ttl(
         last = state.get[0] if state.exists else None
         out = []
         for pdf in pdf_iter:
-            pdf = pdf.sort_values(ts_col, kind="stable")
-            keep_rows = []
-            for _, row in pdf.iterrows():
-                ts_val = row[ts_col]
-                ts_us = int(pd.Timestamp(ts_val).value // 1000)
+            pdf = pdf.sort_values(ts_col, kind="stable").reset_index(drop=True)
+            # positional slice keeps dtypes intact — rebuilding rows from
+            # iterrows Series upcasts mixed numeric columns to float64
+            # and silently corrupts int64 ids beyond 2^53
+            ts_us_col = [
+                int(pd.Timestamp(v).value // 1000) for v in pdf[ts_col]
+            ]
+            keep_idx = []
+            for i, ts_us in enumerate(ts_us_col):
                 if last is None or ts_us - last > ttl_us:
-                    keep_rows.append(row)
+                    keep_idx.append(i)
                     last = ts_us
                 elif ts_us > last:
                     # seen within TTL: suppress but refresh recency so a
                     # steady drizzle of dupes stays suppressed
                     last = ts_us
-            if keep_rows:
-                out.append(pd.DataFrame(keep_rows))
+            if keep_idx:
+                out.append(pdf.iloc[keep_idx])
         if last is not None:
             state.update((last,))
             state.setTimeoutDuration(ttl_seconds * 1000)

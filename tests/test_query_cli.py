@@ -18,7 +18,7 @@ def test_parse_time_absolute_and_relative():
 
 
 def test_wildcard_rewrite():
-    assert wildcard_to_like("aws_*") == "aws_%"
+    assert wildcard_to_like("aws_*") == "aws\\_%"  # literal _ escaped
     assert wildcard_to_like("*prod*") == "%prod%"
 
 
@@ -89,3 +89,20 @@ def test_pruning_reaches_scan(spark, workspace, tmp_path):
     # the physical plan must show partition pruning on tp_year/tp_month
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "tp_year" in plan and "tp_month" in plan
+
+
+def test_parse_time_offset_converts_to_utc():
+    from datetime import datetime
+
+    from tailpipe_spark.query_cli import parse_time
+
+    t = parse_time("2026-08-13T00:00:00+02:00")
+    assert t == datetime(2026, 8, 12, 22, 0, 0) and t.tzinfo is None
+
+
+def test_wildcard_to_like_escapes_literals():
+    from tailpipe_spark.query_cli import wildcard_to_like
+
+    assert wildcard_to_like("a_b") == "a\\_b"
+    assert wildcard_to_like("50%*") == "50\\%%"
+    assert wildcard_to_like("x*y") == "x%y"
