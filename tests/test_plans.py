@@ -180,3 +180,29 @@ def test_ngram_jaccard_reuses_gram_exchange(spark):
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", prev)
     assert "ReusedExchange" in plan
+
+
+def test_partition_predicate_month_boundary_and_null_keep(spark):
+    """The (tp_year, tp_month) rewrite must linearize across year
+    boundaries and must not drop null-timestamp rows (hive default
+    partition) when the row filter keeps them."""
+    from datetime import datetime
+
+    from tailpipe_spark.plans.pruning import apply_pruned_time_filter
+
+    rows = [
+        (1, datetime(2023, 12, 15), 2023, 12),
+        (2, datetime(2024, 1, 15), 2024, 1),
+        (3, datetime(2024, 6, 15), 2024, 6),
+        (4, None, None, None),  # null-timestamp row in default partition
+    ]
+    df = spark.createDataFrame(
+        rows, "id int, tp_timestamp timestamp, tp_year int, tp_month int"
+    )
+    out = apply_pruned_time_filter(
+        df, time_from=datetime(2023, 12, 1), time_to=datetime(2024, 1, 31)
+    )
+    # null-keep is a LOWER-bound contract; an upper bound excludes nulls
+    assert sorted(r["id"] for r in out.collect()) == [1, 2]
+    lower_only = apply_pruned_time_filter(df, time_from=datetime(2024, 1, 1))
+    assert sorted(r["id"] for r in lower_only.collect()) == [2, 3, 4]
