@@ -216,6 +216,12 @@ def load_config(path: str) -> dict:
                     raise ConfigValidationError(
                         f"duplicate table(s) across config files: {sorted(dup_t)}"
                     )
+                seen_p = {p.qualified_name for p in merged["partitions"]}
+                dup_p = seen_p & {p.qualified_name for p in part["partitions"]}
+                if dup_p:
+                    raise ConfigValidationError(
+                        f"duplicate partition(s) across config files: {sorted(dup_p)}"
+                    )
                 merged["tables"].update(part["tables"])
                 merged["partitions"].extend(part["partitions"])
             elif name.endswith((".tpc", ".hcl")):

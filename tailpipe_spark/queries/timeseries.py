@@ -54,11 +54,11 @@ SELECT event_id, user_id, ts,
        LAG(event_id) OVER w AS prev_event_id,
        LEAD(event_id) OVER w AS next_event_id,
        epoch_us(ts) - LAG(epoch_us(ts)) OVER w AS gap_us,
-       CAST(SUM(CAST(value AS DECIMAL(27,6)))
-            OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+       CAST(SUM(CAST(ROUND(value * 1000000) AS BIGINT))
+            OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / 1e6
          AS running_value,
-       CAST(SUM(CAST(value AS DECIMAL(27,6)))
-            OVER (w ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS DOUBLE)
+       CAST(SUM(CAST(ROUND(value * 1000000) AS BIGINT))
+            OVER (w ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS DOUBLE) / 1e6
          AS moving5_value
 FROM events
 WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)

@@ -143,16 +143,28 @@ def _nano_timestamp_cols(path: str) -> list[str]:
 _DF_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
-def read_table(spark: SparkSession, path: str) -> DataFrame:
+def read_table(spark: SparkSession, path: str, *, cache: bool = True) -> DataFrame:
     """Read a parquet table, transparently converting nano-timestamp
-    columns (unreadable by Spark's vectorized reader) to TimestampType."""
+    columns (unreadable by Spark's vectorized reader) to TimestampType.
+
+    ``cache=True`` memoizes the DataFrame (file listing + schema) per
+    (application, path) — correct only for immutable directories like the
+    driver's testdata. Engine-written (mutable) tables never come through
+    here (they use Catalog.read_table, uncached); any other caller
+    pointing at a directory that may be rewritten must pass
+    ``cache=False``, which also drops stale cached state for the path so
+    later cached reads can't resurrect an old file listing."""
     from pyspark.sql import functions as F
 
     app = spark.sparkContext.applicationId
     key = (app, path)
-    cached = _DF_CACHE.get(key)
-    if cached is not None:
-        return cached
+    if not cache:
+        _DF_CACHE.pop(key, None)
+        _nano_timestamp_cols.cache_clear()
+    else:
+        cached = _DF_CACHE.get(key)
+        if cached is not None:
+            return cached
     # entries from terminated applications are dead weight — evict them
     # when a new application shows up
     for k in [k for k in _DF_CACHE if k[0] != app]:
@@ -161,7 +173,8 @@ def read_table(spark: SparkSession, path: str) -> DataFrame:
     df = spark.read.parquet(path)
     for c in _nano_timestamp_cols(path):
         df = df.withColumn(c, F.timestamp_micros(F.expr(f"CAST(`{c}` DIV 1000 AS BIGINT)")))
-    _DF_CACHE[key] = df
+    if cache:
+        _DF_CACHE[key] = df
     return df
 
 

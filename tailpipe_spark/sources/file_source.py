@@ -84,13 +84,42 @@ class FileSource:
                         out.append((p, os.path.getmtime(p)))
         return out
 
+    @staticmethod
+    def scoped_option_key(key: str, scheme: str, authority: str | None) -> str:
+        """Rewrite a source option key to its narrowest per-resource form.
+
+        ``fs.s3a.*`` keys become ``fs.s3a.bucket.<bucket>.*`` (Hadoop's
+        documented per-bucket override mechanism) so two sources with
+        different credentials/endpoints for different buckets never
+        clobber each other in the shared Hadoop configuration, and a
+        credential set for one bucket is not consulted for any other.
+        Keys already bucket-scoped, keys for schemes without a
+        per-resource form (gs, abfss account keys are self-scoped by key
+        name), and URIs with no authority pass through unchanged."""
+        if (
+            scheme == "s3a"
+            and authority
+            and key.startswith("fs.s3a.")
+            and not key.startswith("fs.s3a.bucket.")
+        ):
+            return f"fs.s3a.bucket.{authority}.{key[len('fs.s3a.'):]}"
+        return key
+
     def _hadoop_expand(self, spark: SparkSession, pattern: str) -> list[tuple[str, float]]:
         """List a URI (glob, file, or directory) via Hadoop FileSystem —
-        works for any scheme the cluster mounts (s3a, abfss, gs, file)."""
+        works for any scheme the cluster mounts (s3a, abfss, gs, file).
+
+        Source options go into the session Hadoop configuration because
+        the subsequent distributed ``spark.read`` resolves credentials
+        from it too — but s3a keys are rewritten to the per-bucket form
+        first (see :meth:`scoped_option_key`) so they stay scoped."""
         jvm = spark._jvm
         hconf = spark._jsc.hadoopConfiguration()
+        from urllib.parse import urlparse
+
+        parsed = urlparse(pattern)
         for k, v in (self.config.options or {}).items():
-            hconf.set(k, str(v))
+            hconf.set(self.scoped_option_key(k, parsed.scheme, parsed.netloc), str(v))
         jpath = jvm.org.apache.hadoop.fs.Path(pattern)
         fs = jpath.getFileSystem(hconf)
         statuses = (

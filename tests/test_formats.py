@@ -128,6 +128,31 @@ def test_file_source_layout(spark, tmp_path):
     assert rows == {"a": "05", "b": "05", "c": "06"}
 
 
+def test_s3a_options_scoped_per_bucket():
+    """Source options must not clobber the session-global Hadoop conf:
+    fs.s3a.* keys are rewritten to the per-bucket override form so two
+    sources with different credentials stay isolated."""
+    from tailpipe_spark.sources.file_source import FileSource
+
+    k = FileSource.scoped_option_key
+    assert (
+        k("fs.s3a.access.key", "s3a", "my-bucket")
+        == "fs.s3a.bucket.my-bucket.access.key"
+    )
+    assert (
+        k("fs.s3a.endpoint", "s3a", "logs-eu")
+        == "fs.s3a.bucket.logs-eu.endpoint"
+    )
+    # already bucket-scoped: untouched
+    assert (
+        k("fs.s3a.bucket.other.secret.key", "s3a", "my-bucket")
+        == "fs.s3a.bucket.other.secret.key"
+    )
+    # non-s3a schemes and missing authority: untouched
+    assert k("fs.gs.project.id", "gs", "b") == "fs.gs.project.id"
+    assert k("fs.s3a.access.key", "s3a", "") == "fs.s3a.access.key"
+
+
 def test_grok_raw_paren_does_not_shift_groups(spark, tmp_path):
     """A literal '(' in the pattern is a real capture group to the
     engine; field indices must account for it."""

@@ -263,6 +263,14 @@ def test_duplicate_partition_and_bad_names_rejected(tmp_path):
         load_config(str(tmp_path))
 
 
+def test_duplicate_partition_across_json_files_rejected(tmp_path):
+    part = '{"partitions": [{"table": "t", "name": "p", "filter": "a > 1"}]}'
+    (tmp_path / "a.json").write_text(part)
+    (tmp_path / "b.json").write_text(part)
+    with pytest.raises(ConfigValidationError, match="duplicate partition"):
+        load_config(str(tmp_path))
+
+
 def test_cli_introspection_verbs(tmp_path, capsys):
     from tailpipe_spark import cli
 
