@@ -228,9 +228,16 @@ def cmd_collect(args) -> int:
     partitions = {p.qualified_name: p for p in cfg["partitions"]}
     matched = match_partitions(args.patterns, partitions)
     for part in matched:
-        # a partition may reference a table with no table block (the
-        # reference's plugin-defined tables): auto-map all source fields
-        table = cfg["tables"].get(part.table) or TableConfig(name=part.table)
+        # a partition may reference a table with no local table block:
+        # fall back to installed-plugin table defaults (the reference's
+        # plugin-defined tables), then to auto-mapping all source fields
+        from tailpipe_spark.plugins import plugin_table
+
+        table = (
+            cfg["tables"].get(part.table)
+            or plugin_table(part.table)
+            or TableConfig(name=part.table)
+        )
 
         # OOM-shaped failures retry with smaller work units (A39 — the
         # reference shrinks the conversion chunk on DuckDB OOM). Safe to
@@ -410,6 +417,24 @@ def cmd_show(args) -> int:
     return 1
 
 
+def cmd_plugin(args) -> int:
+    """Installed-extension introspection (reference: cmd/plugin.go —
+    `tailpipe plugin list/show`; install is `pip install <pkg>` here,
+    Python packaging being this engine's plugin distribution channel)."""
+    from tailpipe_spark import plugins
+
+    found = plugins.load_all()
+    if args.action == "list":
+        print(json.dumps([p.describe() for p in found], indent=1))
+        return 0
+    match = [p for p in found if p.name == args.name or p.dist == args.name]
+    if not match:
+        print(f"error: no installed plugin named {args.name!r}", file=sys.stderr)
+        return 1
+    print(json.dumps(match[0].describe(), indent=1))
+    return 0
+
+
 def cmd_migrate(args) -> int:
     """A34: the reference's migration verb (internal/migration/
     migration.go:38-160) — legacy parquet → hive layout + catalog."""
@@ -498,7 +523,21 @@ def main(argv: list[str] | None = None) -> int:
     mg.add_argument("--index-expr")
     mg.set_defaults(fn=cmd_migrate)
 
+    pl = sub.add_parser(
+        "plugin",
+        help="installed extension packages (entry-point group "
+        "tailpipe_spark.plugins; reference: cmd/plugin.go)",
+    )
+    pl.add_argument("action", choices=["list", "show"])
+    pl.add_argument("name", nargs="?")
+    pl.set_defaults(fn=cmd_plugin)
+
     args = ap.parse_args(argv)
+    # plugin-contributed presets/tables must exist before any config
+    # resolution; a broken plugin is reported by `plugin list`, not here
+    from tailpipe_spark import plugins
+
+    plugins.load_all()
     return args.fn(args)
 
 

@@ -195,7 +195,11 @@ def load_json_text(text: str) -> dict:
         src = p.pop("source", None)
         if src:
             fmt = src.pop("format", None)
-            src = SourceConfig(format=FormatConfig(**fmt) if fmt else None, **src)
+            if isinstance(fmt, dict):
+                fmt = FormatConfig(**fmt)
+            elif isinstance(fmt, str):  # "type.preset" ref, incl. plugin presets
+                fmt = resolve_format(fmt)
+            src = SourceConfig(format=fmt, **src)
         partitions.append(PartitionConfig(source=src, **p))
     return {"tables": tables, "partitions": partitions, "formats": {}}
 

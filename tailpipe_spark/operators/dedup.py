@@ -96,6 +96,16 @@ def ngram_jaccard_pairs(
     # further exchange because HashPartitioning(gram) already holds.
     grams = token_ngrams(docs, text_col, n, id_col).repartition(F.col("gram"))
     if max_gram_df is not None:
+        # A gram's document frequency is bounded by the corpus size, so
+        # when the corpus holds <= max_gram_df documents the cap provably
+        # cannot trigger — skip the frequency pass (one cheap count job,
+        # metadata-only for parquet-backed inputs, vs a full gram
+        # aggregation + anti-join). Results are bit-identical with or
+        # without the skip at ANY corpus size; at real scale doc count
+        # >> cap and the guard machinery runs as designed.
+        if docs.count() <= max_gram_df:
+            max_gram_df = None
+    if max_gram_df is not None:
         # The offending set (grams with df > cap) is small by
         # construction, so ship it as a broadcast anti-join instead of
         # shuffling the full gram-frequency table back onto the grams.

@@ -49,6 +49,37 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q01_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q01 on the JVM-native double-sum path — what a user issuing plain
+    ``SUM(...)`` through the query CLI actually gets.
+
+    The decimal twin (``q01_pricing_summary``) exists for cross-engine
+    oracle parity: its DECIMAL(27,6) accumulation is order-independent
+    and replayable bit-for-bit in any SQL engine, at ~10× the JVM sum
+    cost. Plain double sums are partition-order-dependent in the last
+    ulps, so this twin is checked rows-only — the decimal twin carries
+    the value hash. Same split as dedup_minhash_fast / dedup_minhash_lsh.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.sum("l_extendedprice").alias("sum_base_price"),
+            F.sum(disc_price).alias("sum_disc_price"),
+            F.sum(charge).alias("sum_charge"),
+            F.avg("l_quantity").alias("avg_qty"),
+            F.avg("l_extendedprice").alias("avg_price"),
+            F.avg("l_discount").alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
 Q01_SQL = f"""
 SELECT l_returnflag, l_linestatus,
        {oracle_dsum('l_quantity')} AS sum_qty,
@@ -596,6 +627,7 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SPECS = [
     QuerySpec("q01_pricing_summary", q01_pricing_summary, Q01_SQL, "TPC-H Q1 pricing summary: filter + hash agg + exact decimal sums"),
+    QuerySpec("q01_fast", q01_fast, None, "q01 on the JVM-native double-sum path (rows-only: double sums are partition-order-dependent)"),
     QuerySpec("q03_shipping_priority", q03_shipping_priority, Q03_SQL, "3-way join, agg, deterministic top-k"),
     QuerySpec("q05_local_supplier", q05_local_supplier, Q05_SQL, "6-way join with broadcast dims"),
     QuerySpec("q_join_inner", q_join_inner, Q_JOIN_INNER_SQL, "inner joins + agg"),

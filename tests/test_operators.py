@@ -256,6 +256,23 @@ def test_ngram_jaccard_hot_gram_cap(spark):
     assert uncapped.count() == 30 * 29 // 2
 
 
+def test_ngram_cap_gate_skips_when_provably_noop(spark):
+    """doc_count <= max_gram_df bounds every gram's df under the cap, so
+    the frequency pass (gram agg + anti-join) must be skipped — same
+    results, cheaper plan. Above the bound the guard machinery runs."""
+    docs = [(i, f"alpha beta gamma delta{i} epsilon{i} zeta{i}") for i in range(4)]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+
+    gated = ngram_jaccard_pairs(df, n=3, threshold=0.1, max_gram_df=100)
+    assert "LeftAnti" not in gated._jdf.queryExecution().executedPlan().toString()
+    capped = ngram_jaccard_pairs(df, n=3, threshold=0.1, max_gram_df=3)
+    assert "LeftAnti" in capped._jdf.queryExecution().executedPlan().toString()
+    # the gate skip is exact: same pairs as explicitly uncapped
+    key = lambda rows: {(r["id_a"], r["id_b"]) for r in rows}
+    uncapped = ngram_jaccard_pairs(df, n=3, threshold=0.1, max_gram_df=None)
+    assert key(gated.collect()) == key(uncapped.collect())
+
+
 def test_lsh_multiprobe_improves_recall(spark):
     import numpy as np
 

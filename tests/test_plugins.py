@@ -1,0 +1,147 @@
+"""Entry-point plugin discovery (reference: the plugin ecosystem —
+internal/plugin/plugin_manager.go:74-164, cmd/plugin.go — re-expressed
+as Python packaging entry points in group ``tailpipe_spark.plugins``).
+
+The fixture fabricates an installed distribution the stdlib way: a
+module plus a ``*.dist-info`` directory with ``entry_points.txt`` on
+``sys.path`` is exactly what pip leaves behind, and is all
+``importlib.metadata`` needs — no actual pip run.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+
+import pytest
+
+from tailpipe_spark import plugins
+from tailpipe_spark.cli import main
+
+PLUGIN_MODULE = '''
+from tailpipe_spark.config import ColumnConfig, FormatConfig, TableConfig
+
+
+def register(api):
+    api.add_format_preset(
+        "jsonl.demo_logs", FormatConfig(type="jsonl", name="demo_logs")
+    )
+    api.add_table(
+        TableConfig(
+            name="demo_logs",
+            map_fields=[],
+            columns=[
+                ColumnConfig(name="id", type="bigint"),
+                ColumnConfig(name="tp_timestamp", type="timestamp", source="time"),
+                ColumnConfig(name="level", type="varchar"),
+            ],
+        )
+    )
+
+
+def register_broken(api):
+    raise RuntimeError("intentionally broken plugin")
+'''
+
+
+@pytest.fixture()
+def demo_plugin(tmp_path):
+    """Install a fake plugin distribution onto sys.path, yield, clean up."""
+    site = tmp_path / "site"
+    site.mkdir()
+    (site / "tailpipe_demo_plugin.py").write_text(PLUGIN_MODULE)
+    dist = site / "tailpipe_demo_plugin-0.3.dist-info"
+    dist.mkdir()
+    (dist / "METADATA").write_text(
+        "Metadata-Version: 2.1\nName: tailpipe-demo-plugin\nVersion: 0.3\n"
+    )
+    (dist / "entry_points.txt").write_text(
+        "[tailpipe_spark.plugins]\n"
+        "demo = tailpipe_demo_plugin:register\n"
+        "broken = tailpipe_demo_plugin:register_broken\n"
+    )
+    sys.path.insert(0, str(site))
+    try:
+        yield plugins.load_all(refresh=True)
+    finally:
+        sys.path.remove(str(site))
+        sys.modules.pop("tailpipe_demo_plugin", None)
+        plugins.PLUGIN_TABLES.pop("demo_logs", None)
+        plugins.load_all(refresh=True)
+
+
+def test_discovery_registers_and_contains_errors(demo_plugin):
+    by_name = {p.name: p for p in demo_plugin}
+    demo = by_name["demo"]
+    assert demo.dist == "tailpipe-demo-plugin"
+    assert demo.version == "0.3"
+    assert demo.formats == ["jsonl.demo_logs"]
+    assert demo.tables == ["demo_logs"]
+    assert demo.error is None
+    # a raising plugin is reported, not fatal, and didn't block 'demo'
+    assert "intentionally broken" in by_name["broken"].error
+
+    from tailpipe_spark.config import resolve_format
+
+    assert resolve_format("jsonl.demo_logs").type == "jsonl"
+    assert plugins.plugin_table("demo_logs").name == "demo_logs"
+
+
+def test_plugin_cli_verbs(demo_plugin, tmp_path, capsys):
+    assert main(["--workspace", str(tmp_path / "ws"), "plugin", "list"]) == 0
+    listed = {p["name"]: p for p in json.loads(capsys.readouterr().out)}
+    assert listed["demo"]["formats"] == ["jsonl.demo_logs"]
+    assert listed["broken"]["error"]
+
+    assert main(["--workspace", str(tmp_path / "ws"), "plugin", "show", "demo"]) == 0
+    assert json.loads(capsys.readouterr().out)["tables"] == ["demo_logs"]
+
+    # `list formats` surfaces the plugin preset alongside builtins
+    cfg = tmp_path / "empty.json"
+    cfg.write_text("{}")
+    assert main(
+        ["--workspace", str(tmp_path / "ws"), "list", "formats", "--config", str(cfg)]
+    ) == 0
+    assert "jsonl.demo_logs" in json.loads(capsys.readouterr().out)
+
+
+def test_plugin_table_collects_end_to_end(demo_plugin, spark, tmp_path, capsys):
+    """A partition referencing a plugin-defined table (no local table
+    block) collects through the full CLI path using the plugin's schema
+    — the reference's plugin-defined-table flow."""
+    rows = [
+        {"id": i, "time": "2024-05-01T00:00:00", "level": "info" if i % 2 else "warn"}
+        for i in range(4)
+    ]
+    data = tmp_path / "in.jsonl"
+    data.write_text("\n".join(json.dumps(r) for r in rows))
+    cfg = {
+        "partitions": [
+            {
+                "table": "demo_logs",
+                "name": "prod",
+                "source": {"paths": [str(data)], "format": "jsonl.demo_logs"},
+            }
+        ]
+    }
+    cfg_path = tmp_path / "cfg.json"
+    cfg_path.write_text(json.dumps(cfg))
+    ws = tmp_path / "ws"
+    rc = main(
+        ["--workspace", str(ws), "collect", "demo_logs.prod",
+         "--config", str(cfg_path), "--no-compact"]
+    )
+    assert rc == 0
+    assert "collected demo_logs.prod: 4 rows" in capsys.readouterr().out
+
+    from tailpipe_spark.catalog import Catalog
+
+    cat = Catalog(str(ws))
+    cat.register_views(spark)
+    got = spark.sql(
+        "select id, level from demo_logs order by id"
+    ).collect()
+    # the plugin schema mapped 'time'→tp_timestamp and typed the columns
+    assert [(r["id"], r["level"]) for r in got] == [
+        (0, "warn"), (1, "info"), (2, "warn"), (3, "info")
+    ]
