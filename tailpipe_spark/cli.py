@@ -21,10 +21,17 @@ import sys
 from pyspark.sql import DataFrame
 
 
-def _build_spark():
+def _build_spark(args=None):
     from tailpipe_spark.session import build_session
 
-    return build_session("tailpipe-cli")
+    settings = getattr(args, "settings", None) or {}
+    extra_conf = {}
+    if settings.get("memory_max_mb"):
+        extra_conf["spark.driver.memory"] = f"{settings['memory_max_mb']}m"
+    spark = build_session("tailpipe-cli", extra_conf=extra_conf or None)
+    if settings.get("log_level"):
+        spark.sparkContext.setLogLevel(str(settings["log_level"]).upper())
+    return spark
 
 
 def _catalog(args):
@@ -134,7 +141,7 @@ def _jsonable(v):
 
 
 def cmd_query(args) -> int:
-    spark = _build_spark()
+    spark = _build_spark(args)
     cat = _catalog(args)
     from tailpipe_spark.query_cli import apply_query_filters
     from tailpipe_spark.repair import is_corrupt_parquet_error, quarantine_invalid_files
@@ -196,7 +203,7 @@ def cmd_query(args) -> int:
 
 
 def cmd_collect(args) -> int:
-    spark = _build_spark()
+    spark = _build_spark(args)
     cat = _catalog(args)
 
     from tailpipe_spark.synthetic import parse_synthetic_spec, run_synthetic_collect
@@ -270,7 +277,7 @@ def cmd_collect(args) -> int:
 
 
 def cmd_compact(args) -> int:
-    spark = _build_spark()
+    spark = _build_spark(args)
     cat = _catalog(args)
     from tailpipe_spark.compact import compact_table
 
@@ -281,30 +288,32 @@ def cmd_compact(args) -> int:
 
 
 def cmd_connect(args) -> int:
-    """Emit a bootstrap script that registers the workspace views —
-    the reference's init-script handshake (reference: cmd/connect.go:94-172)."""
-    cat = _catalog(args)
-    import time as _time
+    """Emit an init script registering the workspace views — the
+    reference's init-script handshake (cmd/connect.go:94-172). Default
+    dialect is plain SQL for spark-sql/Thrift/JDBC clients; --dialect
+    pyspark keeps the bootstrap-module form. --output json wraps the
+    path in the machine envelope (connect.go:231-258)."""
+    from tailpipe_spark.connect import connect_response, write_init_script
 
-    lines = [
-        "# generated by tailpipe-spark connect",
-        "from pyspark.sql import SparkSession",
-        "from tailpipe_spark.catalog import Catalog",
-        "spark = SparkSession.builder.getOrCreate()",
-        f"catalog = Catalog({args.workspace!r})",
-        f"catalog.register_views(spark, filters={args.filter!r} and [{args.filter!r}] or [])",
-    ]
-    os.makedirs(args.out_dir, exist_ok=True)
-    path = os.path.join(args.out_dir, f"connect_{int(_time.time() * 1000)}.py")
-    with open(path, "w") as f:
-        f.write("\n".join(lines) + "\n")
-    # GC old init files (>1 day), like the reference (connect.go:175-229)
-    cutoff = _time.time() - 86400
-    for name in os.listdir(args.out_dir):
-        p = os.path.join(args.out_dir, name)
-        if name.startswith("connect_") and os.path.getmtime(p) < cutoff:
-            os.unlink(p)
-    print(path)
+    cat = _catalog(args)
+    try:
+        path = write_init_script(
+            cat,
+            out_dir=args.out_dir,
+            dialect=args.dialect,
+            time_from=args.time_from,
+            time_to=args.time_to,
+            index_patterns=args.index,
+            partition_patterns=args.partition,
+            extra_filter=args.filter,
+        )
+    except Exception as exc:  # noqa: BLE001 — reported per output mode
+        if args.output == "json":
+            print(connect_response("", str(exc)))
+        else:
+            print(f"error: {exc}", file=sys.stderr)
+        return 1
+    print(connect_response(path) if args.output == "json" else path)
     return 0
 
 
@@ -440,7 +449,7 @@ def cmd_migrate(args) -> int:
     migration.go:38-160) — legacy parquet → hive layout + catalog."""
     from tailpipe_spark.migrate import migrate_legacy_table
 
-    spark = _build_spark()
+    spark = _build_spark(args)
     cat = _catalog(args)
     rows = migrate_legacy_table(
         spark,
@@ -465,7 +474,14 @@ def _load_config(path: str) -> dict:
 
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="tailpipe-spark")
-    ap.add_argument("--workspace", default=os.environ.get("TAILPIPE_SPARK_WORKSPACE", "./workspace"))
+    # resolved later through the workspace-profile precedence chain
+    # (flag > explicit profile > env > default profile > baked default —
+    # reference: internal/cmdconfig/cmd_hooks.go:185-200)
+    ap.add_argument("--workspace", default=None)
+    ap.add_argument("--profile", default=None,
+                    help="named workspace profile (reference --workspace)")
+    ap.add_argument("--config-dir", default=None,
+                    help="directory holding workspace profile blocks")
     sub = ap.add_subparsers(dest="cmd", required=True)
 
     q = sub.add_parser("query")
@@ -499,6 +515,12 @@ def main(argv: list[str] | None = None) -> int:
 
     n = sub.add_parser("connect")
     n.add_argument("--filter")
+    n.add_argument("--from", dest="time_from")
+    n.add_argument("--to", dest="time_to")
+    n.add_argument("--index", action="append")
+    n.add_argument("--partition", action="append")
+    n.add_argument("--dialect", choices=["sql", "pyspark"], default="sql")
+    n.add_argument("--output", choices=["text", "json"], default="text")
     n.add_argument("--out-dir", default="/tmp/tailpipe_spark_connect")
     n.set_defaults(fn=cmd_connect)
 
@@ -533,6 +555,19 @@ def main(argv: list[str] | None = None) -> int:
     pl.set_defaults(fn=cmd_plugin)
 
     args = ap.parse_args(argv)
+    from tailpipe_spark.workspace import resolve_settings
+
+    args.settings = resolve_settings(
+        flags={"workspace_dir": args.workspace},
+        profile=args.profile,
+        config_dir=args.config_dir,
+    )
+    args.workspace = args.settings["workspace_dir"]
+    # diagnostic dump-and-exit, the reference's TAILPIPE_CONFIG_DUMP
+    # handshake its precedence acceptance tests drive (connect.go:115-118)
+    if os.environ.get("TAILPIPE_SPARK_CONFIG_DUMP"):
+        print(json.dumps(args.settings, indent=1))
+        return 0
     # plugin-contributed presets/tables must exist before any config
     # resolution; a broken plugin is reported by `plugin list`, not here
     from tailpipe_spark import plugins

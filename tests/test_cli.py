@@ -72,12 +72,54 @@ def test_cli_list_tables(populated_workspace, capsys):
 def test_cli_connect_emits_bootstrap(populated_workspace, capsys, tmp_path):
     rc = main([
         "--workspace", populated_workspace.workspace,
-        "connect", "--out-dir", str(tmp_path / "init"),
+        "connect", "--dialect", "pyspark", "--out-dir", str(tmp_path / "init"),
     ])
     assert rc == 0
     path = capsys.readouterr().out.strip()
     src = open(path).read()
     assert "register_views" in src and populated_workspace.workspace in src
+
+
+def test_cli_connect_sql_script_runs_in_sql_session(
+    populated_workspace, spark, capsys, tmp_path
+):
+    """The default (SQL) init script must be executable by a plain SQL
+    client — spark-sql -i equivalent: run each statement via spark.sql
+    and query the view it registered (reference: cmd/connect.go:94-172)."""
+    rc = main([
+        "--workspace", populated_workspace.workspace,
+        "connect", "--from", "2024-05-02T00:00:00",
+        "--out-dir", str(tmp_path / "init"),
+    ])
+    assert rc == 0
+    path = capsys.readouterr().out.strip()
+    assert path.endswith(".sql")
+    src = open(path).read()
+    for chunk in src.split(";"):
+        stmt = "\n".join(
+            l for l in chunk.splitlines() if not l.strip().startswith("--")
+        ).strip()
+        if stmt:
+            spark.sql(stmt)
+    rows = spark.sql(
+        "select server_id, cpu from server_metrics order by cpu"
+    ).collect()
+    # --from dropped the 2024-05-01 row; layout cols are hidden
+    assert [r["cpu"] for r in rows] == [1.0, 2.0, 3.0]
+    assert "tp_year" not in spark.table("server_metrics").columns
+    # the implied partition bound is baked in for external pruning
+    assert "tp_year * 12" in src
+
+
+def test_cli_connect_json_envelope(populated_workspace, capsys, tmp_path):
+    rc = main([
+        "--workspace", populated_workspace.workspace,
+        "connect", "--output", "json", "--out-dir", str(tmp_path / "init"),
+    ])
+    assert rc == 0
+    res = json.loads(capsys.readouterr().out)
+    assert res["init_script_path"].endswith(".sql")
+    assert "error" not in res
 
 
 def test_render_formats(spark):
