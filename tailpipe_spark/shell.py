@@ -40,6 +40,7 @@ _METAQUERIES: dict[str, str] = {
     ".output": "Set output format: csv, json, table or line",
     ".headers": "Enable or disable column headers",
     ".separator": "Set csv output separator",
+    ".timing": "Enable or disable query execution time display",
     ".multi": "Enable or disable multiline mode",
     ".autocomplete": "Enable or disable auto-completion",
     ".clear": "Clear the console",
@@ -57,6 +58,7 @@ class Shell:
         self.output = "table"
         self.header = True
         self.separator = ","
+        self.timing = False
         self.multiline = False
         self.autocomplete = True
         self.history: list[str] = []
@@ -109,14 +111,40 @@ class Shell:
         self._save_history()
         if line.startswith("."):
             return self._metaquery(line)
+        return self._run_sql(line)
+
+    #: job-group id every shell query runs under, so Ctrl-C can cancel
+    #: exactly the in-flight work and nothing else on a shared cluster
+    JOB_GROUP = "tailpipe-shell"
+
+    def _run_sql(self, line: str) -> str:
+        """Execute SQL under a cancellable job group with optional
+        timing (reference: interactive_client_cancel.go — Ctrl-C
+        cancels the in-flight query, the prompt survives; timing per
+        internal/interactive/query_history.go `.timing`)."""
+        import time
+
+        sc = self.spark.sparkContext
+        t0 = time.perf_counter()
+        sc.setJobGroup(self.JOB_GROUP, line[:100], interruptOnCancel=True)
         try:
             df = self.spark.sql(line.rstrip(";"))
+            out = render(
+                df, self.output, header=self.header, separator=self.separator
+            )
+        except KeyboardInterrupt:
+            # the Spark jobs keep running server-side after the Python
+            # interrupt — cancel the group so executors stop too
+            sc.cancelJobGroup(self.JOB_GROUP)
+            return "Query cancelled"
         except Exception as e:  # noqa: BLE001
             msg = str(e).splitlines()[0]
             if "TABLE_OR_VIEW_NOT_FOUND" in msg:
                 return "Error: no data has been collected for this table yet"
             return f"Error: {msg}"
-        return render(df, self.output, header=self.header, separator=self.separator)
+        if self.timing:
+            out += f"\nTime: {time.perf_counter() - t0:.3f}s"
+        return out
 
     def _on_off(self, cmd: str, args: list[str], attr: str) -> str:
         if args and args[0] in ("on", "off"):
@@ -143,6 +171,8 @@ class Shell:
             return "usage: .output csv|json|table|line"
         if cmd in (".header", ".headers"):
             return self._on_off(".headers", args, "header")
+        if cmd == ".timing":
+            return self._on_off(".timing", args, "timing")
         if cmd == ".multi":
             return self._on_off(".multi", args, "multiline")
         if cmd == ".autocomplete":
@@ -204,7 +234,14 @@ class Shell:
             try:
                 prompt = "...> " if buf else "tp> "
                 line = input(prompt)
-            except (EOFError, KeyboardInterrupt):
+            except KeyboardInterrupt:
+                # Ctrl-C at the prompt abandons the buffered statement
+                # but keeps the shell alive (reference behavior —
+                # interactive_client_cancel.go); .exit/Ctrl-D leave
+                print()
+                buf = []
+                continue
+            except EOFError:
                 print()
                 return
             # a metaquery typed mid-statement dispatches ON ITS OWN and

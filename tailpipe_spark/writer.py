@@ -85,29 +85,37 @@ def delete_range(
         cond = cond & (F.col("tp_timestamp") <= F.lit(time_to))
 
     doomed = df.filter(cond)
-    n = doomed.count()
+    # one job yields BOTH the deleted-row count and the affected key
+    # set (the driver needs the keys anyway for the directory swap)
+    key_cols = ["tp_partition", "tp_index", "tp_year", "tp_month"]
+    agg = doomed.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("__n")).collect()
+    n = sum(r["__n"] for r in agg)
     if n == 0:
         return 0
     survivors = df.filter(~cond)
-    # Rewrite only partition keys that held doomed rows.
-    affected = [
-        tuple(r)
-        for r in doomed.select("tp_partition", "tp_index", "tp_year", "tp_month")
-        .distinct()
-        .collect()
-    ]
-    keep = None
-    for p, i, y, mo in affected:
-        c = (
-            (F.col("tp_partition") == p)
-            & (F.col("tp_index") == i)
-            & (F.col("tp_year") == y)
-            & (F.col("tp_month") == mo)
-        )
-        keep = c if keep is None else (keep | c)
+    # Rewrite only partition keys that held doomed rows. A delete can
+    # touch thousands of hive keys, so the selection is a broadcast
+    # null-safe semi-join against the key set — never a chained OR
+    # predicate tree — plus a coarse static (tp_year, tp_month) bound
+    # so Catalyst still prunes partition directories at planning time
+    # (the join alone would defer pruning to runtime).
+    affected = [tuple(r[c] for c in key_cols) for r in agg]
+    keys_df = spark.createDataFrame(
+        affected, "tp_partition string, tp_index string, tp_year int, tp_month int"
+    )
+    months = [y * 12 + mo for _, _, y, mo in affected if y is not None and mo is not None]
+    to_rewrite = survivors
+    if months and len(months) == len(affected):
+        lin = F.col("tp_year") * 12 + F.col("tp_month")
+        to_rewrite = to_rewrite.filter(lin.between(min(months), max(months)))
+    to_rewrite = to_rewrite.join(
+        F.broadcast(keys_df),
+        on=[to_rewrite[c].eqNullSafe(keys_df[c]) for c in key_cols],
+        how="left_semi",
+    )
     staged = catalog.new_staging_dir(f"{table}.delete")
     (
-        survivors.filter(keep)
+        to_rewrite
         .write.partitionBy(*PARTITION_COLS)
         .mode("overwrite")
         .parquet(staged)

@@ -62,6 +62,38 @@ def test_shell_errors(shell):
         shell.handle(".exit")
 
 
+def test_shell_timing_toggle(shell):
+    assert shell.handle(".timing on") == "timing: on"
+    out = shell.handle("select count(*) as n from logs")
+    assert "\nTime: " in out and out.rstrip().endswith("s")
+    shell.handle(".timing off")
+    assert "Time:" not in shell.handle("select count(*) as n from logs")
+
+
+def test_shell_ctrl_c_cancels_query_and_survives(shell, monkeypatch):
+    """Ctrl-C mid-query must cancel the Spark job group and leave the
+    shell usable (reference: interactive_client_cancel.go)."""
+    import tailpipe_spark.shell as shell_mod
+
+    cancelled = []
+    monkeypatch.setattr(
+        shell.spark.sparkContext, "cancelJobGroup", lambda g: cancelled.append(g)
+    )
+
+    def interrupted_render(*a, **kw):
+        raise KeyboardInterrupt
+
+    monkeypatch.setattr(shell_mod, "render", interrupted_render)
+    out = shell.handle("select count(*) as n from logs")
+    assert out == "Query cancelled"
+    assert cancelled == [Shell.JOB_GROUP]
+
+    # the next statement runs normally on the same shell
+    monkeypatch.undo()
+    out = shell.handle("select count(*) as n from logs")
+    assert "6" in out
+
+
 def test_collect_resume_watermark(spark, workspace, tmp_path):
     from tailpipe_spark.collect import collect
     from tailpipe_spark.config import ColumnConfig, PartitionConfig, TableConfig
