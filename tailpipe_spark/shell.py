@@ -67,6 +67,13 @@ class Shell:
         )
         self._load_history()
         self.catalog.register_views(spark)
+        # live reload: another process collecting into this workspace
+        # updates the manifest; the next statement sees the new tables
+        # (reference: internal/file_watcher/connection_watcher.go —
+        # fsnotify there, an interaction-boundary mtime poll here)
+        from tailpipe_spark.watcher import FileWatcher
+
+        self._watcher = FileWatcher([catalog.manifest_path])
 
     # --- history (persisted per workspace) ---
     def _load_history(self) -> None:
@@ -109,6 +116,8 @@ class Shell:
             return ""
         self.history.append(line)
         self._save_history()
+        if self._watcher.changed():
+            self.catalog.register_views(self.spark)
         if line.startswith("."):
             return self._metaquery(line)
         return self._run_sql(line)

@@ -94,6 +94,54 @@ def test_shell_ctrl_c_cancels_query_and_survives(shell, monkeypatch):
     assert "6" in out
 
 
+def test_shell_live_reloads_new_tables(shell, spark, workspace, tmp_path):
+    """A collect running in another process updates the workspace
+    manifest; the shell's next statement must see the new table without
+    restarting (reference: connection_watcher.go live reload)."""
+    from tailpipe_spark.collect import collect
+    from tailpipe_spark.config import ColumnConfig, PartitionConfig, TableConfig
+    from tailpipe_spark.sources.formats import read_jsonl
+
+    assert "no data has been collected" in shell.handle("select * from audit")
+
+    p = tmp_path / "audit.jsonl"
+    p.write_text(json.dumps({"id": 7, "time": "2024-06-01T00:00:00"}))
+    table = TableConfig(
+        name="audit",
+        columns=[
+            ColumnConfig(name="id", type="bigint"),
+            ColumnConfig(name="tp_timestamp", type="timestamp", source="time"),
+        ],
+        map_fields=[],
+    )
+    collect(spark, workspace, table, PartitionConfig("audit", "default"),
+            source_df=read_jsonl(spark, [str(p)]))
+
+    out = shell.handle("select id from audit")
+    assert "7" in out
+
+
+def test_file_watcher_detects_add_modify_remove(tmp_path):
+    from tailpipe_spark.watcher import FileWatcher
+
+    d = tmp_path / "cfg"
+    d.mkdir()
+    f1 = d / "a.tpc"
+    f1.write_text("x = 1")
+    w = FileWatcher([str(d)])
+    assert w.changed() == []
+    f2 = d / "b.json"
+    f2.write_text("{}")
+    assert w.changed() == [str(f2)]
+    import os as _os
+
+    _os.utime(f1, (1, 1))
+    assert w.changed() == [str(f1)]
+    f1.unlink()
+    assert w.changed() == [str(f1)]
+    assert w.changed() == []
+
+
 def test_collect_resume_watermark(spark, workspace, tmp_path):
     from tailpipe_spark.collect import collect
     from tailpipe_spark.config import ColumnConfig, PartitionConfig, TableConfig
