@@ -79,7 +79,7 @@ def test_migrate_cli_verb(spark, workspace, tmp_path, capsys, monkeypatch):
 
     from tailpipe_spark import cli
 
-    monkeypatch.setattr(cli, "_build_spark", lambda: spark)
+    monkeypatch.setattr(cli, "_build_spark", lambda args=None: spark)
     rc = cli.main([
         "--workspace", workspace.workspace,
         "migrate", str(legacy), "moved", "--timestamp-col", "event_time",
