@@ -22,8 +22,15 @@ from tailpipe_spark.queries import build_registry
 # NOT in the product registry, whose order stays stable for real
 # consumers) puts the entries the driver has not yet hash-verified this
 # cycle at the front so every query gets the hard signal across rounds.
-# Round 3: the 14 entries absent from CORRECTNESS_r02.json.
+# Round 3: the 14 entries absent from CORRECTNESS_r02.json, plus the
+# five operators new this round (PII, repetition, URL domains,
+# decontamination, dup components).
 _VERIFY_FIRST = [
+    "text_pii_redact",
+    "text_repetition",
+    "text_url_domains",
+    "text_decontaminate",
+    "dedup_components",
     "dedup_minhash_lsh",
     "dedup_simhash",
     "text_language_id",

@@ -143,6 +143,101 @@ def ngram_jaccard_pairs(
     )
 
 
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 3,
+    threshold: float = 0.2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark decontamination: flag training documents whose n-gram
+    overlap with a benchmark/eval corpus exceeds ``threshold``.
+
+    Returns (id, n_grams, n_overlap, overlap_ratio, contaminated) per
+    candidate document. The benchmark gram set is tiny relative to the
+    corpus (eval suites, not training data), so it ships as a broadcast
+    hash join against the exploded corpus grams — the corpus side never
+    shuffles on gram, only on doc id for the two per-doc aggregations.
+    For an unusually large benchmark, drop the broadcast hint and let
+    AQE pick the join side.
+    """
+    doc_grams = token_ngrams(docs, text_col, n, id_col)
+    bench_grams = token_ngrams(benchmark, text_col, n, id_col).select("gram").distinct()
+    sizes = doc_grams.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_grams"))
+    overlap = (
+        doc_grams.join(F.broadcast(bench_grams), "gram")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    joined = sizes.join(overlap, id_col, "left").fillna(0, subset=["n_overlap"])
+    ratio = F.col("n_overlap") / F.col("n_grams")
+    return joined.select(
+        id_col,
+        "n_grams",
+        "n_overlap",
+        ratio.alias("overlap_ratio"),
+        (ratio >= threshold).alias("contaminated"),
+    )
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iterations: int = 50,
+) -> DataFrame:
+    """Connected components over an undirected edge set by min-label
+    propagation: every node starts labeled with its own id; each round
+    every node takes the minimum label among itself and its neighbors,
+    until a round changes nothing. Rounds needed = graph diameter —
+    near-dup clusters are shallow (stars/chains of a few hops), so this
+    converges in a handful of shuffles even at web scale. (The
+    alternating large-star/small-star contraction halves round count on
+    adversarially deep graphs; diameter-bounded dup graphs don't need
+    it.) Labels are localCheckpointed per round so the loop's lineage
+    stays flat.
+
+    Returns (node, component) where component is the minimum node id in
+    the node's component.
+    """
+    sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).union(
+        edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
+    )
+    sym = sym.localCheckpoint(eager=True)
+    labels = (
+        sym.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("comp", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iterations):
+        msgs = (
+            sym.join(labels, sym["a"] == labels["node"])
+            .groupBy(sym["b"].alias("node"))
+            .agg(F.min("comp").alias("nbr_comp"))
+        )
+        new_labels = (
+            labels.join(msgs, "node", "left")
+            .select(
+                "node",
+                F.least(F.col("comp"), F.coalesce("nbr_comp", "comp")).alias("comp"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        # labels only ever decrease, so "changed" == strictly-smaller rows
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.comp") < F.col("o.comp"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
 def xxhash64_hash_fn(c, s: int):
     """Engine-default MinHash hash: seeded xxhash64, JVM-native."""
     return F.xxhash64(c, F.lit(s))

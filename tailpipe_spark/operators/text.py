@@ -98,6 +98,106 @@ def doc_token_counts(docs: DataFrame, text_col: str = "text", id_col: str = "doc
     )
 
 
+#: PII patterns, ordered — redaction applies them in this order, so an
+#: IP-looking substring inside an already-redacted email never matches.
+#: Patterns are restricted to the regex subset Java regex and RE2 agree
+#: on (character classes + bounded repetition; no lookaround/backrefs)
+#: so the DuckDB oracle replays them byte-for-byte.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}",
+    "ipv4": r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}",
+    "ssn": r"[0-9]{3}-[0-9]{2}-[0-9]{4}",
+}
+
+
+def pii_scan(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-document PII detection + redaction.
+
+    Counts matches per PII class on the normalized text and emits the
+    md5 of the sequentially-redacted text (each class replaced by its
+    ``<CLASS>`` token in PII_PATTERNS order). Pure JVM regexp plan — a
+    narrow per-row transform with no shuffle, the shape a 100 TB
+    redaction sweep needs.
+    """
+    norm = normalize_text(F.col(text_col))
+    counts = [
+        F.regexp_count(norm, F.lit(p)).cast("long").alias(f"n_{k}")
+        for k, p in PII_PATTERNS.items()
+    ]
+    redacted = norm
+    for k, p in PII_PATTERNS.items():
+        redacted = F.regexp_replace(redacted, p, f"<{k.upper()}>")
+    scanned = docs.select(
+        id_col, *counts, F.md5(redacted).alias("redacted_md5")
+    )
+    total = None
+    for k in PII_PATTERNS:
+        c = F.col(f"n_{k}")
+        total = c if total is None else total + c
+    return scanned.select(
+        id_col,
+        *[f"n_{k}" for k in PII_PATTERNS],
+        total.alias("n_pii"),
+        (total > 0).alias("has_pii"),
+        "redacted_md5",
+    )
+
+
+def repetition_features(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 2
+) -> DataFrame:
+    """Within-document repetition (Gopher-style quality rule): total and
+    distinct word n-grams, the top n-gram's frequency, and the duplicate
+    n-gram fraction. Docs shorter than n tokens yield no row.
+
+    Two aggregations, both keyed on (or by) doc_id — uniformly
+    distributed keys, so the shuffle is skew-free at any corpus size.
+    """
+    toks = docs.select(
+        F.col(id_col), F.split(normalize_text(F.col(text_col)), " ").alias("t")
+    )
+    grams = toks.where(F.size("t") >= n).select(
+        id_col,
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("t") - n),
+                lambda i: F.array_join(F.slice("t", i + 1, n), " "),
+            )
+        ).alias("gram"),
+    )
+    per = grams.groupBy(id_col, "gram").agg(F.count(F.lit(1)).alias("c"))
+    return per.groupBy(id_col).agg(
+        F.sum("c").alias("n_grams"),
+        F.count(F.lit(1)).alias("distinct_grams"),
+        F.max("c").alias("top_gram_freq"),
+        ((F.sum("c") - F.count(F.lit(1))) / F.sum("c")).alias("dup_gram_ratio"),
+        (F.max("c") / F.sum("c")).alias("top_gram_ratio"),
+    )
+
+
+def url_domains(docs: DataFrame, text_col: str = "text", top_k: int = 20) -> DataFrame:
+    """Corpus-level URL domain frequency (the substrate for domain
+    allow/block-list filtering): extract every http(s) URL's host from
+    the normalized text, count per domain, top_k (count desc, domain
+    asc). Partial aggregation makes the shuffle carry only per-partition
+    (domain, count) rows — web-scale safe."""
+    hosts = docs.select(
+        F.explode(
+            F.regexp_extract_all(
+                normalize_text(F.col(text_col)),
+                F.lit(r"https?://([a-z0-9.-]+)"),
+                1,
+            )
+        ).alias("domain")
+    )
+    return (
+        hosts.groupBy("domain")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.col("freq").desc(), F.col("domain").asc())
+        .limit(top_k)
+    )
+
+
 def fingerprint(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Order-insensitive content fingerprint: md5 of the sorted distinct
     token set. Docs differing only in token order/duplication collide."""

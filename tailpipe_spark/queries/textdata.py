@@ -256,6 +256,227 @@ FROM documents ORDER BY doc_id
 """
 
 
+# --- PII scan + redaction ---
+#
+# The synthetic corpus carries no real PII, so the query injects
+# deterministic PII-shaped fields from (doc_id, source) IDENTICALLY on
+# both engines before scanning — the oracle then value-checks the whole
+# regex detect/redact pipeline, not just zeros.
+
+def _with_pii(docs: DataFrame) -> DataFrame:
+    d = F.col("doc_id")
+    return docs.withColumn(
+        "text",
+        F.when(
+            d % 3 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"),
+                d.cast("string"),
+                F.lit("@mail.com or 10.0."),
+                (d % 256).cast("string"),
+                F.lit("."),
+                (d % 100).cast("string"),
+            ),
+        )
+        .when(
+            d % 7 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" ssn 123-45-"),
+                F.lpad((d % 10000).cast("string"), 4, "0"),
+            ),
+        )
+        .otherwise(F.col("text")),
+    )
+
+
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tx.pii_scan(_with_pii(_docs(spark, sf_dir))).orderBy("doc_id")
+
+
+_PII_AUG_SQL = """
+aug AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0 THEN
+                text || ' contact user' || CAST(doc_id AS VARCHAR)
+                     || '@mail.com or 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+                     || '.' || CAST(doc_id % 100 AS VARCHAR)
+              WHEN doc_id % 7 = 0 THEN
+                text || ' ssn 123-45-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+              ELSE text END AS text
+  FROM documents)
+"""
+
+
+def _pii_sql() -> str:
+    from tailpipe_spark.operators.text import PII_PATTERNS
+
+    norm = _NORM_SQL
+    counts = ", ".join(
+        f"len(regexp_extract_all({norm}, '{p}')) AS n_{k}"
+        for k, p in PII_PATTERNS.items()
+    )
+    red = norm
+    for k, p in PII_PATTERNS.items():
+        red = f"regexp_replace({red}, '{p}', '<{k.upper()}>', 'g')"
+    total = " + ".join(f"n_{k}" for k in PII_PATTERNS)
+    return f"""
+WITH {_PII_AUG_SQL},
+scanned AS (SELECT doc_id, {counts}, md5({red}) AS redacted_md5 FROM aug)
+SELECT doc_id, {', '.join(f'n_{k}' for k in PII_PATTERNS)},
+       {total} AS n_pii, ({total}) > 0 AS has_pii, redacted_md5
+FROM scanned ORDER BY doc_id
+"""
+
+
+# --- within-document repetition (Gopher-style quality rule) ---
+
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tx.repetition_features(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+REPETITION_SQL = f"""
+WITH toks AS (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS t FROM documents),
+bigrams AS (
+  SELECT doc_id, t[i] || ' ' || t[i+1] AS gram
+  FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM toks)),
+per AS (SELECT doc_id, gram, COUNT(*) AS c FROM bigrams GROUP BY doc_id, gram),
+agg AS (
+  SELECT doc_id,
+         CAST(SUM(c) AS BIGINT) AS n_grams,
+         COUNT(*) AS distinct_grams,
+         MAX(c) AS top_gram_freq
+  FROM per GROUP BY doc_id)
+SELECT doc_id, n_grams, distinct_grams, top_gram_freq,
+       (n_grams - distinct_grams) / n_grams AS dup_gram_ratio,
+       top_gram_freq / n_grams AS top_gram_ratio
+FROM agg ORDER BY doc_id
+"""
+
+
+# --- URL domain frequency (domain allow/block-list substrate) ---
+
+def _with_urls(docs: DataFrame) -> DataFrame:
+    d = F.col("doc_id")
+    return docs.withColumn(
+        "text",
+        F.when(
+            d % 5 == 0,
+            F.concat(F.col("text"), F.lit(" see https://"), F.col("source"), F.lit(".example.com/a")),
+        )
+        .when(
+            d % 5 == 1,
+            F.concat(F.col("text"), F.lit(" ref http://cdn."), F.col("source"), F.lit(".net/b")),
+        )
+        .otherwise(F.col("text")),
+    )
+
+
+def text_url_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tx.url_domains(_with_urls(_docs(spark, sf_dir)), top_k=20)
+
+
+URL_DOMAINS_SQL = f"""
+WITH aug AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 0 THEN text || ' see https://' || source || '.example.com/a'
+              WHEN doc_id % 5 = 1 THEN text || ' ref http://cdn.' || source || '.net/b'
+              ELSE text END AS text
+  FROM documents),
+hosts AS (
+  SELECT unnest(regexp_extract_all({_NORM_SQL}, 'https?://([a-z0-9.-]+)', 1)) AS domain
+  FROM aug)
+SELECT domain, COUNT(*) AS freq FROM hosts
+GROUP BY domain ORDER BY freq DESC, domain ASC LIMIT 20
+"""
+
+
+# --- benchmark decontamination (3-gram overlap vs a held-out set) ---
+
+#: chosen so the synthetic corpus yields a real contaminated/clean mix
+#: (p75 overlap ≈ 0.014, max ≈ 0.11 at gate scale)
+_DECON_THRESHOLD = 0.03
+
+
+def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    bench = docs.where(F.col("doc_id") % 97 == 0)
+    cands = docs.where(F.col("doc_id") % 97 != 0)
+    return dd.decontaminate(
+        cands, bench, n=3, threshold=_DECON_THRESHOLD
+    ).orderBy("doc_id")
+
+
+DECONTAMINATE_SQL = f"""
+WITH {_GRAMS_SQL},
+bench AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 97 = 0),
+sizes AS (SELECT doc_id, COUNT(*) AS n_grams FROM grams
+          WHERE doc_id % 97 <> 0 GROUP BY doc_id),
+overlap AS (
+  SELECT g.doc_id, COUNT(*) AS n_overlap
+  FROM grams g JOIN bench b ON b.gram = g.gram
+  WHERE g.doc_id % 97 <> 0 GROUP BY g.doc_id)
+SELECT s.doc_id, s.n_grams, COALESCE(o.n_overlap, 0) AS n_overlap,
+       COALESCE(o.n_overlap, 0) / s.n_grams AS overlap_ratio,
+       COALESCE(o.n_overlap, 0) / s.n_grams >= {_DECON_THRESHOLD} AS contaminated
+FROM sizes s LEFT JOIN overlap o ON o.doc_id = s.doc_id
+ORDER BY s.doc_id
+"""
+
+
+# --- duplicate-cluster resolution: connected components over dup pairs ---
+
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative min-label propagation over the Jaccard dup-pair graph
+    (non-SQL-expressible as one query on the Spark side; the DuckDB
+    oracle replays it with a recursive transitive-closure CTE)."""
+    pairs = dd.ngram_jaccard_pairs(
+        _docs(spark, sf_dir), n=3, threshold=0.2, max_gram_df=_MAX_GRAM_DF
+    ).select("id_a", "id_b")
+    cc = dd.connected_components(pairs)
+    sizes = cc.groupBy("comp").agg(F.count(F.lit(1)).alias("component_size"))
+    return (
+        cc.join(sizes, "comp")
+        .select(
+            F.col("node").alias("doc_id"),
+            F.col("comp").alias("component"),
+            "component_size",
+        )
+        .orderBy("doc_id")
+    )
+
+
+COMPONENTS_SQL = f"""
+WITH RECURSIVE {_GRAMS_SQL},
+gram_df AS (SELECT gram, COUNT(*) AS df FROM grams GROUP BY gram),
+kept AS (
+  SELECT g.doc_id, g.gram FROM grams g
+  JOIN gram_df d ON d.gram = g.gram AND d.df <= {_MAX_GRAM_DF}),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM kept GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
+  FROM kept a JOIN kept b ON a.gram = b.gram AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+pairs AS (
+  SELECT id_a, id_b FROM common
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE common / (sa.sz + sb.sz - common) >= 0.2),
+sym AS (SELECT id_a AS a, id_b AS b FROM pairs
+        UNION ALL SELECT id_b, id_a FROM pairs),
+reach(node, root) AS (
+  SELECT a, a FROM sym
+  UNION
+  SELECT s.b, r.root FROM reach r JOIN sym s ON s.a = r.node),
+comp AS (SELECT node, MIN(root) AS component FROM reach GROUP BY node),
+csize AS (SELECT component, COUNT(*) AS component_size FROM comp GROUP BY component)
+SELECT c.node AS doc_id, c.component, s.component_size
+FROM comp c JOIN csize s ON s.component = c.component
+ORDER BY doc_id
+"""
+
+
 # --- multimodal plumbing: docs as binary payloads through mapInPandas ---
 
 def mm_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -306,4 +527,9 @@ SPECS = [
     QuerySpec("text_token_stats", text_token_stats, TOKEN_STATS_SQL, "corpus token frequency top-k"),
     QuerySpec("text_doc_tokens", text_doc_tokens, DOC_TOKENS_SQL, "per-doc token counting"),
     QuerySpec("text_fingerprint", text_fingerprint, FINGERPRINT_SQL, "order-insensitive doc fingerprint"),
+    QuerySpec("text_pii_redact", text_pii_redact, _pii_sql(), "PII detect + redact (email/ipv4/ssn regex classes, md5 of redacted text)"),
+    QuerySpec("text_repetition", text_repetition, REPETITION_SQL, "within-doc bigram repetition (Gopher-style quality rule)"),
+    QuerySpec("text_url_domains", text_url_domains, URL_DOMAINS_SQL, "URL domain frequency top-k (block-list substrate)"),
+    QuerySpec("text_decontaminate", text_decontaminate, DECONTAMINATE_SQL, "benchmark decontamination via 3-gram overlap (broadcast bench grams)"),
+    QuerySpec("dedup_components", dedup_components, COMPONENTS_SQL, "dup-cluster connected components (min-label propagation vs recursive-CTE oracle)"),
 ]

@@ -432,3 +432,87 @@ def test_range_join_rejects_nonpositive_span(spark):
     df = spark.createDataFrame([(1, ts(0))], ["i", "t"])
     with pytest.raises(ValueError):
         range_join_time(df, df, "t", "t", span_seconds=0)
+
+
+def test_pii_scan_detects_and_redacts(spark):
+    from tailpipe_spark.operators.text import pii_scan
+
+    docs = spark.createDataFrame(
+        [
+            (1, "mail Bob.Smith+x@Example.COM and peer 192.168.0.1 ok"),
+            (2, "ssn 123-45-6789 twice 999-11-2222"),
+            (3, "nothing personal here"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r for r in pii_scan(docs).collect()}
+    assert (got[1]["n_email"], got[1]["n_ipv4"], got[1]["n_ssn"]) == (1, 1, 0)
+    assert got[1]["has_pii"] and got[1]["n_pii"] == 2
+    assert (got[2]["n_ssn"], got[2]["n_pii"]) == (2, 2)
+    assert not got[3]["has_pii"] and got[3]["n_pii"] == 0
+    # identical docs after redaction collide on the redacted hash
+    pair = spark.createDataFrame(
+        [(1, "call a@b.io now"), (2, "call c.d@e.org now")], ["doc_id", "text"]
+    )
+    hashes = {r["redacted_md5"] for r in pii_scan(pair).collect()}
+    assert len(hashes) == 1
+
+
+def test_repetition_features_known_counts(spark):
+    from tailpipe_spark.operators.text import repetition_features
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b a"), (2, "x y z w"), (3, "solo")], ["doc_id", "text"]
+    )
+    got = {r["doc_id"]: r for r in repetition_features(docs).collect()}
+    # doc 1 bigrams: "a b","b a","a b","b a" -> 4 total, 2 distinct, top 2
+    assert (got[1]["n_grams"], got[1]["distinct_grams"], got[1]["top_gram_freq"]) == (4, 2, 2)
+    assert got[1]["dup_gram_ratio"] == 0.5 and got[1]["top_gram_ratio"] == 0.5
+    assert (got[2]["n_grams"], got[2]["distinct_grams"]) == (3, 3)
+    assert got[2]["dup_gram_ratio"] == 0.0
+    assert 3 not in got  # shorter than n tokens: no row
+
+
+def test_url_domains_counts(spark):
+    from tailpipe_spark.operators.text import url_domains
+
+    docs = spark.createDataFrame(
+        [
+            (1, "see https://A.example.com/x and http://b.org/y"),
+            (2, "again https://a.example.com/z"),
+            (3, "no links"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = [(r["domain"], r["freq"]) for r in url_domains(docs).collect()]
+    assert got == [("a.example.com", 2), ("b.org", 1)]
+
+
+def test_decontaminate_flags_overlap(spark):
+    from tailpipe_spark.operators.dedup import decontaminate
+
+    bench = spark.createDataFrame([(100, "the quick brown fox jumps")], ["doc_id", "text"])
+    cands = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps high"),  # heavy overlap
+            (2, "totally unrelated words entirely different"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r for r in decontaminate(cands, bench, n=3, threshold=0.5).collect()}
+    # doc 1: grams {the quick brown, quick brown fox, brown fox jumps, fox jumps high}
+    assert (got[1]["n_grams"], got[1]["n_overlap"]) == (4, 3)
+    assert got[1]["contaminated"]
+    assert got[2]["n_overlap"] == 0 and not got[2]["contaminated"]
+
+
+def test_connected_components_chain_and_island(spark):
+    from tailpipe_spark.operators.dedup import connected_components
+
+    # chain 1-2-3-4 (diameter > 1 forces multiple propagation rounds),
+    # island 10-11, self-contained pair order reversed (7, 5)
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 4), (10, 11), (7, 5)], ["id_a", "id_b"]
+    )
+    got = {r["node"]: r["comp"] for r in connected_components(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 5: 5, 7: 5}
