@@ -27,6 +27,8 @@ from tailpipe_spark.queries import build_registry
 # decontamination, dup components).
 _VERIFY_FIRST = [
     "text_pii_redact",
+    "text_bpe_tokens",
+    "emb_kmeans_assign",
     "text_repetition",
     "text_url_domains",
     "text_decontaminate",

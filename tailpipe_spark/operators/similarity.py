@@ -273,9 +273,11 @@ def assign_clusters(
     centroids: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    score_col: str | None = None,
 ) -> DataFrame:
     """Nearest-centroid assignment: broadcast the centroid table, score
-    every (vector, centroid) pair, keep the argmax — linear in corpus."""
+    every (vector, centroid) pair, keep the argmax — linear in corpus.
+    ``score_col`` retains the winning cosine under that name."""
     scored = vectors.join(F.broadcast(centroids)).select(
         id_col,
         vec_col,
@@ -285,11 +287,10 @@ def assign_clusters(
     w = Window.partitionBy(id_col).orderBy(
         F.col("__sim").desc(), F.col("cluster_id").asc()
     )
-    return (
-        scored.withColumn("__rk", F.row_number().over(w))
-        .where(F.col("__rk") == 1)
-        .drop("__rk", "__sim")
-    )
+    out = scored.withColumn("__rk", F.row_number().over(w)).where(F.col("__rk") == 1)
+    if score_col is not None:
+        return out.withColumnRenamed("__sim", score_col).drop("__rk")
+    return out.drop("__rk", "__sim")
 
 
 def ivf_topk(

@@ -198,6 +198,29 @@ def url_domains(docs: DataFrame, text_col: str = "text", top_k: int = 20) -> Dat
     )
 
 
+#: BPE-style pre-tokenizer over normalized text: letter runs, digit
+#: runs, single non-alphanumerics. Alternatives match disjoint character
+#: sets, so leftmost-first (Java) and RE2 (DuckDB) agree exactly.
+BPE_TOKEN_RE = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
+
+
+def bpe_token_counts(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document token counts under a BPE-ish regex pre-tokenizer —
+    the budgeting complement to whitespace counting (doc_token_counts):
+    punctuation and digit runs become tokens, as a subword tokenizer's
+    pre-tokenization pass would emit them."""
+    toks = F.regexp_extract_all(
+        normalize_text(F.col(text_col)), F.lit(BPE_TOKEN_RE), 0
+    )
+    return docs.select(
+        id_col,
+        F.size(toks).cast("long").alias("n_bpe_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct_bpe_tokens"),
+    )
+
+
 def fingerprint(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Order-insensitive content fingerprint: md5 of the sorted distinct
     token set. Docs differing only in token order/duplication collide."""

@@ -330,6 +330,26 @@ FROM scanned ORDER BY doc_id
 """
 
 
+# --- BPE-ish token counting (over the PII-augmented text so digit runs
+# and punctuation actually appear in the synthetic corpus) ---
+
+def text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tx.bpe_token_counts(_with_pii(_docs(spark, sf_dir))).orderBy("doc_id")
+
+
+def _bpe_sql() -> str:
+    from tailpipe_spark.operators.text import BPE_TOKEN_RE
+
+    return f"""
+WITH {_PII_AUG_SQL}
+SELECT doc_id,
+       len(regexp_extract_all({_NORM_SQL}, '{BPE_TOKEN_RE}')) AS n_bpe_tokens,
+       len(list_distinct(regexp_extract_all({_NORM_SQL}, '{BPE_TOKEN_RE}')))
+         AS n_distinct_bpe_tokens
+FROM aug ORDER BY doc_id
+"""
+
+
 # --- within-document repetition (Gopher-style quality rule) ---
 
 def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -528,6 +548,7 @@ SPECS = [
     QuerySpec("text_doc_tokens", text_doc_tokens, DOC_TOKENS_SQL, "per-doc token counting"),
     QuerySpec("text_fingerprint", text_fingerprint, FINGERPRINT_SQL, "order-insensitive doc fingerprint"),
     QuerySpec("text_pii_redact", text_pii_redact, _pii_sql(), "PII detect + redact (email/ipv4/ssn regex classes, md5 of redacted text)"),
+    QuerySpec("text_bpe_tokens", text_bpe_tokens, _bpe_sql(), "BPE-ish regex pre-tokenizer token counting"),
     QuerySpec("text_repetition", text_repetition, REPETITION_SQL, "within-doc bigram repetition (Gopher-style quality rule)"),
     QuerySpec("text_url_domains", text_url_domains, URL_DOMAINS_SQL, "URL domain frequency top-k (block-list substrate)"),
     QuerySpec("text_decontaminate", text_decontaminate, DECONTAMINATE_SQL, "benchmark decontamination via 3-gram overlap (broadcast bench grams)"),

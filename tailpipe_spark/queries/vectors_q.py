@@ -162,7 +162,64 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_KMEANS_K = 8
+
+
+def emb_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One Lloyd assignment step over deterministic seed centroids (the
+    k lowest vec_ids, refine_iters=0 so centroid floats stay raw and the
+    oracle can replay them); per-cluster membership + cosine stats. The
+    full iterative refinement is operators.similarity.ivf_index —
+    engine-specific averaged floats, covered rows-only by sim_ivf_topk."""
+    emb = _emb(spark, sf_dir)
+    cents = sim.ivf_index(emb, nlist=_KMEANS_K, refine_iters=0)
+    assigned = sim.assign_clusters(emb, cents, score_col="cosine")
+    sum_fx = (
+        F.sum(F.round(F.col("cosine") * F.lit(1e12)).cast("long")).cast("double")
+        / F.lit(1e12)
+    )
+    return (
+        assigned.groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            sum_fx.alias("sum_cosine"),
+            F.min("cosine").alias("min_cosine"),
+            F.max("cosine").alias("max_cosine"),
+        )
+        .orderBy("cluster_id")
+    )
+
+
+KMEANS_SQL = f"""
+WITH cents AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cluster_id,
+         embedding AS centroid
+  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT {_KMEANS_K})),
+pairs AS (
+  SELECT e.vec_id, c.cluster_id,
+         unnest(e.embedding) AS x, unnest(c.centroid) AS y
+  FROM embeddings e, cents c),
+stats AS (
+  SELECT vec_id, cluster_id, {_DOT} AS dotp, {_SQX} AS nx, {_SQY} AS ny
+  FROM pairs GROUP BY vec_id, cluster_id),
+scored AS (
+  SELECT vec_id, cluster_id, {_q12('dotp / (SQRT(nx) * SQRT(ny))')} AS cosine
+  FROM stats),
+best AS (
+  SELECT vec_id, cluster_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY vec_id
+                            ORDER BY cosine DESC, cluster_id ASC) AS rk
+  FROM scored)
+SELECT cluster_id, COUNT(*) AS n_members,
+       CAST(SUM(CAST(ROUND(cosine * {_F}) AS BIGINT)) AS DOUBLE) / {_F} AS sum_cosine,
+       MIN(cosine) AS min_cosine, MAX(cosine) AS max_cosine
+FROM best WHERE rk = 1
+GROUP BY cluster_id ORDER BY cluster_id
+"""
+
+
 SPECS = [
+    QuerySpec("emb_kmeans_assign", emb_kmeans_assign, KMEANS_SQL, "k-means assignment step over seed centroids (broadcast, fixed-point exact)"),
     QuerySpec("sim_cosine_topk", sim_cosine_topk, SIM_TOPK_SQL, "exact brute-force cosine top-k (fixed-point exact)"),
     QuerySpec("sim_lsh_topk", sim_lsh_topk, None, "hyperplane-LSH bucketed ANN + exact re-rank (rows-only)"),
     QuerySpec("sim_ivf_topk", sim_ivf_topk, None, "IVF coarse-quantizer ANN + exact re-rank (rows-only)"),

@@ -516,3 +516,33 @@ def test_connected_components_chain_and_island(spark):
     )
     got = {r["node"]: r["comp"] for r in connected_components(edges).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 5: 5, 7: 5}
+
+
+def test_bpe_token_counts_splits_runs(spark):
+    from tailpipe_spark.operators.text import bpe_token_counts
+
+    docs = spark.createDataFrame(
+        [(1, "hello, world 42 a@b.io"), (2, "abc abc")], ["doc_id", "text"]
+    )
+    got = {r["doc_id"]: r for r in bpe_token_counts(docs).collect()}
+    # hello , world 42 a @ b . io -> 9 tokens
+    assert got[1]["n_bpe_tokens"] == 9
+    assert got[1]["n_distinct_bpe_tokens"] == 9
+    assert (got[2]["n_bpe_tokens"], got[2]["n_distinct_bpe_tokens"]) == (2, 1)
+
+
+def test_assign_clusters_score_col(spark):
+    from tailpipe_spark.operators.similarity import assign_clusters
+
+    vecs = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0]), (2, [0.9, 0.1])],
+        ["vec_id", "embedding"],
+    )
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])], ["cluster_id", "centroid"]
+    )
+    got = {r["vec_id"]: r for r in
+           assign_clusters(vecs, cents, score_col="cosine").collect()}
+    assert got[0]["cluster_id"] == 0 and got[0]["cosine"] == 1.0
+    assert got[1]["cluster_id"] == 1
+    assert got[2]["cluster_id"] == 0 and got[2]["cosine"] > 0.9
