@@ -206,3 +206,32 @@ def test_partition_predicate_month_boundary_and_null_keep(spark):
     assert sorted(r["id"] for r in out.collect()) == [1, 2]
     lower_only = apply_pruned_time_filter(df, time_from=datetime(2024, 1, 1))
     assert sorted(r["id"] for r in lower_only.collect()) == [2, 3, 4]
+
+
+def test_pii_scan_is_shuffle_free(spark):
+    from tailpipe_spark.operators.text import pii_scan
+
+    docs = spark.createDataFrame([(1, "a@b.io")], ["doc_id", "text"])
+    plan = _plan(pii_scan(docs))
+    assert "Exchange" not in plan  # narrow per-row transform end to end
+
+
+def test_decontaminate_broadcasts_benchmark_grams(spark):
+    from tailpipe_spark.operators.dedup import decontaminate
+    from tailpipe_spark.session import read_table
+
+    docs = read_table(spark, "/root/testdata/sf0.001/documents.parquet")
+    bench = docs.where(F.col("doc_id") % 97 == 0)
+    cands = docs.where(F.col("doc_id") % 97 != 0)
+    plan = _plan(decontaminate(cands, bench))
+    assert "BroadcastHashJoin" in plan  # bench gram set ships broadcast
+    assert "CartesianProduct" not in plan
+
+
+def test_kmeans_assign_broadcasts_centroids(spark):
+    from tailpipe_spark.queries.vectors_q import emb_kmeans_assign
+
+    plan = _plan(emb_kmeans_assign(spark, "/root/testdata/sf0.001"))
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    # the corpus side must never shuffle on anything but the window key
+    assert "SortMergeJoin" not in plan
