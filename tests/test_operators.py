@@ -546,3 +546,47 @@ def test_assign_clusters_score_col(spark):
     assert got[0]["cluster_id"] == 0 and got[0]["cosine"] == 1.0
     assert got[1]["cluster_id"] == 1
     assert got[2]["cluster_id"] == 0 and got[2]["cosine"] > 0.9
+
+
+def test_connected_components_random_property(spark):
+    """Random graphs vs a driver-side union-find reference."""
+    import random
+
+    rng = random.Random(7)
+    for trial in range(3):
+        n = rng.randint(5, 30)
+        edges = [
+            (rng.randint(0, n), rng.randint(0, n))
+            for _ in range(rng.randint(1, 2 * n))
+        ]
+        edges = [(a, b) for a, b in edges if a != b]
+        if not edges:
+            continue
+
+        parent = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        def union(a, b):
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+
+        for a, b in edges:
+            union(a, b)
+        # canonicalize: min node id per root
+        members = {}
+        for x in parent:
+            members.setdefault(find(x), []).append(x)
+        want = {x: min(ms) for r, ms in members.items() for x in ms}
+
+        from tailpipe_spark.operators.dedup import connected_components
+
+        df = spark.createDataFrame(edges, ["id_a", "id_b"])
+        got = {r["node"]: r["comp"] for r in connected_components(df).collect()}
+        assert got == want, f"trial {trial}: {got} != {want}"
