@@ -28,6 +28,8 @@ from tailpipe_spark.queries import build_registry
 _VERIFY_FIRST = [
     "text_pii_redact",
     "text_bpe_tokens",
+    "text_chunk",
+    "text_pack",
     "emb_kmeans_assign",
     "text_repetition",
     "text_url_domains",

@@ -198,6 +198,82 @@ def url_domains(docs: DataFrame, text_col: str = "text", top_k: int = 20) -> Dat
     )
 
 
+def chunk_documents(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 50,
+    overlap: int = 10,
+) -> DataFrame:
+    """Split documents into ≤chunk_tokens-token windows with
+    ``overlap`` shared tokens between consecutive chunks (the standard
+    context-length chunking step before tokenization/embedding).
+
+    Chunk starts advance by ``chunk_tokens - overlap``; the final start
+    is capped at max(n_tokens - overlap, 1) so no chunk is fully
+    contained in its predecessor. Entirely row-local (split + sequence +
+    slice + explode): a narrow transform with no shuffle, so it scales
+    to any corpus and any executor count.
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    stride = chunk_tokens - overlap
+    words = F.split(normalize_text(F.col(text_col)), " ")
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.size(words) - overlap, F.lit(1)), F.lit(stride)
+    )
+    chunks = F.transform(starts, lambda s: F.slice(words, s, chunk_tokens))
+    return docs.select(
+        id_col, F.posexplode(chunks).alias("chunk_idx", "chunk_words")
+    ).select(
+        id_col,
+        "chunk_idx",
+        F.size("chunk_words").cast("long").alias("n_chunk_tokens"),
+        F.md5(F.array_join(F.col("chunk_words"), " ")).alias("chunk_md5"),
+    )
+
+
+def pack_greedy(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shard_col: str | None = None,
+    capacity: int = 256,
+) -> DataFrame:
+    """Greedy contiguous sequence packing: walk documents in id order
+    and assign each to sequence floor(tokens_before / capacity) — the
+    deterministic streaming-pack strategy (documents are not reordered
+    or split; a long document may overflow its sequence).
+
+    ``shard_col`` packs independently inside each shard, which is the
+    100 TB shape: the running sum is a window per shard, so no global
+    single-partition sort ever materializes. Without a shard the window
+    is global — only for small corpora / oracle determinism.
+    """
+    from pyspark.sql import Window
+
+    n_tokens = F.size(F.split(normalize_text(F.col(text_col)), " ")).cast("long")
+    w = (
+        Window.partitionBy(shard_col) if shard_col is not None else Window.partitionBy()
+    ).orderBy(F.col(id_col)).rowsBetween(Window.unboundedPreceding, -1)
+    sized = docs.select(
+        *( [shard_col] if shard_col is not None else [] ),
+        F.col(id_col),
+        n_tokens.alias("n_tokens"),
+    )
+    packed = sized.withColumn(
+        "seq_id",
+        F.floor(F.coalesce(F.sum("n_tokens").over(w), F.lit(0)) / capacity),
+    )
+    keys = ([shard_col] if shard_col is not None else []) + ["seq_id"]
+    return packed.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.min(id_col).alias("first_doc"),
+        F.max(id_col).alias("last_doc"),
+    )
+
+
 #: BPE-style pre-tokenizer over normalized text: letter runs, digit
 #: runs, single non-alphanumerics. Alternatives match disjoint character
 #: sets, so leftmost-first (Java) and RE2 (DuckDB) agree exactly.

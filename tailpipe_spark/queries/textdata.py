@@ -350,6 +350,59 @@ FROM aug ORDER BY doc_id
 """
 
 
+# --- context-length chunking + greedy sequence packing ---
+
+_CHUNK, _OVERLAP = 50, 10
+_PACK_CAPACITY = 256
+
+
+def text_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tx.chunk_documents(
+        _docs(spark, sf_dir), chunk_tokens=_CHUNK, overlap=_OVERLAP
+    ).orderBy("doc_id", "chunk_idx")
+
+
+def _chunk_sql() -> str:
+    stride = _CHUNK - _OVERLAP
+    return f"""
+WITH toks AS (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS t FROM documents),
+starts AS (
+  SELECT doc_id, t, unnest(range(1, greatest(len(t) - {_OVERLAP}, 1) + 1, {stride})) AS s
+  FROM toks),
+chunks AS (
+  SELECT doc_id, CAST((s - 1) / {stride} AS BIGINT) AS chunk_idx,
+         list_slice(t, s, least(s + {_CHUNK - 1}, len(t))) AS cw
+  FROM starts)
+SELECT doc_id, chunk_idx, len(cw) AS n_chunk_tokens,
+       md5(array_to_string(cw, ' ')) AS chunk_md5
+FROM chunks ORDER BY doc_id, chunk_idx
+"""
+
+
+def text_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tx.pack_greedy(
+        _docs(spark, sf_dir), shard_col="source", capacity=_PACK_CAPACITY
+    ).orderBy("source", "seq_id")
+
+
+PACK_SQL = f"""
+WITH sized AS (
+  SELECT source, doc_id, len(string_split({_NORM_SQL}, ' ')) AS n_tokens
+  FROM documents),
+p AS (
+  SELECT source, doc_id, n_tokens,
+         CAST(FLOOR(CAST(COALESCE(SUM(n_tokens) OVER (
+             PARTITION BY source ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           / {_PACK_CAPACITY}) AS BIGINT) AS seq_id
+  FROM sized)
+SELECT source, seq_id, COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+FROM p GROUP BY source, seq_id ORDER BY source, seq_id
+"""
+
+
 # --- within-document repetition (Gopher-style quality rule) ---
 
 def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -549,6 +602,8 @@ SPECS = [
     QuerySpec("text_fingerprint", text_fingerprint, FINGERPRINT_SQL, "order-insensitive doc fingerprint"),
     QuerySpec("text_pii_redact", text_pii_redact, _pii_sql(), "PII detect + redact (email/ipv4/ssn regex classes, md5 of redacted text)"),
     QuerySpec("text_bpe_tokens", text_bpe_tokens, _bpe_sql(), "BPE-ish regex pre-tokenizer token counting"),
+    QuerySpec("text_chunk", text_chunk, _chunk_sql(), "token-window chunking with overlap (row-local, shuffle-free)"),
+    QuerySpec("text_pack", text_pack, PACK_SQL, "greedy contiguous sequence packing per shard (windowed cumsum)"),
     QuerySpec("text_repetition", text_repetition, REPETITION_SQL, "within-doc bigram repetition (Gopher-style quality rule)"),
     QuerySpec("text_url_domains", text_url_domains, URL_DOMAINS_SQL, "URL domain frequency top-k (block-list substrate)"),
     QuerySpec("text_decontaminate", text_decontaminate, DECONTAMINATE_SQL, "benchmark decontamination via 3-gram overlap (broadcast bench grams)"),
