@@ -99,6 +99,12 @@ def configure_runtime(spark: SparkSession) -> None:
     # int64-micros timestamps carry footer min/max stats (INT96 doesn't);
     # compaction's overlap sweep and row-group time pruning depend on them
     spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    # The driver's testdata stores parquet timestamp[us] WITHOUT the
+    # isAdjustedToUTC flag; Spark 4's default infers those as
+    # TIMESTAMP_NTZ, which unix_micros()/time arithmetic reject at
+    # analysis. The data is UTC by contract (TESTDATA.md) — read it as
+    # plain TIMESTAMP.
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
 
 
 import functools
@@ -173,6 +179,15 @@ def read_table(spark: SparkSession, path: str, *, cache: bool = True) -> DataFra
     df = spark.read.parquet(path)
     for c in _nano_timestamp_cols(path):
         df = df.withColumn(c, F.timestamp_micros(F.expr(f"CAST(`{c}` DIV 1000 AS BIGINT)")))
+    # Safety net for sessions whose first read predated configure_runtime
+    # (the NTZ inference conf is read at plan time, but a cached plan or a
+    # driver-created session can still surface TIMESTAMP_NTZ): cast to
+    # TIMESTAMP. With session tz pinned to UTC this is value-identical.
+    from pyspark.sql.types import TimestampNTZType
+
+    for f_ in df.schema.fields:
+        if isinstance(f_.dataType, TimestampNTZType):
+            df = df.withColumn(f_.name, F.col(f_.name).cast("timestamp"))
     if cache:
         _DF_CACHE[key] = df
     return df
