@@ -22,33 +22,37 @@ from tailpipe_spark.queries import build_registry
 # NOT in the product registry, whose order stays stable for real
 # consumers) puts the entries the driver has not yet hash-verified this
 # cycle at the front so every query gets the hard signal across rounds.
-# Round 3: the 14 entries absent from CORRECTNESS_r02.json, plus the
-# five operators new this round (PII, repetition, URL domains,
-# decontamination, dup components).
+# Round 5: the three queries the TIMESTAMP_NTZ drift broke in r4 (fixed
+# in session.configure_runtime — must re-verify hash-green), then the 24
+# entries the r4 driver sample skipped.
 _VERIFY_FIRST = [
-    "text_pii_redact",
-    "text_bpe_tokens",
-    "text_chunk",
-    "text_pack",
-    "emb_kmeans_assign",
-    "text_repetition",
-    "text_url_domains",
-    "text_decontaminate",
-    "dedup_components",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "text_language_id",
-    "text_quality",
-    "text_token_stats",
-    "text_doc_tokens",
-    "text_fingerprint",
-    "sim_cosine_topk",
-    "sim_lsh_topk",
-    "sim_ivf_topk",
-    "dedup_embedding_cosine",
-    "emb_norm_stats",
-    "q_array_explode",
-    "q_window_frames",
+    "q_window_functions",
+    "q_sessionize",
+    "q_range_join",
+    "q_json_extract",
+    "q_tp_enrichment",
+    "q_validate_nulls",
+    "q_cli_filters",
+    "q_ingest_filter",
+    "q_struct_roundtrip",
+    "q_row_numbering",
+    "mm_checksums",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_fast",
+    "q_correlated_subquery",
+    "q_having_conditional",
+    "q_string_functions",
+    "q_date_functions",
+    "q_describe_query",
+    "sec_ip_classify",
+    "sec_error_burst",
+    "sec_entropy_scan",
+    "q_skew_two_phase_agg",
+    "q_percentiles",
+    "q_pivot",
+    "q_set_ops_all",
+    "q_ilike",
 ]
 
 
