@@ -49,26 +49,98 @@ def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     return h.join(keep, [id_col, "__h"], "inner").drop("__h")
 
 
+def _tokens(docs: DataFrame, text_col: str, n: int, id_col: str) -> DataFrame:
+    """(id, token-array) rows for docs long enough to yield a gram.
+
+    The token array is materialized as its own projection BEHIND the
+    length filter: inlining the split into downstream gram expressions
+    lets Catalyst collapse projects and re-evaluate the
+    lower+regexp+split chain per gram slice — measured 7× slower at
+    sf0.1 than splitting once per row."""
+    return docs.select(
+        F.col(id_col), F.split(normalize_text(F.col(text_col)), " ").alias("__t")
+    ).where(F.size("__t") >= n)
+
+
+def _gram_array_col(n: int):
+    """Distinct n-gram array from a materialized ``__t`` token column.
+    Row-local set semantics via array_distinct — no DISTINCT shuffle."""
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.size("__t") - n),
+            lambda i: F.array_join(F.slice("__t", i + 1, n), " "),
+        )
+    )
+
+
 def token_ngrams(docs: DataFrame, text_col: str, n: int, id_col: str = "doc_id") -> DataFrame:
-    """(id, gram) pairs — distinct word n-grams per document."""
-    toks = docs.select(
-        F.col(id_col), F.split(normalize_text(F.col(text_col)), " ").alias("t")
+    """(id, gram) pairs — distinct word n-grams per document.
+
+    Docs shorter than n tokens yield no grams; the sequence bound makes
+    every emitted slice exactly n tokens, so no post-filter re-split."""
+    return _tokens(docs, text_col, n, id_col).select(
+        id_col, F.explode(_gram_array_col(n)).alias("gram")
     )
-    # docs shorter than n tokens yield no grams; the sequence bound makes
-    # every emitted slice exactly n tokens, so no post-filter re-split.
-    # Per-doc set semantics come from array_distinct BEFORE the explode:
-    # a row-local array op instead of a corpus-wide DISTINCT shuffle.
-    return toks.where(F.size("t") >= n).select(
-        id_col,
-        F.explode(
-            F.array_distinct(
-                F.transform(
-                    F.sequence(F.lit(0), F.size("t") - n),
-                    lambda i: F.array_join(F.slice("t", i + 1, n), " "),
+
+
+#: buckets up to this many members expand pairwise inside one row; the
+#: worst case is ~cap²/2 pair structs (~8 MB at 1024) per bucket row
+_LOCAL_PAIR_CAP = 1024
+
+
+def bucket_pairs(
+    buckets: DataFrame,
+    keys: list[str],
+    ids_col: str = "ids",
+    out: tuple[str, str] = ("id_a", "id_b"),
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """All ordered member pairs (a < b) within each bucket.
+
+    ``buckets`` has one row per bucket: ``keys`` identify it, ``ids_col``
+    holds the member-id array. Buckets with ≤ _LOCAL_PAIR_CAP members
+    expand row-locally (sort → nested transform → explode), which turns
+    the classic bucket self-join into ZERO extra shuffles — measured ~2×
+    faster than the renamed-sides equi-join at sf0.1. Larger (hot)
+    buckets fall back to that equi-join so one m-member bucket's m²
+    pairs spread across tasks instead of materializing in a single row —
+    the skew story a 1000-executor cluster needs.
+
+    ``max_bucket_size``: when the caller PROVES every bucket holds at
+    most this many members (e.g. an upstream df cap), and the bound is
+    within _LOCAL_PAIR_CAP, the join branch is provably empty and is
+    dropped from the plan entirely — its empty stages still cost
+    scheduling time otherwise."""
+    oa, ob = out
+    b2 = buckets.where(F.size(ids_col) >= 2)
+    local_only = max_bucket_size is not None and max_bucket_size <= _LOCAL_PAIR_CAP
+    sorted_ids = F.array_sort(F.col(ids_col))
+    small = (
+        (b2 if local_only else b2.where(F.size(ids_col) <= _LOCAL_PAIR_CAP))
+        .select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        sorted_ids,
+                        lambda x, i: F.transform(
+                            F.slice(sorted_ids, i + 2, F.size(sorted_ids)),
+                            lambda y: F.struct(x.alias(oa), y.alias(ob)),
+                        ),
+                    )
                 )
-            )
-        ).alias("gram"),
+            ).alias("__p")
+        )
+        .select(f"__p.{oa}", f"__p.{ob}")
     )
+    if local_only:
+        return small
+    big = b2.where(F.size(ids_col) > _LOCAL_PAIR_CAP)
+    ba = big.select(*keys, F.explode(ids_col).alias(oa))
+    bb = big.select(*keys, F.explode(ids_col).alias(ob))
+    big_pairs = (
+        ba.join(bb, keys).where(F.col(oa) < F.col(ob)).select(oa, ob)
+    )
+    return small.unionByName(big_pairs)
 
 
 def ngram_jaccard_pairs(
@@ -78,6 +150,7 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_gram_df: int | None = 100_000,
+    corpus_size: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for all pairs sharing >=1 gram.
 
@@ -89,26 +162,44 @@ def ngram_jaccard_pairs(
     corpus. Similarity is then Jaccard over the remaining informative
     grams (sizes are recomputed post-cap, so the metric stays
     self-consistent). None disables the cap.
+
+    ``corpus_size``: optional document-count hint. When the caller
+    already knows the corpus size (catalog stats, a prior count), pass
+    it to skip the one count job the cap guard otherwise runs — on a
+    derived input that count re-executes the upstream plan.
     """
-    # One explicit shuffle on gram, whose exchange is REUSED by every
-    # consumer (hot-gram agg, both self-join sides): the split/explode
-    # pipeline runs once, and the gram-keyed agg + self-join need no
-    # further exchange because HashPartitioning(gram) already holds.
-    grams = token_ngrams(docs, text_col, n, id_col).repartition(F.col("gram"))
+    # ONE shuffle keyed on gram builds inverted-index buckets
+    # (gram → [doc ids]); everything the old plan did with a hot-gram
+    # aggregation + broadcast anti-join + renamed-sides self-join falls
+    # out of that single aggregation: the df cap is a WHERE on the
+    # bucket's member count, and pair generation is row-local
+    # (bucket_pairs). Grams travel as 64-bit xxhash64 keys, not strings:
+    # the shuffle and agg key on 8 bytes instead of a ~20-byte utf8 gram
+    # (collision odds over per-doc gram sets are ~|grams|²/2⁶⁴ —
+    # negligible at any corpus size).
+    grams = token_ngrams(docs, text_col, n, id_col).select(
+        id_col, F.xxhash64("gram").alias("gram")
+    )
+    size = None
     if max_gram_df is not None:
         # A gram's document frequency is bounded by the corpus size, so
         # when the corpus holds <= max_gram_df documents the cap provably
-        # cannot trigger — skip the frequency pass (one cheap count job,
-        # metadata-only for parquet-backed inputs, vs a full gram
-        # aggregation + anti-join). Results are bit-identical with or
-        # without the skip at ANY corpus size; at real scale doc count
-        # >> cap and the guard machinery runs as designed.
-        if docs.count() <= max_gram_df:
+        # cannot trigger — skip it (and the count job it needs, unless
+        # the caller supplied the size). Results are bit-identical with
+        # or without the skip at ANY corpus size; at real scale doc
+        # count >> cap and the cap runs as designed.
+        size = corpus_size if corpus_size is not None else docs.count()
+        if size <= max_gram_df:
             max_gram_df = None
-    if max_gram_df is not None:
-        # The offending set (grams with df > cap) is small by
-        # construction, so ship it as a broadcast anti-join instead of
-        # shuffling the full gram-frequency table back onto the grams.
+    # A bucket's member list is bounded by the corpus size, so on a
+    # PROVABLY small corpus (≤1M docs → ≤8 MB worst-case array) the cap
+    # can be a post-collect WHERE on bucket size — one aggregation pass.
+    # On a large or unknown corpus, hot grams must be dropped BEFORE the
+    # collect (a stop-phrase gram shared by 10⁸ docs must never
+    # materialize as one giant agg buffer): count df per gram, broadcast
+    # the small offending set, anti-join. Same results either way.
+    post_filter_safe = size is not None and size <= 1_000_000
+    if max_gram_df is not None and not post_filter_safe:
         hot = (
             grams.groupBy("gram")
             .agg(F.count(F.lit(1)).alias("__df"))
@@ -116,18 +207,28 @@ def ngram_jaccard_pairs(
             .select("gram")
         )
         grams = grams.join(F.broadcast(hot), "gram", "left_anti")
-    sizes = grams.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
-
-    a = grams.select(F.col(id_col).alias("id_a"), "gram")
-    b = grams.select(F.col(id_col).alias("id_b"), "gram")
+    buckets = grams.groupBy("gram").agg(F.collect_list(id_col).alias("ids"))
+    if max_gram_df is not None and post_filter_safe:
+        buckets = buckets.where(F.size("ids") <= max_gram_df)
+    # per-doc informative-gram counts, recomputed post-cap so the metric
+    # stays self-consistent
+    sizes = (
+        buckets.select(F.explode("ids").alias(id_col))
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("sz"))
+    )
     common = (
-        a.join(b, "gram")
-        .where(F.col("id_a") < F.col("id_b"))
+        bucket_pairs(buckets, ["gram"], max_bucket_size=max_gram_df)
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("common"))
     )
     sz_a = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
     sz_b = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
+    if post_filter_safe:
+        # ≤1M docs → the per-doc size table is ≤~16 MB: ship it to the
+        # pair side instead of shuffling both join inputs. At real scale
+        # sizes is corpus-sized and the sort-merge path is correct.
+        sz_a, sz_b = F.broadcast(sz_a), F.broadcast(sz_b)
     return (
         common.join(sz_a, "id_a")
         .join(sz_b, "id_b")
@@ -266,11 +367,24 @@ def minhash_signatures(
     """
     if hash_fn is None:
         hash_fn = xxhash64_hash_fn
-    grams = token_ngrams(docs, text_col, n, id_col)
-    aggs = [
-        F.min(hash_fn(F.col("gram"), s)).alias(f"mh{s}") for s in range(num_hashes)
-    ]
-    return grams.groupBy(id_col).agg(*aggs)
+    # Row-local: each signature is a fold over the document's own gram
+    # array (transform + array_min), so signature computation needs NO
+    # shuffle at all — the explode→groupBy formulation re-shuffled the
+    # entire gram set just to take per-doc minima. Docs shorter than n
+    # tokens have no grams and (as before) produce no signature row.
+    g = _tokens(docs, text_col, n, id_col).select(
+        F.col(id_col), _gram_array_col(n).alias("__grams")
+    )
+
+    # factory keeps the lambda single-arg: a 2-arg lambda (e.g. `s=s`
+    # defaulting) makes F.transform pass the ELEMENT INDEX as the second
+    # argument, silently replacing the seed
+    def _sig(s: int):
+        return F.array_min(
+            F.transform(F.col("__grams"), lambda gc: hash_fn(gc, s))
+        ).alias(f"mh{s}")
+
+    return g.select(F.col(id_col), *[_sig(s) for s in range(num_hashes)])
 
 
 def minhash_lsh_pairs(
@@ -299,17 +413,19 @@ def minhash_lsh_pairs(
         )
         for b in range(bands)
     ]
-    buckets = sig.select(id_col, F.explode(F.array(*band_cols)).alias("bk")).select(
-        id_col, F.col("bk.band").alias("band"), F.col("bk.sig").alias("sig")
+    buckets = (
+        sig.select(id_col, F.explode(F.array(*band_cols)).alias("bk"))
+        .select(id_col, F.col("bk.band").alias("band"), F.col("bk.sig").alias("sig"))
+        .groupBy("band", "sig")
+        .agg(F.collect_list(id_col).alias("ids"))
     )
-    a = buckets.select(F.col(id_col).alias("id_a"), "band", "sig")
-    b = buckets.select(F.col(id_col).alias("id_b"), "band", "sig")
-    return (
-        a.join(b, ["band", "sig"])
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
-    )
+    # One shuffle builds the collision buckets; bucket_pairs expands
+    # small buckets row-locally and spreads oversized ones through the
+    # join path. A bucket's member list is bounded by its collision
+    # volume — run exact dedup first (the standard pipeline order) so a
+    # degenerate corpus (10⁸ copies of one document) can't funnel into
+    # a single agg buffer here.
+    return bucket_pairs(buckets, ["band", "sig"]).distinct()
 
 
 def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -354,14 +470,10 @@ def simhash_candidates(
         )
         for i in range(chunks)
     ]
-    parts = fp.select(id_col, F.explode(F.array(*chunk_cols)).alias("c")).select(
-        id_col, "c.ci", "c.cv"
+    parts = (
+        fp.select(id_col, F.explode(F.array(*chunk_cols)).alias("c"))
+        .select(id_col, "c.ci", "c.cv")
+        .groupBy("ci", "cv")
+        .agg(F.collect_list(id_col).alias("ids"))
     )
-    a = parts.select(F.col(id_col).alias("id_a"), "ci", "cv")
-    b = parts.select(F.col(id_col).alias("id_b"), "ci", "cv")
-    return (
-        a.join(b, ["ci", "cv"])
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
-    )
+    return bucket_pairs(parts, ["ci", "cv"]).distinct()

@@ -125,6 +125,7 @@ def cosine_pairs_threshold(
     use_lsh: bool | None = None,
     num_planes: int = 16,
     bands: int = 4,
+    corpus_size: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: (id_a, id_b, cosine) with
     id_a < id_b and cosine >= threshold.
@@ -135,10 +136,13 @@ def cosine_pairs_threshold(
     bounded by the band layout, re-ranking is exact either way).
     The default (None) counts the corpus and picks: exact below
     ``AUTO_LSH_THRESHOLD`` vectors, LSH above — an all-pairs default
-    must not silently go quadratic on a large corpus.
+    must not silently go quadratic on a large corpus. ``corpus_size``
+    is an optional vector-count hint that skips that count job (which
+    on a derived input re-executes the upstream plan).
     """
     if use_lsh is None:
-        use_lsh = vectors.count() > AUTO_LSH_THRESHOLD
+        size = corpus_size if corpus_size is not None else vectors.count()
+        use_lsh = size > AUTO_LSH_THRESHOLD
     # Per-vector norms computed ONCE (tiny per-row fold); pairwise dot
     # products are per-pair fixed-point folds — no explode, no shuffle:
     # the pair row count is the only cost driver.

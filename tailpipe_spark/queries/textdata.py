@@ -15,10 +15,9 @@ from tailpipe_spark.queries import QuerySpec
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from tailpipe_spark.session import configure_runtime
+    from tailpipe_spark.session import read_table
 
-    configure_runtime(spark)
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return read_table(spark, f"{sf_dir}/documents.parquet")
 
 
 #: DuckDB expression mirroring operators.dedup.normalize_text
@@ -53,8 +52,11 @@ _MAX_GRAM_DF = 1000  # hot-gram cap, mirrored in the oracle below
 
 
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tailpipe_spark.session import parquet_row_count
+
     return dd.ngram_jaccard_pairs(
-        _docs(spark, sf_dir), n=3, threshold=0.2, max_gram_df=_MAX_GRAM_DF
+        _docs(spark, sf_dir), n=3, threshold=0.2, max_gram_df=_MAX_GRAM_DF,
+        corpus_size=parquet_row_count(f"{sf_dir}/documents.parquet"),
     ).orderBy("id_a", "id_b")
 
 
@@ -504,8 +506,11 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Iterative min-label propagation over the Jaccard dup-pair graph
     (non-SQL-expressible as one query on the Spark side; the DuckDB
     oracle replays it with a recursive transitive-closure CTE)."""
+    from tailpipe_spark.session import parquet_row_count
+
     pairs = dd.ngram_jaccard_pairs(
-        _docs(spark, sf_dir), n=3, threshold=0.2, max_gram_df=_MAX_GRAM_DF
+        _docs(spark, sf_dir), n=3, threshold=0.2, max_gram_df=_MAX_GRAM_DF,
+        corpus_size=parquet_row_count(f"{sf_dir}/documents.parquet"),
     ).select("id_a", "id_b")
     cc = dd.connected_components(pairs)
     sizes = cc.groupBy("comp").agg(F.count(F.lit(1)).alias("component_size"))

@@ -38,10 +38,9 @@ _SQY = _fxp("CAST(y AS DOUBLE) * CAST(y AS DOUBLE)")
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from tailpipe_spark.session import configure_runtime
+    from tailpipe_spark.session import read_table
 
-    configure_runtime(spark)
-    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return read_table(spark, f"{sf_dir}/embeddings.parquet")
 
 
 def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:

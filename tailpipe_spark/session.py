@@ -141,6 +141,30 @@ def _nano_timestamp_cols(path: str) -> list[str]:
     ]
 
 
+@functools.lru_cache(maxsize=256)
+def parquet_row_count(path: str) -> int | None:
+    """Exact row count from parquet footer metadata — driver-side I/O
+    only, no Spark job. Used as a ``corpus_size`` hint so operators
+    whose plan depends on corpus scale (hot-gram cap guard, auto-LSH
+    flip) don't pay a count job. None when the path isn't parquet."""
+    import glob as _glob
+    import os as _os
+
+    import pyarrow.parquet as pq
+
+    files = (
+        sorted(_glob.glob(_os.path.join(path, "**", "*.parquet"), recursive=True))
+        if _os.path.isdir(path)
+        else [path]
+    )
+    if not files:
+        return None
+    try:
+        return sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+    except Exception:  # noqa: BLE001 — unreadable/non-parquet: no hint
+        return None
+
+
 #: (applicationId, path) → DataFrame. The driver's testdata is
 #: immutable, so the logical plan (file listing + schema) is reusable;
 #: without this every query pays a driver-side directory listing,

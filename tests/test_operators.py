@@ -258,19 +258,32 @@ def test_ngram_jaccard_hot_gram_cap(spark):
 
 def test_ngram_cap_gate_skips_when_provably_noop(spark):
     """doc_count <= max_gram_df bounds every gram's df under the cap, so
-    the frequency pass (gram agg + anti-join) must be skipped — same
-    results, cheaper plan. Above the bound the guard machinery runs."""
+    the frequency pass must be skipped — same results, cheaper plan.
+    Above the bound the cap runs: as a post-collect bucket-size filter
+    on a provably small corpus, or a pre-collect anti-join when the
+    corpus is large or of unknown size (a hot gram must never
+    materialize as one giant agg buffer)."""
     docs = [(i, f"alpha beta gamma delta{i} epsilon{i} zeta{i}") for i in range(4)]
     df = spark.createDataFrame(docs, ["doc_id", "text"])
 
     gated = ngram_jaccard_pairs(df, n=3, threshold=0.1, max_gram_df=100)
-    assert "LeftAnti" not in gated._jdf.queryExecution().executedPlan().toString()
+    g_plan = gated._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti" not in g_plan and " <= 100)" not in g_plan
+    # small corpus (count job finds 4 docs ≤ 1M): post-collect filter
     capped = ngram_jaccard_pairs(df, n=3, threshold=0.1, max_gram_df=3)
-    assert "LeftAnti" in capped._jdf.queryExecution().executedPlan().toString()
+    c_plan = capped._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti" not in c_plan and " <= 3)" in c_plan
+    # caller claims a huge corpus: hot grams drop before the collect
+    big = ngram_jaccard_pairs(
+        df, n=3, threshold=0.1, max_gram_df=3, corpus_size=2_000_000
+    )
+    assert "LeftAnti" in big._jdf.queryExecution().executedPlan().toString()
     # the gate skip is exact: same pairs as explicitly uncapped
     key = lambda rows: {(r["id_a"], r["id_b"]) for r in rows}
     uncapped = ngram_jaccard_pairs(df, n=3, threshold=0.1, max_gram_df=None)
     assert key(gated.collect()) == key(uncapped.collect())
+    # and both cap paths agree with each other
+    assert key(capped.collect()) == key(big.collect())
 
 
 def test_lsh_multiprobe_improves_recall(spark):
