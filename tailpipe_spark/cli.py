@@ -143,6 +143,13 @@ def _jsonable(v):
 def cmd_query(args) -> int:
     spark = _build_spark(args)
     cat = _catalog(args)
+    if args.sql is None:
+        # reference: `tailpipe query` with no argument opens the
+        # interactive shell (cmd/query.go:100-104)
+        from tailpipe_spark.shell import Shell
+
+        Shell(spark, cat).repl()
+        return 0
     from tailpipe_spark.query_cli import apply_query_filters
     from tailpipe_spark.repair import is_corrupt_parquet_error, quarantine_invalid_files
 
@@ -400,6 +407,21 @@ def cmd_show(args) -> int:
             if p.qualified_name == args.name or p.name == args.name:
                 print(json.dumps(_describe_partition(p), indent=1))
                 return 0
+    elif args.kind == "source":
+        # reference: `tailpipe source show <name>` (cmd/source.go:111-113);
+        # sources live on partitions here, addressed by partition name
+        for p in cfg["partitions"]:
+            if (
+                p.source is not None
+                and (p.qualified_name == args.name or p.name == args.name)
+            ):
+                print(
+                    json.dumps(
+                        {"partition": p.qualified_name, **_describe_source(p.source)},
+                        indent=1,
+                    )
+                )
+                return 0
     elif args.kind == "table":
         t = cfg["tables"].get(args.name)
         if t is not None:
@@ -427,10 +449,55 @@ def cmd_show(args) -> int:
 
 
 def cmd_plugin(args) -> int:
-    """Installed-extension introspection (reference: cmd/plugin.go —
-    `tailpipe plugin list/show`; install is `pip install <pkg>` here,
-    Python packaging being this engine's plugin distribution channel)."""
+    """Extension-package verbs (reference: cmd/plugin.go:49-92 —
+    `tailpipe plugin list/show/install/update/uninstall`). Python
+    packaging is this engine's plugin distribution channel, so
+    install/update/uninstall bridge to pip, then rescan the
+    entry-point group and report the newly contributed surface."""
     from tailpipe_spark import plugins
+
+    if args.action in ("install", "update", "uninstall"):
+        if not args.name:
+            print(f"error: plugin {args.action} needs a package name", file=sys.stderr)
+            return 2
+        before = {p.name: p.describe() for p in plugins.load_all()}
+        pip_args = {
+            "install": ["install", args.name],
+            "update": ["install", "--upgrade", args.name],
+            "uninstall": ["uninstall", "-y", args.name],
+        }[args.action]
+        import subprocess
+
+        proc = subprocess.run(
+            [sys.executable, "-m", "pip", "--disable-pip-version-check", *pip_args],
+            capture_output=True,
+            text=True,
+        )
+        if proc.returncode != 0:
+            print(f"error: pip {args.action} failed:\n{proc.stderr}", file=sys.stderr)
+            return 1
+        # fresh interpreter metadata: a newly installed dist must be
+        # visible to entry_points() even if this process imported
+        # importlib.metadata before the install
+        import importlib
+
+        importlib.invalidate_caches()
+        after = {p.name: p.describe() for p in plugins.load_all(refresh=True)}
+        added = {n: d for n, d in after.items() if n not in before}
+        removed = sorted(n for n in before if n not in after)
+        print(
+            json.dumps(
+                {
+                    "action": args.action,
+                    "package": args.name,
+                    "plugins_added": added,
+                    "plugins_removed": removed,
+                    "plugins_installed": sorted(after),
+                },
+                indent=1,
+            )
+        )
+        return 0
 
     found = plugins.load_all()
     if args.action == "list":
@@ -485,7 +552,9 @@ def main(argv: list[str] | None = None) -> int:
     sub = ap.add_subparsers(dest="cmd", required=True)
 
     q = sub.add_parser("query")
-    q.add_argument("sql")
+    # no SQL argument → interactive shell, like the reference
+    # (cmd/query.go:100-104 drops into the REPL when no args are given)
+    q.add_argument("sql", nargs="?")
     q.add_argument("--from", dest="time_from")
     q.add_argument("--to", dest="time_to")
     q.add_argument("--index", action="append")
@@ -532,7 +601,7 @@ def main(argv: list[str] | None = None) -> int:
     ls.set_defaults(fn=cmd_list)
 
     sh = sub.add_parser("show", help="JSON detail for one config block or table")
-    sh.add_argument("kind", choices=["partition", "table", "format"])
+    sh.add_argument("kind", choices=["partition", "table", "format", "source"])
     sh.add_argument("name")
     sh.add_argument("--config")
     sh.set_defaults(fn=cmd_show)
@@ -550,7 +619,9 @@ def main(argv: list[str] | None = None) -> int:
         help="installed extension packages (entry-point group "
         "tailpipe_spark.plugins; reference: cmd/plugin.go)",
     )
-    pl.add_argument("action", choices=["list", "show"])
+    pl.add_argument(
+        "action", choices=["list", "show", "install", "update", "uninstall"]
+    )
     pl.add_argument("name", nargs="?")
     pl.set_defaults(fn=cmd_plugin)
 

@@ -205,3 +205,52 @@ def test_render_stream_lazy_first_page(spark):
     assert header.strip() == "id" and set(rule) <= {"-", "+"}
     assert first.strip() == "0"
     gen.close()
+
+
+def test_cli_query_no_sql_opens_shell(populated_workspace, capsys, monkeypatch):
+    """`query` with no SQL drops into the interactive shell (reference:
+    cmd/query.go:100-104) and the REPL survives prompt → statement →
+    `.timing` → Ctrl-C, exiting cleanly on `.exit`."""
+    feed = iter(
+        [
+            "select 17 as seventeen;",
+            ".timing on",
+            KeyboardInterrupt,  # Ctrl-C at the prompt: buffer reset, shell lives
+            "select 21 as twentyone;",
+            ".exit",
+        ]
+    )
+
+    def fake_input(prompt=""):
+        item = next(feed)
+        if item is KeyboardInterrupt:
+            raise KeyboardInterrupt
+        return item
+
+    monkeypatch.setattr("builtins.input", fake_input)
+    rc = main(["--workspace", populated_workspace.workspace, "query"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "17" in out
+    assert "21" in out
+    assert "Time:" in out  # .timing on applied to the post-interrupt query
+
+
+def test_cli_connect_filter_rejects_statements(populated_workspace, capsys, tmp_path):
+    """connect --filter runs through the same lexical guard as partition
+    filters (reference: internal/config/partition.go:139-186)."""
+    rc = main([
+        "--workspace", populated_workspace.workspace,
+        "connect", "--filter", "1=1; drop table server_metrics",
+        "--out-dir", str(tmp_path / "conn"),
+    ])
+    err = capsys.readouterr().err
+    assert rc == 1
+    assert "only plain expressions" in err
+    # a plain predicate still passes
+    rc = main([
+        "--workspace", populated_workspace.workspace,
+        "connect", "--filter", "tp_index = 'web-01'",
+        "--out-dir", str(tmp_path / "conn"),
+    ])
+    assert rc == 0

@@ -311,6 +311,16 @@ partition "web" "prod" {
     g = json.loads(capsys.readouterr().out)
     assert g["type"] == "grok"
 
+    # reference: `tailpipe source show <name>` (cmd/source.go:111-113)
+    assert cli.main(["--workspace", ws, "show", "source", "web.prod",
+                     "--config", str(tpc)]) == 0
+    s = json.loads(capsys.readouterr().out)
+    assert s["partition"] == "web.prod"
+    assert s["paths"] == ["/logs/"]
+    assert s["format"]["delimiter"] == ";"
+    assert cli.main(["--workspace", ws, "show", "source", "nope",
+                     "--config", str(tpc)]) == 1
+
 
 def test_config_dir_cross_file_references(tmp_path):
     """Format defined in a LATER-sorted file resolves from an earlier

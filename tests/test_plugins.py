@@ -145,3 +145,87 @@ def test_plugin_table_collects_end_to_end(demo_plugin, spark, tmp_path, capsys):
     assert [(r["id"], r["level"]) for r in got] == [
         (0, "warn"), (1, "info"), (2, "warn"), (3, "info")
     ]
+
+
+WHEEL_MODULE = '''
+from tailpipe_spark.config import FormatConfig
+
+
+def register(api):
+    api.add_format_preset(
+        "jsonl.wheel_demo", FormatConfig(type="jsonl", name="wheel_demo")
+    )
+'''
+
+
+def _build_wheel(tmp_path) -> str:
+    """Hand-assemble a minimal wheel (a wheel is a zip with dist-info)."""
+    import base64
+    import hashlib
+    import zipfile
+
+    name = "tp_wheel_plugin-0.1-py3-none-any.whl"
+    files = {
+        "tp_wheel_plugin.py": WHEEL_MODULE,
+        "tp_wheel_plugin-0.1.dist-info/METADATA": (
+            "Metadata-Version: 2.1\nName: tp-wheel-plugin\nVersion: 0.1\n"
+        ),
+        "tp_wheel_plugin-0.1.dist-info/WHEEL": (
+            "Wheel-Version: 1.0\nGenerator: test\nRoot-Is-Purelib: true\n"
+            "Tag: py3-none-any\n"
+        ),
+        "tp_wheel_plugin-0.1.dist-info/entry_points.txt": (
+            "[tailpipe_spark.plugins]\nwheel_demo = tp_wheel_plugin:register\n"
+        ),
+    }
+    record = "tp_wheel_plugin-0.1.dist-info/RECORD"
+    lines = []
+    for path, content in files.items():
+        digest = base64.urlsafe_b64encode(
+            hashlib.sha256(content.encode()).digest()
+        ).rstrip(b"=").decode()
+        lines.append(f"{path},sha256={digest},{len(content.encode())}")
+    lines.append(f"{record},,")
+    files[record] = "\n".join(lines) + "\n"
+    whl = tmp_path / name
+    with zipfile.ZipFile(whl, "w") as z:
+        for path, content in files.items():
+            z.writestr(path, content)
+    return str(whl)
+
+
+def test_plugin_install_uninstall_roundtrip(tmp_path, capsys):
+    """`plugin install <wheel>` pip-installs, rescans the entry-point
+    group, and reports the newly contributed surface; the new preset
+    shows up in `list formats`; `plugin uninstall` removes it
+    (reference: cmd/plugin.go:49-92)."""
+    import subprocess
+    import sys as _sys
+
+    whl = _build_wheel(tmp_path)
+    ws = str(tmp_path / "ws")
+    try:
+        rc = main(["--workspace", ws, "plugin", "install", whl])
+        out = json.loads(capsys.readouterr().out)
+        assert rc == 0
+        assert "wheel_demo" in out["plugins_added"]
+        assert out["plugins_added"]["wheel_demo"]["formats"] == ["jsonl.wheel_demo"]
+
+        # the contributed preset is live engine surface
+        (tmp_path / "empty.tpc").write_text("")
+        assert main(["--workspace", ws, "list", "formats",
+                     "--config", str(tmp_path / "empty.tpc")]) == 0
+        fmts = json.loads(capsys.readouterr().out)
+        assert "jsonl.wheel_demo" in fmts
+
+        rc = main(["--workspace", ws, "plugin", "uninstall", "tp-wheel-plugin"])
+        out = json.loads(capsys.readouterr().out)
+        assert rc == 0
+        assert "wheel_demo" in out["plugins_removed"]
+    finally:
+        subprocess.run(
+            [_sys.executable, "-m", "pip", "--disable-pip-version-check",
+             "uninstall", "-y", "tp-wheel-plugin"],
+            capture_output=True,
+        )
+        plugins.load_all(refresh=True)
