@@ -252,6 +252,18 @@ def pack_greedy(
     """
     from pyspark.sql import Window
 
+    if shard_col is None:
+        # not silent: a global running sum funnels the whole corpus
+        # through ONE task's window partition
+        import warnings
+
+        warnings.warn(
+            "pack_greedy without shard_col builds a single global window "
+            "(one partition holds every row); pass shard_col for any "
+            "corpus that doesn't comfortably fit one task",
+            ResourceWarning,
+            stacklevel=2,
+        )
     n_tokens = F.size(F.split(normalize_text(F.col(text_col)), " ")).cast("long")
     w = (
         Window.partitionBy(shard_col) if shard_col is not None else Window.partitionBy()
