@@ -14,10 +14,12 @@ from tailpipe_spark.operators import text as tx
 from tailpipe_spark.queries import QuerySpec
 
 
-def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _docs(spark: SparkSession, sf_dir: str, parallel: bool = False) -> DataFrame:
     from tailpipe_spark.session import read_table
 
-    return read_table(spark, f"{sf_dir}/documents.parquet")
+    return read_table(
+        spark, f"{sf_dir}/documents.parquet", parallelize=parallel
+    )
 
 
 #: DuckDB expression mirroring operators.dedup.normalize_text
@@ -55,7 +57,8 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tailpipe_spark.session import parquet_row_count
 
     return dd.ngram_jaccard_pairs(
-        _docs(spark, sf_dir), n=3, threshold=0.2, max_gram_df=_MAX_GRAM_DF,
+        _docs(spark, sf_dir, parallel=True), n=3, threshold=0.2,
+        max_gram_df=_MAX_GRAM_DF,
         corpus_size=parquet_row_count(f"{sf_dir}/documents.parquet"),
     ).orderBy("id_a", "id_b")
 
@@ -93,8 +96,8 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     whole LSH pipeline (grams → signatures → bands → bucket join) is
     value-checked. The engine default is xxhash64 (dedup_minhash_fast)."""
     return dd.minhash_lsh_pairs(
-        _docs(spark, sf_dir), n=3, num_hashes=_NUM_HASHES, bands=_BANDS,
-        hash_fn=dd.md5_hash_fn,
+        _docs(spark, sf_dir, parallel=True), n=3, num_hashes=_NUM_HASHES,
+        bands=_BANDS, hash_fn=dd.md5_hash_fn,
     ).orderBy("id_a", "id_b")
 
 
@@ -103,7 +106,8 @@ def dedup_minhash_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     plan shape as dedup_minhash_lsh; hash values are engine-specific so
     the harness checks rows-only — the md5 twin covers value parity."""
     return dd.minhash_lsh_pairs(
-        _docs(spark, sf_dir), n=3, num_hashes=_NUM_HASHES, bands=_BANDS
+        _docs(spark, sf_dir, parallel=True), n=3, num_hashes=_NUM_HASHES,
+        bands=_BANDS
     ).orderBy("id_a", "id_b")
 
 
@@ -134,7 +138,7 @@ ORDER BY id_a, id_b
 # --- SimHash fingerprints (xxhash64 — Spark-native, rows-only check) ---
 
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _docs(spark, sf_dir)
+    docs = _docs(spark, sf_dir, parallel=True)
     fp = dd.simhash(docs)
     cands = dd.simhash_candidates(docs).groupBy().agg(
         F.count(F.lit(1)).alias("n_candidate_pairs")
@@ -181,7 +185,7 @@ SELECT pred_lang, COUNT(*) AS n_docs FROM p GROUP BY pred_lang ORDER BY pred_lan
 # --- quality features (per-doc, deterministic arithmetic) ---
 
 def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    out = tx.quality_features(_docs(spark, sf_dir))
+    out = tx.quality_features(_docs(spark, sf_dir, parallel=True))
     return out.select(
         "doc_id",
         "q_chars",
@@ -336,7 +340,9 @@ FROM scanned ORDER BY doc_id
 # and punctuation actually appear in the synthetic corpus) ---
 
 def text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return tx.bpe_token_counts(_with_pii(_docs(spark, sf_dir))).orderBy("doc_id")
+    return tx.bpe_token_counts(
+        _with_pii(_docs(spark, sf_dir, parallel=True))
+    ).orderBy("doc_id")
 
 
 def _bpe_sql() -> str:
@@ -360,7 +366,7 @@ _PACK_CAPACITY = 256
 
 def text_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.chunk_documents(
-        _docs(spark, sf_dir), chunk_tokens=_CHUNK, overlap=_OVERLAP
+        _docs(spark, sf_dir, parallel=True), chunk_tokens=_CHUNK, overlap=_OVERLAP
     ).orderBy("doc_id", "chunk_idx")
 
 
@@ -475,7 +481,7 @@ _DECON_THRESHOLD = 0.03
 
 
 def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _docs(spark, sf_dir)
+    docs = _docs(spark, sf_dir, parallel=True)
     bench = docs.where(F.col("doc_id") % 97 == 0)
     cands = docs.where(F.col("doc_id") % 97 != 0)
     return dd.decontaminate(
@@ -509,7 +515,8 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tailpipe_spark.session import parquet_row_count
 
     pairs = dd.ngram_jaccard_pairs(
-        _docs(spark, sf_dir), n=3, threshold=0.2, max_gram_df=_MAX_GRAM_DF,
+        _docs(spark, sf_dir, parallel=True), n=3, threshold=0.2,
+        max_gram_df=_MAX_GRAM_DF,
         corpus_size=parquet_row_count(f"{sf_dir}/documents.parquet"),
     ).select("id_a", "id_b")
     cc = dd.connected_components(pairs)

@@ -142,6 +142,39 @@ def _nano_timestamp_cols(path: str) -> list[str]:
 
 
 @functools.lru_cache(maxsize=256)
+def _split_profile(path: str) -> tuple[int, int]:
+    """(total row groups, total bytes) across a parquet file/dir.
+
+    Spark parallelizes a parquet scan by row group: a 20 MB table
+    written as ONE row group runs its whole scan+map pipeline in ONE
+    task no matter how many cores the session has. Driver-side footer
+    I/O, cached per immutable path."""
+    import glob as _glob
+    import os as _os
+
+    import pyarrow.parquet as pq
+
+    files = (
+        _glob.glob(_os.path.join(path, "**", "*.parquet"), recursive=True)
+        if _os.path.isdir(path)
+        else [path]
+    )
+    groups = size = 0
+    for f in files:
+        try:
+            groups += pq.ParquetFile(f).metadata.num_row_groups
+            size += _os.path.getsize(f)
+        except Exception:  # noqa: BLE001 — unreadable: claim no knowledge
+            return (1 << 30, 1 << 60)
+    return (groups, size)
+
+
+#: only inputs this small ever get the map-parallelism repartition; a
+#: real table is orders of magnitude larger and never pays the shuffle
+_REPARTITION_MAX_BYTES = 512 * 1024 * 1024
+
+
+@functools.lru_cache(maxsize=256)
 def parquet_row_count(path: str) -> int | None:
     """Exact row count from parquet footer metadata — driver-side I/O
     only, no Spark job. Used as a ``corpus_size`` hint so operators
@@ -173,7 +206,13 @@ def parquet_row_count(path: str) -> int | None:
 _DF_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
-def read_table(spark: SparkSession, path: str, *, cache: bool = True) -> DataFrame:
+def read_table(
+    spark: SparkSession,
+    path: str,
+    *,
+    cache: bool = True,
+    parallelize: bool = False,
+) -> DataFrame:
     """Read a parquet table, transparently converting nano-timestamp
     columns (unreadable by Spark's vectorized reader) to TimestampType.
 
@@ -187,7 +226,7 @@ def read_table(spark: SparkSession, path: str, *, cache: bool = True) -> DataFra
     from pyspark.sql import functions as F
 
     app = spark.sparkContext.applicationId
-    key = (app, path)
+    key = (app, path, parallelize)
     if not cache:
         _DF_CACHE.pop(key, None)
         _nano_timestamp_cols.cache_clear()
@@ -212,6 +251,22 @@ def read_table(spark: SparkSession, path: str, *, cache: bool = True) -> DataFra
     for f_ in df.schema.fields:
         if isinstance(f_.dataType, TimestampNTZType):
             df = df.withColumn(f_.name, F.col(f_.name).cast("timestamp"))
+    # Row-group-bound parallelism fix, OPT-IN for CPU-heavy consumers: a
+    # small table written as a handful of row groups caps the scan AND
+    # every fused map stage at that many tasks — a 12-hash MinHash over
+    # a one-row-group file runs single-core on a 32-core box. One
+    # round-robin shuffle of a few MB buys full map parallelism there,
+    # but for plain scan→agg plans the shuffle costs more than the
+    # single-task scan, so callers choose. Large tables (many row
+    # groups at any real scale) never take this path even when asked.
+    if parallelize:
+        groups, nbytes = _split_profile(path)
+        par = min(
+            spark.sparkContext.defaultParallelism,
+            int(spark.conf.get("spark.sql.shuffle.partitions")),
+        )
+        if groups < par and nbytes <= _REPARTITION_MAX_BYTES:
+            df = df.repartition(par)
     if cache:
         _DF_CACHE[key] = df
     return df
