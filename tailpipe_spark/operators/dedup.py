@@ -365,24 +365,43 @@ def minhash_signatures(
     Pass ``md5_hash_fn`` for a hash any SQL engine can replay (the
     oracle-parity twin used by the correctness harness).
     """
-    if hash_fn is None:
-        hash_fn = xxhash64_hash_fn
-    # Row-local: each signature is a fold over the document's own gram
-    # array (transform + array_min), so signature computation needs NO
-    # shuffle at all — the explode→groupBy formulation re-shuffled the
-    # entire gram set just to take per-doc minima. Docs shorter than n
-    # tokens have no grams and (as before) produce no signature row.
-    g = _tokens(docs, text_col, n, id_col).select(
-        F.col(id_col), _gram_array_col(n).alias("__grams")
-    )
+    # Row-local: each signature is a fold over the document's own grams
+    # (transform + array_min), so signature computation needs NO shuffle
+    # at all — the explode→groupBy formulation re-shuffled the entire
+    # gram set just to take per-doc minima. Docs shorter than n tokens
+    # have no grams and (as before) produce no signature row. min over
+    # the gram MULTISET equals min over the gram set, so no
+    # array_distinct pass is needed either.
+    g = _tokens(docs, text_col, n, id_col)
+    seq = F.sequence(F.lit(0), F.size("__t") - n)
 
     # factory keeps the lambda single-arg: a 2-arg lambda (e.g. `s=s`
     # defaulting) makes F.transform pass the ELEMENT INDEX as the second
     # argument, silently replacing the seed
-    def _sig(s: int):
-        return F.array_min(
-            F.transform(F.col("__grams"), lambda gc: hash_fn(gc, s))
-        ).alias(f"mh{s}")
+    if hash_fn is None:
+        # engine default: hash the token n-tuple directly — multi-arg
+        # seeded xxhash64 skips building the gram string entirely
+        def _sig(s: int):
+            return F.array_min(
+                F.transform(
+                    seq,
+                    lambda i: F.xxhash64(
+                        *[F.element_at("__t", i + j + 1) for j in range(n)],
+                        F.lit(s),
+                    ),
+                )
+            ).alias(f"mh{s}")
+
+    else:
+        # portable twin: build the exact gram string any SQL engine can
+        # replay, then apply the caller's hash
+        def _sig(s: int):
+            return F.array_min(
+                F.transform(
+                    seq,
+                    lambda i: hash_fn(F.array_join(F.slice("__t", i + 1, n), " "), s),
+                )
+            ).alias(f"mh{s}")
 
     return g.select(F.col(id_col), *[_sig(s) for s in range(num_hashes)])
 
