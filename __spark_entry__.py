@@ -22,37 +22,43 @@ from tailpipe_spark.queries import build_registry
 # NOT in the product registry, whose order stays stable for real
 # consumers) puts the entries the driver has not yet hash-verified this
 # cycle at the front so every query gets the hard signal across rounds.
-# Round 5: the three queries the TIMESTAMP_NTZ drift broke in r4 (fixed
-# in session.configure_runtime — must re-verify hash-green), then the 24
-# entries the r4 driver sample skipped.
+# Round 6: the 24 entries the r5 driver sample skipped, led by the two
+# whose plan changed in d873dcf (inverted-index bucket_pairs rework)
+# without a same-round oracle re-check — dedup_minhash_lsh is the only
+# oracle-bearing entry whose current plan has never been hash-verified.
+# Rule (adopted per r5 verdict): any entry whose plan code changes goes
+# to the front of this list the same round.
 _VERIFY_FIRST = [
-    "q_window_functions",
-    "q_sessionize",
-    "q_range_join",
-    "q_json_extract",
-    "q_tp_enrichment",
-    "q_validate_nulls",
-    "q_cli_filters",
-    "q_ingest_filter",
-    "q_struct_roundtrip",
-    "q_row_numbering",
-    "mm_checksums",
-    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "q_asof_join",
+    "q_window_frames",
+    "q_array_explode",
+    "text_language_id",
+    "text_quality",
+    "text_token_stats",
+    "text_doc_tokens",
+    "text_fingerprint",
+    "text_pii_redact",
+    "text_bpe_tokens",
+    "text_chunk",
+    "text_pack",
+    "text_repetition",
+    "text_url_domains",
+    "text_decontaminate",
+    "dedup_components",
+    "emb_kmeans_assign",
+    "sim_cosine_topk",
+    "sim_lsh_topk",
+    "sim_ivf_topk",
+    "dedup_embedding_cosine",
+    "emb_norm_stats",
+    # r6 plan-affecting work below is fronted as it lands:
     "dedup_ngram_jaccard",
     "dedup_minhash_fast",
-    "q_correlated_subquery",
-    "q_having_conditional",
-    "q_string_functions",
-    "q_date_functions",
-    "q_describe_query",
-    "sec_ip_classify",
-    "sec_error_burst",
-    "sec_entropy_scan",
-    "q_skew_two_phase_agg",
-    "q_percentiles",
-    "q_pivot",
-    "q_set_ops_all",
-    "q_ilike",
+    "q01_pricing_summary",
+    "q03_shipping_priority",
+    "q05_local_supplier",
 ]
 
 
