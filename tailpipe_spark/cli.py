@@ -448,51 +448,166 @@ def cmd_show(args) -> int:
     return 1
 
 
+def _parse_plugin_ref(ref: str) -> tuple[str | None, str]:
+    """Reference plugin-ref syntax ``[registry/org/]name[@version]``
+    (reference: cmd/plugin.go:78-98, internal/ociinstaller) → (dist
+    name or None, pip requirement). ``name@1.2.0`` pins the version
+    (pip ``name==1.2.0``); wheel / sdist / existing filesystem paths
+    pass through verbatim (dist name unknowable until pip resolves)."""
+    if ref.endswith((".whl", ".tar.gz", ".zip")) or os.path.exists(ref):
+        return None, ref
+    base = ref.rstrip("/").split("/")[-1]
+    name, sep, ver = base.partition("@")
+    if sep and ver:
+        return name, f"{name}=={ver}"
+    return base, base
+
+
+def _uninstall_from_target(target: str, dist: str) -> bool:
+    """Remove a distribution pip-installed with ``--target`` (pip
+    itself refuses to uninstall from a --target dir): delete every
+    RECORD-listed file under the target, then the dist-info dir."""
+    import glob as _glob
+    import shutil
+
+    norm = dist.replace("-", "_")
+    infos = _glob.glob(os.path.join(target, f"{norm}-*.dist-info"))
+    if not infos:
+        return False
+    for info in infos:
+        record = os.path.join(info, "RECORD")
+        root = os.path.abspath(target)
+        if os.path.exists(record):
+            with open(record, encoding="utf-8") as fh:
+                for line in fh:
+                    rel = line.split(",")[0].strip()
+                    if not rel:
+                        continue
+                    p = os.path.abspath(os.path.join(root, rel))
+                    # RECORD paths are target-relative; refuse traversal
+                    if p.startswith(root + os.sep) and os.path.isfile(p):
+                        os.remove(p)
+        shutil.rmtree(info, ignore_errors=True)
+    return True
+
+
+def _prune_target_duplicates(target: str) -> None:
+    """pip ``--target`` upgrades overwrite the package files but leave
+    the old version's ``*.dist-info`` behind, so importlib.metadata can
+    resolve the stale version. Keep only the newest dist-info per
+    distribution (dir removal only — the RECORD-listed module files are
+    shared with the new version and must survive)."""
+    import glob as _glob
+    import re
+    import shutil
+
+    by_dist: dict[str, list[tuple[tuple, str]]] = {}
+    for info in _glob.glob(os.path.join(target, "*.dist-info")):
+        m = re.match(r"(.+)-([^-]+)\.dist-info$", os.path.basename(info))
+        if not m:
+            continue
+        ver_key = tuple(
+            int(p) if p.isdigit() else -1 for p in m.group(2).split(".")
+        )
+        by_dist.setdefault(m.group(1), []).append((ver_key, info))
+    for versions in by_dist.values():
+        for _, stale in sorted(versions)[:-1]:
+            shutil.rmtree(stale, ignore_errors=True)
+
+
 def cmd_plugin(args) -> int:
-    """Extension-package verbs (reference: cmd/plugin.go:49-92 —
-    `tailpipe plugin list/show/install/update/uninstall`). Python
-    packaging is this engine's plugin distribution channel, so
-    install/update/uninstall bridge to pip, then rescan the
-    entry-point group and report the newly contributed surface."""
+    """Extension-package verbs (reference: cmd/plugin.go:49-142 —
+    `tailpipe plugin list/show/install/update [--all]/uninstall`,
+    refs ``[registry/org/]name[@version]``). Python packaging is this
+    engine's plugin distribution channel, so install/update/uninstall
+    bridge to pip, then rescan the entry-point group and report the
+    newly contributed surface plus the resolved installed versions."""
     from tailpipe_spark import plugins
 
     if args.action in ("install", "update", "uninstall"):
-        if not args.name:
+        if args.action == "update" and getattr(args, "all", False):
+            dists = sorted({p.dist for p in plugins.load_all() if p.dist})
+            if not dists:
+                print(json.dumps({"action": "update", "packages": []}, indent=1))
+                return 0
+            targets = [(d, d) for d in dists]
+        elif not args.name:
             print(f"error: plugin {args.action} needs a package name", file=sys.stderr)
             return 2
+        else:
+            targets = [_parse_plugin_ref(args.name)]
         before = {p.name: p.describe() for p in plugins.load_all()}
-        pip_args = {
-            "install": ["install", args.name],
-            "update": ["install", "--upgrade", args.name],
-            "uninstall": ["uninstall", "-y", args.name],
-        }[args.action]
         import subprocess
 
-        proc = subprocess.run(
-            [sys.executable, "-m", "pip", "--disable-pip-version-check", *pip_args],
-            capture_output=True,
-            text=True,
-        )
-        if proc.returncode != 0:
-            print(f"error: pip {args.action} failed:\n{proc.stderr}", file=sys.stderr)
-            return 1
+        pip_target = getattr(args, "target", None)
+        for dist, spec in targets:
+            if args.action == "uninstall":
+                if pip_target:
+                    if not _uninstall_from_target(pip_target, dist or spec):
+                        print(
+                            f"error: {dist or spec!r} not found in {pip_target}",
+                            file=sys.stderr,
+                        )
+                        return 1
+                    continue
+                pip_args = ["uninstall", "-y", dist or spec]
+            else:
+                pip_args = ["install", spec]
+                if args.action == "update":
+                    pip_args.insert(1, "--upgrade")
+                if pip_target:
+                    pip_args += ["--target", pip_target]
+                if getattr(args, "index_url", None):
+                    pip_args += ["--index-url", args.index_url]
+                if getattr(args, "find_links", None):
+                    pip_args += ["--find-links", args.find_links]
+                if getattr(args, "no_index", False):
+                    pip_args += ["--no-index"]
+            proc = subprocess.run(
+                [sys.executable, "-m", "pip", "--disable-pip-version-check", *pip_args],
+                capture_output=True,
+                text=True,
+            )
+            if proc.returncode != 0:
+                print(
+                    f"error: pip {args.action} {spec} failed:\n{proc.stderr}",
+                    file=sys.stderr,
+                )
+                return 1
+        if pip_target and args.action in ("install", "update"):
+            _prune_target_duplicates(pip_target)
         # fresh interpreter metadata: a newly installed dist must be
         # visible to entry_points() even if this process imported
-        # importlib.metadata before the install
+        # importlib.metadata before the install; a --target dir must be
+        # importable for its entry points to resolve
         import importlib
 
+        if pip_target and pip_target not in sys.path:
+            sys.path.insert(0, pip_target)
         importlib.invalidate_caches()
         after = {p.name: p.describe() for p in plugins.load_all(refresh=True)}
         added = {n: d for n, d in after.items() if n not in before}
         removed = sorted(n for n in before if n not in after)
+        # resolved versions for reproducibility: what pip actually chose
+        versions = sorted(
+            {
+                (d["distribution"], d["version"])
+                for d in after.values()
+                if d["distribution"]
+            }
+        )
         print(
             json.dumps(
                 {
                     "action": args.action,
                     "package": args.name,
+                    "packages": [spec for _, spec in targets],
                     "plugins_added": added,
                     "plugins_removed": removed,
                     "plugins_installed": sorted(after),
+                    "installed_versions": [
+                        {"distribution": d, "version": v} for d, v in versions
+                    ],
                 },
                 indent=1,
             )
@@ -623,6 +738,23 @@ def main(argv: list[str] | None = None) -> int:
         "action", choices=["list", "show", "install", "update", "uninstall"]
     )
     pl.add_argument("name", nargs="?")
+    pl.add_argument(
+        "--all", action="store_true",
+        help="update every installed plugin distribution (update --all)",
+    )
+    pl.add_argument("--index-url", help="pip index pass-through for install/update")
+    pl.add_argument(
+        "--find-links", help="pip --find-links pass-through (local wheel dirs)"
+    )
+    pl.add_argument(
+        "--no-index", action="store_true",
+        help="pip --no-index pass-through (air-gapped installs)",
+    )
+    pl.add_argument(
+        "--target",
+        help="install into / uninstall from this directory instead of "
+        "site-packages (pip --target; dir is added to sys.path for discovery)",
+    )
     pl.set_defaults(fn=cmd_plugin)
 
     args = ap.parse_args(argv)

@@ -88,6 +88,22 @@ def token_ngrams(docs: DataFrame, text_col: str, n: int, id_col: str = "doc_id")
 _LOCAL_PAIR_CAP = 1024
 
 
+def _drop_hot_keys(rows: DataFrame, keys: list[str], cap: int) -> DataFrame:
+    """Drop rows whose key's row count exceeds ``cap`` BEFORE any
+    collect_list: count per key, broadcast the (by construction small)
+    offending key set, anti-join. Every bucketing path runs membership
+    lists through this guard so a degenerate hot key (a stop-phrase
+    gram, a boilerplate band signature, a constant simhash chunk) can
+    never materialize as one giant aggregation buffer on one executor."""
+    hot = (
+        rows.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .where(F.col("__df") > cap)
+        .select(*keys)
+    )
+    return rows.join(F.broadcast(hot), keys, "left_anti")
+
+
 def bucket_pairs(
     buckets: DataFrame,
     keys: list[str],
@@ -114,7 +130,11 @@ def bucket_pairs(
     oa, ob = out
     b2 = buckets.where(F.size(ids_col) >= 2)
     local_only = max_bucket_size is not None and max_bucket_size <= _LOCAL_PAIR_CAP
-    sorted_ids = F.array_sort(F.col(ids_col))
+    # defensive: a duplicate member (e.g. a within-doc hash collision
+    # upstream producing (id, key) twice) would emit (x, x) self-pairs
+    # the old id_a < id_b join filtered out; array_distinct on a sorted
+    # array is row-local, order-preserving, and cheap
+    sorted_ids = F.array_distinct(F.array_sort(F.col(ids_col)))
     small = (
         (b2 if local_only else b2.where(F.size(ids_col) <= _LOCAL_PAIR_CAP))
         .select(
@@ -135,8 +155,8 @@ def bucket_pairs(
     if local_only:
         return small
     big = b2.where(F.size(ids_col) > _LOCAL_PAIR_CAP)
-    ba = big.select(*keys, F.explode(ids_col).alias(oa))
-    bb = big.select(*keys, F.explode(ids_col).alias(ob))
+    ba = big.select(*keys, F.explode(F.array_distinct(ids_col)).alias(oa))
+    bb = big.select(*keys, F.explode(F.array_distinct(ids_col)).alias(ob))
     big_pairs = (
         ba.join(bb, keys).where(F.col(oa) < F.col(ob)).select(oa, ob)
     )
@@ -181,6 +201,21 @@ def ngram_jaccard_pairs(
         id_col, F.xxhash64("gram").alias("gram")
     )
     size = None
+    if max_gram_df is None:
+        # not silent: with the cap disabled by the caller, one
+        # stop-phrase gram shared by m documents materializes an
+        # m-member list in a SINGLE aggregation buffer row — at web
+        # scale that's one executor OOMing, not just a slow task
+        import warnings
+
+        warnings.warn(
+            "ngram_jaccard_pairs with max_gram_df=None builds unbounded "
+            "inverted-index buckets (one agg-buffer row per gram holds "
+            "every sharing doc id); keep a document-frequency cap on any "
+            "corpus with hot grams",
+            UserWarning,
+            stacklevel=2,
+        )
     if max_gram_df is not None:
         # A gram's document frequency is bounded by the corpus size, so
         # when the corpus holds <= max_gram_df documents the cap provably
@@ -200,13 +235,7 @@ def ngram_jaccard_pairs(
     # the small offending set, anti-join. Same results either way.
     post_filter_safe = size is not None and size <= 1_000_000
     if max_gram_df is not None and not post_filter_safe:
-        hot = (
-            grams.groupBy("gram")
-            .agg(F.count(F.lit(1)).alias("__df"))
-            .where(F.col("__df") > max_gram_df)
-            .select("gram")
-        )
-        grams = grams.join(F.broadcast(hot), "gram", "left_anti")
+        grams = _drop_hot_keys(grams, ["gram"], max_gram_df)
     buckets = grams.groupBy("gram").agg(F.collect_list(id_col).alias("ids"))
     if max_gram_df is not None and post_filter_safe:
         buckets = buckets.where(F.size("ids") <= max_gram_df)
@@ -414,11 +443,24 @@ def minhash_lsh_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     hash_fn=None,
+    max_bucket_df: int | None = 1_000_000,
+    corpus_size: int | None = None,
 ) -> DataFrame:
     """Candidate near-duplicate pairs via banded MinHash LSH.
 
     Two docs collide if any band (num_hashes/bands consecutive
     min-hashes) is identical. Returns distinct (id_a, id_b), id_a<id_b.
+
+    ``max_bucket_df`` guards the bucket aggregation against degenerate
+    corpora (10⁸ verbatim copies of one document funnel into ONE
+    (band, sig) bucket): band memberships past the cap are dropped
+    before the collect (count per key → broadcast anti-join), trading
+    candidates from pathological mega-clusters — which exact dedup, the
+    standard upstream stage, should have collapsed anyway — for a
+    bounded aggregation buffer. ``corpus_size`` (catalog/footer hint)
+    skips the one count job the cap guard otherwise needs; on a corpus
+    provably at-or-under the cap the guard is dropped from the plan and
+    results are bit-identical to the uncapped form. None disables.
     """
     assert num_hashes % bands == 0
     rows_per_band = num_hashes // bands
@@ -432,18 +474,21 @@ def minhash_lsh_pairs(
         )
         for b in range(bands)
     ]
-    buckets = (
-        sig.select(id_col, F.explode(F.array(*band_cols)).alias("bk"))
-        .select(id_col, F.col("bk.band").alias("band"), F.col("bk.sig").alias("sig"))
-        .groupBy("band", "sig")
-        .agg(F.collect_list(id_col).alias("ids"))
+    memberships = sig.select(id_col, F.explode(F.array(*band_cols)).alias("bk")).select(
+        id_col, F.col("bk.band").alias("band"), F.col("bk.sig").alias("sig")
     )
+    if max_bucket_df is not None:
+        size = corpus_size if corpus_size is not None else docs.count()
+        if size <= max_bucket_df:  # bucket size is bounded by corpus size
+            max_bucket_df = None
+    if max_bucket_df is not None:
+        memberships = _drop_hot_keys(memberships, ["band", "sig"], max_bucket_df)
     # One shuffle builds the collision buckets; bucket_pairs expands
     # small buckets row-locally and spreads oversized ones through the
-    # join path. A bucket's member list is bounded by its collision
-    # volume — run exact dedup first (the standard pipeline order) so a
-    # degenerate corpus (10⁸ copies of one document) can't funnel into
-    # a single agg buffer here.
+    # join path.
+    buckets = memberships.groupBy("band", "sig").agg(
+        F.collect_list(id_col).alias("ids")
+    )
     return bucket_pairs(buckets, ["band", "sig"]).distinct()
 
 
@@ -475,10 +520,23 @@ def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
 
 
 def simhash_candidates(
-    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", chunks: int = 4
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunks: int = 4,
+    max_chunk_df: int | None = 1_000_000,
+    corpus_size: int | None = None,
 ) -> DataFrame:
     """Near-dup candidates: pairs sharing any 16-bit simhash chunk
-    (catches all pairs within Hamming distance chunks−1)."""
+    (catches all pairs within Hamming distance chunks−1).
+
+    Chunk values live in a 2^(64/chunks) space, so bucket sizes grow
+    linearly with the corpus — chunk-LSH is a small-to-mid-corpus tool
+    (beyond ~10⁷ docs, widen chunks or pre-partition by a coarser key).
+    ``max_chunk_df``/``corpus_size`` apply the same degenerate-hot-key
+    guard as minhash_lsh_pairs: memberships of a chunk value shared by
+    more than the cap are dropped before the collect so one boilerplate
+    corpus can't funnel into a single aggregation buffer."""
     fp = simhash(docs, text_col, id_col)
     width = 64 // chunks
     mask = (1 << width) - 1
@@ -489,10 +547,14 @@ def simhash_candidates(
         )
         for i in range(chunks)
     ]
-    parts = (
-        fp.select(id_col, F.explode(F.array(*chunk_cols)).alias("c"))
-        .select(id_col, "c.ci", "c.cv")
-        .groupBy("ci", "cv")
-        .agg(F.collect_list(id_col).alias("ids"))
+    memberships = fp.select(id_col, F.explode(F.array(*chunk_cols)).alias("c")).select(
+        id_col, "c.ci", "c.cv"
     )
+    if max_chunk_df is not None:
+        size = corpus_size if corpus_size is not None else docs.count()
+        if size <= max_chunk_df:  # chunk df is bounded by corpus size
+            max_chunk_df = None
+    if max_chunk_df is not None:
+        memberships = _drop_hot_keys(memberships, ["ci", "cv"], max_chunk_df)
+    parts = memberships.groupBy("ci", "cv").agg(F.collect_list(id_col).alias("ids"))
     return bucket_pairs(parts, ["ci", "cv"]).distinct()

@@ -261,7 +261,7 @@ def pack_greedy(
             "pack_greedy without shard_col builds a single global window "
             "(one partition holds every row); pass shard_col for any "
             "corpus that doesn't comfortably fit one task",
-            ResourceWarning,
+            UserWarning,
             stacklevel=2,
         )
     n_tokens = F.size(F.split(normalize_text(F.col(text_col)), " ")).cast("long")

@@ -95,9 +95,12 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """md5 hash variant: the portable twin DuckDB can replay, so the
     whole LSH pipeline (grams → signatures → bands → bucket join) is
     value-checked. The engine default is xxhash64 (dedup_minhash_fast)."""
+    from tailpipe_spark.session import parquet_row_count
+
     return dd.minhash_lsh_pairs(
         _docs(spark, sf_dir, parallel=True), n=3, num_hashes=_NUM_HASHES,
         bands=_BANDS, hash_fn=dd.md5_hash_fn,
+        corpus_size=parquet_row_count(f"{sf_dir}/documents.parquet"),
     ).orderBy("id_a", "id_b")
 
 
@@ -105,9 +108,12 @@ def dedup_minhash_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Engine-default MinHash LSH (seeded xxhash64, JVM-native). Same
     plan shape as dedup_minhash_lsh; hash values are engine-specific so
     the harness checks rows-only — the md5 twin covers value parity."""
+    from tailpipe_spark.session import parquet_row_count
+
     return dd.minhash_lsh_pairs(
         _docs(spark, sf_dir, parallel=True), n=3, num_hashes=_NUM_HASHES,
-        bands=_BANDS
+        bands=_BANDS,
+        corpus_size=parquet_row_count(f"{sf_dir}/documents.parquet"),
     ).orderBy("id_a", "id_b")
 
 
@@ -138,11 +144,13 @@ ORDER BY id_a, id_b
 # --- SimHash fingerprints (xxhash64 — Spark-native, rows-only check) ---
 
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tailpipe_spark.session import parquet_row_count
+
     docs = _docs(spark, sf_dir, parallel=True)
     fp = dd.simhash(docs)
-    cands = dd.simhash_candidates(docs).groupBy().agg(
-        F.count(F.lit(1)).alias("n_candidate_pairs")
-    )
+    cands = dd.simhash_candidates(
+        docs, corpus_size=parquet_row_count(f"{sf_dir}/documents.parquet")
+    ).groupBy().agg(F.count(F.lit(1)).alias("n_candidate_pairs"))
     return fp.crossJoin(F.broadcast(cands)).orderBy("doc_id")
 
 

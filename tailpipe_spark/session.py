@@ -228,8 +228,16 @@ def read_table(
     app = spark.sparkContext.applicationId
     key = (app, path, parallelize)
     if not cache:
-        _DF_CACHE.pop(key, None)
+        # drop EVERY cached variant for the path, not just this call's
+        # (a stale file listing under the other parallelize flag would
+        # otherwise survive), and clear the footer-derived caches —
+        # a stale parquet_row_count fed back as corpus_size is
+        # plan-changing (it can wrongly disable the hot-gram cap)
+        _DF_CACHE.pop((app, path, True), None)
+        _DF_CACHE.pop((app, path, False), None)
         _nano_timestamp_cols.cache_clear()
+        _split_profile.cache_clear()
+        parquet_row_count.cache_clear()
     else:
         cached = _DF_CACHE.get(key)
         if cached is not None:

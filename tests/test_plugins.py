@@ -158,27 +158,28 @@ def register(api):
 '''
 
 
-def _build_wheel(tmp_path) -> str:
+def _build_wheel(tmp_path, version: str = "0.1") -> str:
     """Hand-assemble a minimal wheel (a wheel is a zip with dist-info)."""
     import base64
     import hashlib
     import zipfile
 
-    name = "tp_wheel_plugin-0.1-py3-none-any.whl"
+    name = f"tp_wheel_plugin-{version}-py3-none-any.whl"
+    info = f"tp_wheel_plugin-{version}.dist-info"
     files = {
         "tp_wheel_plugin.py": WHEEL_MODULE,
-        "tp_wheel_plugin-0.1.dist-info/METADATA": (
-            "Metadata-Version: 2.1\nName: tp-wheel-plugin\nVersion: 0.1\n"
+        f"{info}/METADATA": (
+            f"Metadata-Version: 2.1\nName: tp-wheel-plugin\nVersion: {version}\n"
         ),
-        "tp_wheel_plugin-0.1.dist-info/WHEEL": (
+        f"{info}/WHEEL": (
             "Wheel-Version: 1.0\nGenerator: test\nRoot-Is-Purelib: true\n"
             "Tag: py3-none-any\n"
         ),
-        "tp_wheel_plugin-0.1.dist-info/entry_points.txt": (
+        f"{info}/entry_points.txt": (
             "[tailpipe_spark.plugins]\nwheel_demo = tp_wheel_plugin:register\n"
         ),
     }
-    record = "tp_wheel_plugin-0.1.dist-info/RECORD"
+    record = f"{info}/RECORD"
     lines = []
     for path, content in files.items():
         digest = base64.urlsafe_b64encode(
@@ -194,22 +195,47 @@ def _build_wheel(tmp_path) -> str:
     return str(whl)
 
 
-def test_plugin_install_uninstall_roundtrip(tmp_path, capsys):
-    """`plugin install <wheel>` pip-installs, rescans the entry-point
-    group, and reports the newly contributed surface; the new preset
-    shows up in `list formats`; `plugin uninstall` removes it
-    (reference: cmd/plugin.go:49-92)."""
-    import subprocess
+def test_parse_plugin_ref():
+    """Reference ref syntax `[registry/org/]name[@version]` → pip spec
+    (reference: cmd/plugin.go:78-98)."""
+    from tailpipe_spark.cli import _parse_plugin_ref
+
+    assert _parse_plugin_ref("mypkg") == ("mypkg", "mypkg")
+    assert _parse_plugin_ref("mypkg@1.2.0") == ("mypkg", "mypkg==1.2.0")
+    assert _parse_plugin_ref("hub.example.com/org/mypkg@2.0") == (
+        "mypkg", "mypkg==2.0"
+    )
+    assert _parse_plugin_ref("org/mypkg") == ("mypkg", "mypkg")
+    dist, spec = _parse_plugin_ref("./dist/tp_wheel_plugin-0.1-py3-none-any.whl")
+    assert dist is None and spec.endswith(".whl")
+
+
+def test_plugin_install_update_uninstall_roundtrip(tmp_path, capsys):
+    """`plugin install name@version` pins through pip, `update --all`
+    upgrades every installed plugin dist, and `uninstall` removes it —
+    all against an isolated --target dir + local wheel house so the
+    live site-packages and the network are never touched
+    (reference: cmd/plugin.go:49-142)."""
     import sys as _sys
 
-    whl = _build_wheel(tmp_path)
+    house = tmp_path / "house"
+    house.mkdir()
+    _build_wheel(house, "0.1")
+    _build_wheel(house, "0.2")
+    tgt = str(tmp_path / "target")
     ws = str(tmp_path / "ws")
+    pip_flags = ["--target", tgt, "--find-links", str(house), "--no-index"]
     try:
-        rc = main(["--workspace", ws, "plugin", "install", whl])
+        rc = main(["--workspace", ws, "plugin", "install",
+                   "tp-wheel-plugin@0.1", *pip_flags])
         out = json.loads(capsys.readouterr().out)
         assert rc == 0
         assert "wheel_demo" in out["plugins_added"]
         assert out["plugins_added"]["wheel_demo"]["formats"] == ["jsonl.wheel_demo"]
+        # the @version pin resolved to exactly 0.1, reported for repro
+        assert {"distribution": "tp-wheel-plugin", "version": "0.1"} in out[
+            "installed_versions"
+        ]
 
         # the contributed preset is live engine surface
         (tmp_path / "empty.tpc").write_text("")
@@ -218,14 +244,23 @@ def test_plugin_install_uninstall_roundtrip(tmp_path, capsys):
         fmts = json.loads(capsys.readouterr().out)
         assert "jsonl.wheel_demo" in fmts
 
-        rc = main(["--workspace", ws, "plugin", "uninstall", "tp-wheel-plugin"])
+        # update --all walks every installed plugin dist and upgrades
+        rc = main(["--workspace", ws, "plugin", "update", "--all", *pip_flags])
+        out = json.loads(capsys.readouterr().out)
+        assert rc == 0
+        assert "tp-wheel-plugin" in out["packages"]
+        assert {"distribution": "tp-wheel-plugin", "version": "0.2"} in out[
+            "installed_versions"
+        ]
+
+        rc = main(["--workspace", ws, "plugin", "uninstall",
+                   "tp-wheel-plugin", "--target", tgt])
         out = json.loads(capsys.readouterr().out)
         assert rc == 0
         assert "wheel_demo" in out["plugins_removed"]
     finally:
-        subprocess.run(
-            [_sys.executable, "-m", "pip", "--disable-pip-version-check",
-             "uninstall", "-y", "tp-wheel-plugin"],
-            capture_output=True,
-        )
+        if tgt in _sys.path:
+            _sys.path.remove(tgt)
+        _sys.modules.pop("tp_wheel_plugin", None)
+        plugins.load_all(refresh=True)
         plugins.load_all(refresh=True)
