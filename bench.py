@@ -98,26 +98,33 @@ def main() -> int:
     # Round-4 lesson: one analysis error must NOT kill the artifact —
     # each query is contained, failures land in an "errors" map, and the
     # partial totals always print.
-    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
+    # 5 reps: the shared box shows 2-3× rep-to-rep inflation under
+    # background load (r5's 2-rep mins read ~0.3 s high per query); the
+    # min of 5 is stable to ~±0.05 s.
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "5"))
     timings: dict[str, float] = {}
-    detail: dict[str, dict[str, float]] = {}
+    detail: dict[str, dict] = {}
     errors: dict[str, str] = {}
     for name in HEADLINE:
         fn = registry[name].fn
-        best = single = None
+        times: list[float] = []
         try:
             for _ in range(max(1, reps)):
                 t0 = time.time()
                 fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-                dt = time.time() - t0
-                if single is None:
-                    single = dt
-                best = dt if best is None else min(best, dt)
+                times.append(time.time() - t0)
         except Exception as e:  # noqa: BLE001 — contain; artifact must degrade, not vanish
             errors[name] = f"{type(e).__name__}: {e}"[:500]
             continue
-        timings[name] = round(best, 3)
-        detail[name] = {"single": round(single, 3), "min": round(best, 3)}
+        timings[name] = round(min(times), 3)
+        # per-rep times preserved so reviewers can see run-to-run
+        # variance (the shared box shows >50% rep-to-rep noise) without
+        # re-running the bench
+        detail[name] = {
+            "single": round(times[0], 3),
+            "min": round(min(times), 3),
+            "reps": [round(t, 3) for t in times],
+        }
 
     # In-artifact baseline: DuckDB running the IDENTICAL oracle SQL over
     # the same parquet, min-of-reps, same process. Makes the 2× bar
@@ -157,6 +164,15 @@ def main() -> int:
     spark_common = sum(timings[n] for n in common)
     duck_common = sum(duck[n] for n in common)
     total = round(sum(timings.values()), 3)
+    # Floor correction: each engine pays a fixed per-query dispatch floor
+    # (Spark: job scheduling + stage launch, ~0.2 s even for a 1-row
+    # query; DuckDB: ~0.02 s). At cluster scale the floor amortizes to
+    # nothing, so the scale-relevant comparison is compute above each
+    # engine's own floor. floor = min observed per-query wall.
+    spark_floor = min((timings[n] for n in common), default=0.0)
+    duck_floor = min((duck[n] for n in common), default=0.0)
+    spark_above = sum(timings[n] - spark_floor for n in common)
+    duck_above = sum(duck[n] - duck_floor for n in common)
     print(
         json.dumps(
             {
@@ -175,6 +191,11 @@ def main() -> int:
                 "duckdb_total": round(duck_common, 3),
                 "spark_vs_duckdb_ratio": (
                     round(spark_common / duck_common, 3) if duck_common else None
+                ),
+                "spark_floor_sec": round(spark_floor, 3),
+                "duckdb_floor_sec": round(duck_floor, 3),
+                "floor_corrected_ratio": (
+                    round(spark_above / duck_above, 3) if duck_above > 0 else None
                 ),
                 "sf": sf,
             }

@@ -273,6 +273,63 @@ def ngram_jaccard_pairs(
     )
 
 
+def verify_pairs(
+    docs: DataFrame,
+    pairs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact n-gram Jaccard over an EXPLICIT candidate pair list — the
+    verification stage after LSH/SimHash candidate generation (the
+    canonical pipeline this module's docstring describes).
+
+    Returns (id_a, id_b, jaccard) for candidates with jaccard >=
+    threshold. Unlike :func:`ngram_jaccard_pairs` (all pairs sharing a
+    gram), cost here is linear in Σ|grams(doc)| over candidate docs plus
+    Σ|grams(id_a)| over candidate pairs: grams are restricted to
+    candidate docs by a semi-join, each pair expands to side-a's grams,
+    and the side-b membership check is an equi-join on (id, gram) — no
+    bucket blowup, no all-pairs anywhere. Candidate pairs sharing NO
+    gram simply drop out (jaccard would be 0 < threshold).
+    """
+    oa, ob = "id_a", "id_b"
+    cand_ids = (
+        pairs.select(F.col(oa).alias(id_col))
+        .union(pairs.select(F.col(ob).alias(id_col)))
+        .distinct()
+    )
+    grams = token_ngrams(docs, text_col, n, id_col).select(
+        id_col, F.xxhash64("gram").alias("gram")
+    )
+    g = grams.join(cand_ids, id_col, "left_semi")
+    sizes = g.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    ga = g.select(F.col(id_col).alias(oa), "gram")
+    gb = g.select(F.col(id_col).alias(ob), "gram")
+    common = (
+        pairs.join(ga, oa)
+        .join(gb, [ob, "gram"])
+        .groupBy(oa, ob)
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    sz_a = sizes.select(F.col(id_col).alias(oa), F.col("sz").alias("sz_a"))
+    sz_b = sizes.select(F.col(id_col).alias(ob), F.col("sz").alias("sz_b"))
+    return (
+        common.join(sz_a, oa)
+        .join(sz_b, ob)
+        .select(
+            oa,
+            ob,
+            (
+                F.col("common")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("common"))
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
 def decontaminate(
     docs: DataFrame,
     benchmark: DataFrame,
@@ -401,35 +458,45 @@ def minhash_signatures(
     # have no grams and (as before) produce no signature row. min over
     # the gram MULTISET equals min over the gram set, so no
     # array_distinct pass is needed either.
+    #
+    # The gram array is built ONCE in its own projection. No filter
+    # barrier is needed (or wanted): CollapseProject refuses to inline a
+    # non-cheap expression referenced k times (SPARK-36718), so the
+    # projection survives as-is — while an explicit size() barrier
+    # filter gets predicate-pushed below the projection and re-evaluates
+    # the whole split+hash chain per element inside the Filter
+    # (measured ~18× slower at sf0.1).
     g = _tokens(docs, text_col, n, id_col)
     seq = F.sequence(F.lit(0), F.size("__t") - n)
+
+    if hash_fn is None:
+        # engine default: collapse each token n-tuple to ONE xxhash64
+        # long up front, then derive every seeded hash from that 8-byte
+        # value — k fixed-width long hashes per gram instead of k
+        # variable-length string-tuple hashes (the dominant cost)
+        grams = F.transform(
+            seq,
+            lambda i: F.xxhash64(*[F.element_at("__t", i + j + 1) for j in range(n)]),
+        )
+    else:
+        # portable twin: build the exact gram string any SQL engine can
+        # replay, then apply the caller's hash per seed
+        grams = F.transform(seq, lambda i: F.array_join(F.slice("__t", i + 1, n), " "))
+    g = g.select(F.col(id_col), grams.alias("__g"))
 
     # factory keeps the lambda single-arg: a 2-arg lambda (e.g. `s=s`
     # defaulting) makes F.transform pass the ELEMENT INDEX as the second
     # argument, silently replacing the seed
     if hash_fn is None:
-        # engine default: hash the token n-tuple directly — multi-arg
-        # seeded xxhash64 skips building the gram string entirely
         def _sig(s: int):
             return F.array_min(
-                F.transform(
-                    seq,
-                    lambda i: F.xxhash64(
-                        *[F.element_at("__t", i + j + 1) for j in range(n)],
-                        F.lit(s),
-                    ),
-                )
+                F.transform("__g", lambda x: F.xxhash64(x, F.lit(s)))
             ).alias(f"mh{s}")
 
     else:
-        # portable twin: build the exact gram string any SQL engine can
-        # replay, then apply the caller's hash
         def _sig(s: int):
             return F.array_min(
-                F.transform(
-                    seq,
-                    lambda i: hash_fn(F.array_join(F.slice("__t", i + 1, n), " "), s),
-                )
+                F.transform("__g", lambda x: hash_fn(x, s))
             ).alias(f"mh{s}")
 
     return g.select(F.col(id_col), *[_sig(s) for s in range(num_hashes)])
