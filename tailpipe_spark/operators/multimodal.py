@@ -59,6 +59,8 @@ def _decode_stub(payload: bytes, modality: str) -> list[float]:
     — not available in this container. The stub derives an 8-dim
     feature from payload bytes so the pipeline is end-to-end testable
     and reproducible; swap this body for the real kernel in production.
+    A REAL image kernel exists alongside (``decode_images``): Pillow
+    when installed, stdlib PNG decode otherwise.
     """
     if payload is None:
         raise NotImplementedError("real decode needs codec libraries")
@@ -66,6 +68,186 @@ def _decode_stub(payload: bytes, modality: str) -> list[float]:
     for i, b in enumerate(payload):
         acc[i % 8] = (acc[i % 8] + b) % 997
     return [float(x) / 997.0 for x in acc]
+
+
+# --- real image decode kernel ---------------------------------------
+#
+# Pillow-first: any format PIL can open. When Pillow is absent (this
+# container), a pure-stdlib PNG path (zlib inflate + per-scanline
+# unfiltering, PNG spec §9 filters 0-4) decodes 8-bit non-interlaced
+# gray / gray+alpha / RGB / RGBA — so the kernel is REAL and testable
+# here, not a stub, and production just gets more formats for free.
+
+try:  # optional dependency — decode_images degrades to the PNG path
+    from PIL import Image as _PILImage  # type: ignore
+
+    _HAS_PIL = True
+except ImportError:  # pragma: no cover - exercised where Pillow exists
+    _PILImage = None
+    _HAS_PIL = False
+
+#: PNG color type → (mode name, channel count) for 8-bit depth
+_PNG_MODES = {0: ("L", 1), 2: ("RGB", 3), 4: ("LA", 2), 6: ("RGBA", 4)}
+
+
+def _png_decode(payload: bytes) -> tuple[int, int, str, list[float]]:
+    """Decode an 8-bit non-interlaced PNG with the stdlib only.
+
+    Returns (width, height, mode, per-channel mean in 0-255). Raises
+    ValueError on anything outside the supported subset.
+    """
+    import struct
+    import zlib
+
+    if payload[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG signature")
+    pos, idat, meta = 8, b"", None
+    while pos + 8 <= len(payload):
+        (length,), ctype = struct.unpack(">I", payload[pos : pos + 4]), payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        pos += 12 + length  # length + type + data + crc
+        if ctype == b"IHDR":
+            w, h, depth, color, _comp, _filt, interlace = struct.unpack(">IIBBBBB", data)
+            if depth != 8 or interlace != 0 or color not in _PNG_MODES:
+                raise ValueError(
+                    f"unsupported PNG (depth={depth} color={color} interlace={interlace})"
+                )
+            meta = (w, h, color)
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+    if meta is None or not idat:
+        raise ValueError("missing IHDR or IDAT")
+    w, h, color = meta
+    mode, nch = _PNG_MODES[color]
+    raw = zlib.decompress(idat)
+    stride = w * nch
+    if len(raw) < h * (stride + 1):
+        raise ValueError("truncated pixel data")
+    sums = [0] * nch
+    prev = bytearray(stride)
+    for row in range(h):
+        off = row * (stride + 1)
+        filt = raw[off]
+        line = bytearray(raw[off + 1 : off + 1 + stride])
+        if filt == 1:  # Sub
+            for i in range(nch, stride):
+                line[i] = (line[i] + line[i - nch]) & 0xFF
+        elif filt == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif filt == 3:  # Average
+            for i in range(stride):
+                left = line[i - nch] if i >= nch else 0
+                line[i] = (line[i] + ((left + prev[i]) >> 1)) & 0xFF
+        elif filt == 4:  # Paeth
+            for i in range(stride):
+                a = line[i - nch] if i >= nch else 0
+                b = prev[i]
+                c = prev[i - nch] if i >= nch else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                line[i] = (line[i] + pred) & 0xFF
+        elif filt != 0:
+            raise ValueError(f"unknown PNG filter {filt}")
+        for i in range(stride):
+            sums[i % nch] += line[i]
+        prev = line
+    n_px = w * h
+    return w, h, mode, [s / n_px for s in sums]
+
+
+def decode_image(payload: bytes) -> dict:
+    """Decode one image payload → dims, mode, per-channel mean.
+
+    Pillow handles any format when installed; otherwise the stdlib PNG
+    decoder runs. Returns a dict matching IMAGE_DECODE_SCHEMA fields
+    (error populated, the rest None, on undecodable input).
+    """
+    if _HAS_PIL:
+        import io
+
+        try:
+            with _PILImage.open(io.BytesIO(payload)) as im:
+                im.load()
+                nch = len(im.getbands())
+                # per-channel mean over all pixels, 0-255 scale
+                hist_means = []
+                px = list(im.getdata())
+                if nch == 1:
+                    hist_means = [sum(px) / len(px)]
+                else:
+                    for c in range(nch):
+                        hist_means.append(sum(p[c] for p in px) / len(px))
+                return {
+                    "width": im.width,
+                    "height": im.height,
+                    "mode": im.mode,
+                    "avg_channel": [float(x) for x in hist_means],
+                    "backend": "pillow",
+                    "error": None,
+                }
+        except Exception as e:  # noqa: BLE001 — corrupt inputs are data, not bugs
+            return {
+                "width": None, "height": None, "mode": None,
+                "avg_channel": None, "backend": "pillow", "error": str(e)[:200],
+            }
+    try:
+        w, h, mode, means = _png_decode(payload)
+        return {
+            "width": w, "height": h, "mode": mode,
+            "avg_channel": [float(m) for m in means],
+            "backend": "stdlib-png", "error": None,
+        }
+    except Exception as e:  # noqa: BLE001
+        return {
+            "width": None, "height": None, "mode": None,
+            "avg_channel": None, "backend": "stdlib-png", "error": str(e)[:200],
+        }
+
+
+IMAGE_DECODE_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("mode", T.StringType(), True),
+        T.StructField("avg_channel", T.ArrayType(T.FloatType()), True),
+        T.StructField("backend", T.StringType(), True),
+        T.StructField("error", T.StringType(), True),
+    ]
+)
+
+
+def decode_images(assets: DataFrame) -> DataFrame:
+    """Image payloads → (dims, mode, per-channel mean) via Arrow-batched
+    mapInPandas. Corrupt payloads land in the ``error`` column instead
+    of failing the job — at 100 TB some inputs WILL be malformed, and a
+    task retry loop on bad data is a cluster-killer."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                if payload is None:
+                    rows.append(
+                        {"asset_id": aid, "width": None, "height": None,
+                         "mode": None, "avg_channel": None, "backend": None,
+                         "error": "null payload"}
+                    )
+                else:
+                    d = decode_image(bytes(payload))
+                    d["asset_id"] = aid
+                    rows.append(d)
+            yield pd.DataFrame(rows)
+
+    return (
+        assets.filter(F.col("modality") == "image")
+        .select("asset_id", "payload")
+        .mapInPandas(run, schema=IMAGE_DECODE_SCHEMA)
+    )
 
 
 def extract_features(assets: DataFrame, batch_hint: int = 1024) -> DataFrame:
