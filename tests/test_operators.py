@@ -286,6 +286,39 @@ def test_ngram_cap_gate_skips_when_provably_noop(spark):
     assert key(capped.collect()) == key(big.collect())
 
 
+def test_verify_pairs_exact_jaccard_on_candidate_list(spark):
+    """verify_pairs computes exact n-gram Jaccard ONLY for listed
+    candidate pairs, agreeing with ngram_jaccard_pairs where both apply,
+    and silently dropping candidates that share no gram."""
+    from tailpipe_spark.operators.dedup import ngram_jaccard_pairs, verify_pairs
+
+    docs = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy cat"),  # near-dup of 1
+        (3, "completely different text with no shared phrases here"),
+        (4, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    cand = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4)], ["id_a", "id_b"]
+    )
+    out = {(r["id_a"], r["id_b"]): r["jaccard"] for r in
+           verify_pairs(df, cand, n=3, threshold=0.0).collect()}
+    # (1,3) shares no gram → absent; (1,4) exact → jaccard 1.0
+    assert set(out) == {(1, 2), (1, 4)}
+    assert out[(1, 4)] == 1.0
+    # (1,2): 7 grams each, 6 shared → 6/8
+    assert abs(out[(1, 2)] - 6 / 8) < 1e-12
+    # agrees with the all-pairs operator on the same corpus
+    ref = {(r["id_a"], r["id_b"]): r["jaccard"] for r in
+           ngram_jaccard_pairs(df, n=3, threshold=0.0, max_gram_df=None).collect()}
+    for k, v in out.items():
+        assert abs(ref[k] - v) < 1e-12
+    # thresholding filters
+    assert {(r["id_a"], r["id_b"]) for r in
+            verify_pairs(df, cand, n=3, threshold=0.9).collect()} == {(1, 4)}
+
+
 def test_lsh_multiprobe_improves_recall(spark):
     import numpy as np
 

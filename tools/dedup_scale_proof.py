@@ -136,7 +136,23 @@ def main() -> int:
     )
 
     pairs = dd.minhash_lsh_pairs(corpus, n=3, num_hashes=12, bands=4).persist()
-    stage("minhash_lsh_pairs", lambda: {"pairs": pairs.count()})
+    n_candidates = [0]
+
+    def run_lsh():
+        n_candidates[0] = pairs.count()
+        return {"pairs": n_candidates[0]}
+
+    stage("minhash_lsh_pairs", run_lsh)
+
+    def run_verify():
+        surviving = dd.verify_pairs(corpus, pairs, n=3, threshold=0.5).count()
+        return {
+            "surviving_pairs": surviving,
+            "candidates": n_candidates[0],
+            "precision": round(surviving / max(1, n_candidates[0]), 3),
+        }
+
+    stage("verify_candidates", run_verify)
 
     def run_components():
         labels = dd.connected_components(pairs, max_iterations=20)
@@ -202,7 +218,11 @@ def main() -> int:
         "duplicate-cluster volume (~3 pairs per 3-member cluster), and "
         "the boilerplate phrase's hot grams cannot create an O(n²) "
         "bucket because LSH bands hash the whole signature, not single "
-        "grams. Components converge in graph-diameter rounds (shallow "
+        "grams. The verify_candidates stage (exact Jaccard restricted "
+        "to the LSH candidate list via verify_pairs) costs linear in "
+        "candidate-pair count x grams-per-doc — its precision number "
+        "shows how many LSH candidates a production chain would keep. "
+        "Components converge in graph-diameter rounds (shallow "
         "dup clusters → 2-3 label-propagation rounds). Decontamination "
         "broadcasts the benchmark gram set; the corpus never shuffles "
         "on gram.\n"
