@@ -319,6 +319,40 @@ def test_verify_pairs_exact_jaccard_on_candidate_list(spark):
             verify_pairs(df, cand, n=3, threshold=0.9).collect()} == {(1, 4)}
 
 
+def test_registry_ann_recall_vs_exact_ground_truth(spark):
+    """The two forever-rows-only ANN registry entries (sim_lsh_topk,
+    sim_ivf_topk) are pinned against sim_cosine_topk ground truth at
+    sf0.01: LSH recall must clear the analytic expectation minus two
+    binomial standard deviations (p_catch = 1-(1-p^W)^bands with
+    p = 1-θ/π per true neighbor), IVF must clear an empirical floor
+    (deterministic seeds → deterministic recall; measured 0.9)."""
+    import math
+
+    from tailpipe_spark.queries import build_registry
+
+    reg = build_registry()
+    sf = "/root/testdata/sf0.01"
+    truth = {r["vec_id"]: r["cosine"]
+             for r in reg["sim_cosine_topk"].fn(spark, sf).collect()}
+    k = len(truth)
+    assert k == 10
+
+    lsh = {r["vec_id"] for r in reg["sim_lsh_topk"].fn(spark, sf).collect()}
+    # analytic per-neighbor catch probability for 16 planes / 4 bands
+    ps = []
+    for c in truth.values():
+        p = 1 - math.acos(max(-1.0, min(1.0, c))) / math.pi
+        ps.append(1 - (1 - p ** 4) ** 4)
+    mean = sum(ps) / k
+    sd = math.sqrt(sum(p * (1 - p) for p in ps)) / k
+    lsh_recall = len(lsh & set(truth)) / k
+    assert lsh_recall >= mean - 2 * sd, (lsh_recall, mean, sd)
+
+    ivf = {r["vec_id"] for r in reg["sim_ivf_topk"].fn(spark, sf).collect()}
+    ivf_recall = len(ivf & set(truth)) / k
+    assert ivf_recall >= 0.7, ivf_recall
+
+
 def test_lsh_multiprobe_improves_recall(spark):
     import numpy as np
 
