@@ -30,6 +30,7 @@ from tailpipe_spark.queries import build_registry
 # to the front of this list the same round.
 _VERIFY_FIRST = [
     "dedup_minhash_lsh",
+    "dedup_lsh_verified",  # new in r6: LSH->verify chain, oracle-checked
     "dedup_simhash",
     "q_asof_join",
     "q_window_frames",

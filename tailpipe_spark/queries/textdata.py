@@ -117,7 +117,9 @@ def dedup_minhash_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
-def _minhash_sql() -> str:
+def _minhash_ctes() -> str:
+    """Shared CTE chain ending in ``cand`` — distinct LSH candidate
+    pairs from md5 min-hash band signatures (the portable twin)."""
     mins = ", ".join(
         f"min(md5(gram || '#{s}')) AS mh{s}" for s in range(_NUM_HASHES)
     )
@@ -133,10 +135,58 @@ def _minhash_sql() -> str:
     return f"""
 WITH {_GRAMS_SQL},
 sigs AS (SELECT doc_id, {mins} FROM grams GROUP BY doc_id),
-buckets AS ({bands_union})
-SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-FROM buckets a
-JOIN buckets b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+buckets AS ({bands_union}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM buckets a
+  JOIN buckets b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id)
+"""
+
+
+def _minhash_sql() -> str:
+    return _minhash_ctes() + "SELECT id_a, id_b FROM cand ORDER BY id_a, id_b"
+
+
+# --- LSH candidates -> exact-Jaccard verification (canonical chain) ---
+
+_VERIFY_THRESHOLD = 0.3
+
+
+def dedup_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonical near-dup pipeline as one query: MinHash-LSH
+    candidate generation (md5 portable twin) -> exact n-gram Jaccard
+    verification restricted to the candidate list (verify_pairs).
+    Value-checked end-to-end: the oracle replays signatures, banding,
+    bucket join AND the per-pair verification join."""
+    from tailpipe_spark.session import parquet_row_count
+
+    docs = _docs(spark, sf_dir, parallel=True)
+    cand = dd.minhash_lsh_pairs(
+        docs, n=3, num_hashes=_NUM_HASHES, bands=_BANDS, hash_fn=dd.md5_hash_fn,
+        corpus_size=parquet_row_count(f"{sf_dir}/documents.parquet"),
+    )
+    return dd.verify_pairs(
+        docs, cand, n=3, threshold=_VERIFY_THRESHOLD
+    ).orderBy("id_a", "id_b")
+
+
+def _lsh_verified_sql() -> str:
+    # jaccard = exact-int division in doubles — engine-identical, same
+    # as DEDUP_JACCARD_SQL's comparison
+    return _minhash_ctes() + f""",
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM grams GROUP BY doc_id),
+common AS (
+  SELECT c.id_a, c.id_b, COUNT(*) AS common
+  FROM cand c
+  JOIN grams ga ON ga.doc_id = c.id_a
+  JOIN grams gb ON gb.doc_id = c.id_b AND gb.gram = ga.gram
+  GROUP BY 1, 2)
+SELECT id_a, id_b,
+       common / (sa.sz + sb.sz - common) AS jaccard
+FROM common
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE common / (sa.sz + sb.sz - common) >= {_VERIFY_THRESHOLD}
 ORDER BY id_a, id_b
 """
 
@@ -613,6 +663,7 @@ SPECS = [
     QuerySpec("dedup_exact", dedup_exact, DEDUP_EXACT_SQL, "exact dedup via md5 hash-groupBy"),
     QuerySpec("dedup_ngram_jaccard", dedup_ngram_jaccard, DEDUP_JACCARD_SQL, "word-3-gram Jaccard near-dup pairs"),
     QuerySpec("dedup_minhash_lsh", dedup_minhash_lsh, _minhash_sql(), "MinHash(12) + 4-band LSH candidate pairs (portable md5 twin)"),
+    QuerySpec("dedup_lsh_verified", dedup_lsh_verified, _lsh_verified_sql(), "LSH candidates -> exact-Jaccard verification (canonical chain, value-checked end-to-end)"),
     QuerySpec("dedup_minhash_fast", dedup_minhash_fast, None, "MinHash(12) + 4-band LSH, engine-default seeded xxhash64 (rows-only)"),
     QuerySpec("dedup_simhash", dedup_simhash, None, "64-bit SimHash fingerprints + Hamming-chunk candidates (xxhash64; rows-only)"),
     QuerySpec("text_language_id", text_language_id, _langid_sql(), "marker-word language ID heuristic"),
