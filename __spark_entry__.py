@@ -31,6 +31,7 @@ from tailpipe_spark.queries import build_registry
 _VERIFY_FIRST = [
     "dedup_minhash_lsh",
     "dedup_lsh_verified",  # new in r6: LSH->verify chain, oracle-checked
+    "dedup_resolve",  # new in r6: components -> keep/drop decisions
     "dedup_simhash",
     "q_asof_join",
     "q_window_frames",

@@ -590,7 +590,10 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-COMPONENTS_SQL = f"""
+#: CTE chain ending in comp/csize — the Jaccard dup-pair graph resolved
+#: to components by a recursive transitive closure; shared by the
+#: components and resolve oracles
+_COMPONENTS_CTES = f"""
 WITH RECURSIVE {_GRAMS_SQL},
 gram_df AS (SELECT gram, COUNT(*) AS df FROM grams GROUP BY gram),
 kept AS (
@@ -614,9 +617,61 @@ reach(node, root) AS (
   SELECT s.b, r.root FROM reach r JOIN sym s ON s.a = r.node),
 comp AS (SELECT node, MIN(root) AS component FROM reach GROUP BY node),
 csize AS (SELECT component, COUNT(*) AS component_size FROM comp GROUP BY component)
+"""
+
+COMPONENTS_SQL = _COMPONENTS_CTES + """
 SELECT c.node AS doc_id, c.component, s.component_size
 FROM comp c JOIN csize s ON s.component = c.component
 ORDER BY doc_id
+"""
+
+
+# --- duplicate resolution: corpus-wide keep/drop decisions ---
+
+def dedup_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The last stage of the dedup chain: every document gets a
+    component label and a keep/drop decision (keep = the component's
+    min-id member, which IS the component label under min-label
+    propagation — no extra aggregation needed). Singleton docs keep
+    their own id as component. The full corpus rides a left join against
+    the (small) component map, so cost is one broadcast-ish join over
+    the corpus — the 100 TB shape."""
+    from tailpipe_spark.session import parquet_row_count
+
+    docs = _docs(spark, sf_dir, parallel=True).select("doc_id")
+    pairs = dd.ngram_jaccard_pairs(
+        _docs(spark, sf_dir, parallel=True), n=3, threshold=0.2,
+        max_gram_df=_MAX_GRAM_DF,
+        corpus_size=parquet_row_count(f"{sf_dir}/documents.parquet"),
+    ).select("id_a", "id_b")
+    cc = dd.connected_components(pairs)
+    sizes = cc.groupBy("comp").agg(F.count(F.lit(1)).alias("component_size"))
+    labeled = cc.join(sizes, "comp").select(
+        F.col("node").alias("doc_id"),
+        F.col("comp").alias("__comp"),
+        F.col("component_size").alias("__csize"),
+    )
+    return (
+        docs.join(labeled, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("__comp", "doc_id").alias("component"),
+            F.coalesce("__csize", F.lit(1).cast("long")).alias("component_size"),
+            (F.coalesce("__comp", "doc_id") == F.col("doc_id")).alias("keep"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+DEDUP_RESOLVE_SQL = _COMPONENTS_CTES + """
+SELECT d.doc_id,
+       COALESCE(c.component, d.doc_id) AS component,
+       CAST(COALESCE(s.component_size, 1) AS BIGINT) AS component_size,
+       COALESCE(c.component, d.doc_id) = d.doc_id AS keep
+FROM documents d
+LEFT JOIN comp c ON c.node = d.doc_id
+LEFT JOIN csize s ON s.component = COALESCE(c.component, d.doc_id)
+ORDER BY d.doc_id
 """
 
 
@@ -664,6 +719,7 @@ SPECS = [
     QuerySpec("dedup_ngram_jaccard", dedup_ngram_jaccard, DEDUP_JACCARD_SQL, "word-3-gram Jaccard near-dup pairs"),
     QuerySpec("dedup_minhash_lsh", dedup_minhash_lsh, _minhash_sql(), "MinHash(12) + 4-band LSH candidate pairs (portable md5 twin)"),
     QuerySpec("dedup_lsh_verified", dedup_lsh_verified, _lsh_verified_sql(), "LSH candidates -> exact-Jaccard verification (canonical chain, value-checked end-to-end)"),
+    QuerySpec("dedup_resolve", dedup_resolve, DEDUP_RESOLVE_SQL, "corpus-wide keep/drop decisions from dup components (keep = min-id member)"),
     QuerySpec("dedup_minhash_fast", dedup_minhash_fast, None, "MinHash(12) + 4-band LSH, engine-default seeded xxhash64 (rows-only)"),
     QuerySpec("dedup_simhash", dedup_simhash, None, "64-bit SimHash fingerprints + Hamming-chunk candidates (xxhash64; rows-only)"),
     QuerySpec("text_language_id", text_language_id, _langid_sql(), "marker-word language ID heuristic"),

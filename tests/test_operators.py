@@ -319,6 +319,38 @@ def test_verify_pairs_exact_jaccard_on_candidate_list(spark):
             verify_pairs(df, cand, n=3, threshold=0.9).collect()} == {(1, 4)}
 
 
+def test_verify_pairs_agrees_with_all_pairs_property(spark):
+    """Random corpora: verify_pairs over the complete pair list must
+    equal ngram_jaccard_pairs (same jaccard per pair, same survivors)."""
+    from hypothesis import given, settings, strategies as st
+
+    from tailpipe_spark.operators.dedup import ngram_jaccard_pairs, verify_pairs
+
+    words = st.integers(min_value=0, max_value=6).map(lambda i: f"w{i}")
+
+    @settings(max_examples=4, deadline=None)
+    @given(
+        texts=st.lists(
+            st.lists(words, min_size=3, max_size=8).map(" ".join),
+            min_size=2,
+            max_size=6,
+        )
+    )
+    def check(texts):
+        df = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+        n = len(texts)
+        all_pairs = spark.createDataFrame(
+            [(a, b) for a in range(n) for b in range(a + 1, n)], ["id_a", "id_b"]
+        )
+        got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in
+               verify_pairs(df, all_pairs, n=2, threshold=0.0).collect()}
+        ref = {(r["id_a"], r["id_b"]): r["jaccard"] for r in
+               ngram_jaccard_pairs(df, n=2, threshold=0.0, max_gram_df=None).collect()}
+        assert got == ref
+
+    check()
+
+
 def test_registry_ann_recall_vs_exact_ground_truth(spark):
     """The two forever-rows-only ANN registry entries (sim_lsh_topk,
     sim_ivf_topk) are pinned against sim_cosine_topk ground truth at
