@@ -32,6 +32,8 @@ _VERIFY_FIRST = [
     "dedup_minhash_lsh",
     "dedup_lsh_verified",  # new in r6: LSH->verify chain, oracle-checked
     "dedup_resolve",  # new in r6: components -> keep/drop decisions
+    "q_stream_window_counts",  # new in r6: streaming==batch oracle proof
+    "q_stream_sessionize",  # new in r6: streaming session windows
     "dedup_simhash",
     "q_asof_join",
     "q_window_frames",

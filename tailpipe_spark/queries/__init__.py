@@ -30,10 +30,17 @@ def build_registry() -> dict[str, QuerySpec]:
     Verification-harness concerns (e.g. rotating a sampling window)
     belong to the harness entry point, not here.
     """
-    from tailpipe_spark.queries import advanced, relational, timeseries, textdata, vectors_q
+    from tailpipe_spark.queries import (
+        advanced,
+        relational,
+        streaming_q,
+        textdata,
+        timeseries,
+        vectors_q,
+    )
 
     registry: dict[str, QuerySpec] = {}
-    for mod in (relational, timeseries, textdata, vectors_q, advanced):
+    for mod in (relational, timeseries, textdata, vectors_q, advanced, streaming_q):
         for spec in mod.SPECS:
             if spec.name in registry:
                 raise ValueError(f"duplicate query name {spec.name}")

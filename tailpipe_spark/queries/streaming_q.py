@@ -1,0 +1,150 @@
+"""Structured-Streaming registry entries.
+
+These run REAL streaming queries (readStream file source → watermarked
+windowed aggregation → memory sink) drained with trigger(availableNow)
+so the final state is deterministic, then return the drained result as
+a DataFrame. The oracle is the equivalent batch SQL — hash-matching it
+is the engine's streaming==batch semantics proof (the unified-model
+claim Structured Streaming makes; reference parity: tailpipe's
+incremental collection produces the same table a batch collect would,
+internal/collection_state).
+"""
+
+from __future__ import annotations
+
+import functools
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tailpipe_spark.queries import QuerySpec
+
+
+@functools.lru_cache(maxsize=64)
+def _stream_dir(path: str) -> str:
+    """The file streaming source requires a DIRECTORY (it forces
+    basePath to the stream path); testdata tables are single parquet
+    files. Expose the file through a temp dir holding a symlink — no
+    data copy, cached per source path."""
+    import os
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="tp_stream_src_")
+    os.symlink(path, os.path.join(d, os.path.basename(path)))
+    return d
+
+
+def q_stream_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly tumbling-window event counts per event_type, computed by a
+    streaming query over the events table (availableNow drain, complete
+    output mode so every window is present in the final state). The
+    memory sink holds only the aggregated windows — bounded state, never
+    the stream."""
+    from tailpipe_spark.session import configure_runtime
+    from tailpipe_spark.streaming.collect_stream import windowed_counts
+
+    configure_runtime(spark)
+    path = f"{sf_dir}/events.parquet"
+    schema = spark.read.parquet(path).schema
+    src = spark.readStream.schema(schema).parquet(_stream_dir(path))
+    out = windowed_counts(
+        src, ts_col="ts", window="1 hour", watermark="1 hour",
+        group_cols=["event_type"],
+    )
+    name = "q_stream_window_counts_sink"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(name)
+        .select("window_start", "window_end", "event_type", "n_events")
+        .orderBy("window_start", "event_type")
+    )
+
+
+STREAM_WINDOW_SQL = """
+SELECT date_trunc('hour', ts) AS window_start,
+       date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
+       event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM events
+GROUP BY 1, 2, 3
+ORDER BY window_start, event_type
+"""
+
+
+def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based session windows (F.session_window) computed by a
+    streaming query with availableNow + complete mode — the
+    streaming-native twin of operators.sessionize, value-checked against
+    the same recursive gaps-and-islands SQL shape used by q_sessionize.
+    Session count + event sum per user over a 30-minute gap."""
+    from tailpipe_spark.session import configure_runtime
+    from tailpipe_spark.streaming.collect_stream import session_windows
+
+    configure_runtime(spark)
+    path = f"{sf_dir}/events.parquet"
+    schema = spark.read.parquet(path).schema
+    src = spark.readStream.schema(schema).parquet(_stream_dir(path))
+    sessions = session_windows(
+        src, key="user_id", ts_col="ts", gap="30 minutes", watermark="1 hour"
+    )
+    name = "q_stream_sessionize_sink"
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # summarize per user: session count and total events — a stable
+    # schema the batch oracle reproduces with gaps-and-islands
+    return (
+        spark.table(name)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum("n_events").alias("n_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
+STREAM_SESSIONIZE_SQL = """
+WITH ordered AS (
+  SELECT user_id, ts,
+         LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+  FROM events),
+flagged AS (
+  SELECT user_id, ts,
+         -- Spark's session_window is [start, last+gap): an event at
+         -- exactly last+gap starts a NEW session, hence >=
+         CASE WHEN prev_ts IS NULL
+                   OR ts - prev_ts >= INTERVAL 30 MINUTE THEN 1 ELSE 0
+         END AS new_session
+  FROM ordered)
+SELECT user_id,
+       CAST(SUM(new_session) AS BIGINT) AS n_sessions,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM flagged
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
+SPECS = [
+    QuerySpec(
+        "q_stream_window_counts", q_stream_window_counts, STREAM_WINDOW_SQL,
+        "streaming hourly window counts (availableNow drain) == batch SQL",
+    ),
+    QuerySpec(
+        "q_stream_sessionize", q_stream_sessionize, STREAM_SESSIONIZE_SQL,
+        "streaming session_window sessionization == batch gaps-and-islands",
+    ),
+]
