@@ -34,6 +34,7 @@ _VERIFY_FIRST = [
     "dedup_resolve",  # new in r6: components -> keep/drop decisions
     "q_stream_window_counts",  # new in r6: streaming==batch oracle proof
     "q_stream_sessionize",  # new in r6: streaming session windows
+    "text_tfidf_topterms",  # new in r6: rational-idf tf-idf top terms
     "dedup_simhash",
     "q_asof_join",
     "q_window_frames",

@@ -293,6 +293,11 @@ def verify_pairs(
     and the side-b membership check is an equi-join on (id, gram) — no
     bucket blowup, no all-pairs anywhere. Candidate pairs sharing NO
     gram simply drop out (jaccard would be 0 < threshold).
+
+    Contract: ``pairs`` rows are DISTINCT (duplicate rows would double
+    the common counts) — every candidate generator in this module
+    (minhash_lsh_pairs, simhash_candidates) already emits distinct
+    pairs. Self-pairs (x, x) are not meaningful input.
     """
     oa, ob = "id_a", "id_b"
     cand_ids = (

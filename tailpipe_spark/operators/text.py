@@ -98,6 +98,54 @@ def doc_token_counts(docs: DataFrame, text_col: str = "text", id_col: str = "doc
     )
 
 
+def tfidf_top_terms(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_k: int = 3,
+    corpus_size: int | None = None,
+) -> DataFrame:
+    """Per-document top-k terms by tf-idf — the characteristic-term
+    primitive for corpus exploration / keyword extraction.
+
+    idf is the BM25-style RATIONAL form (N − df + 0.5)/(df + 0.5)
+    instead of a log: exact integer-plus-half division is bit-identical
+    across engines, so the score (quantized to the 1e-12 grid) is
+    oracle-portable without transcendental-function ulp drift. Ranking
+    tiebreaks on the term, so result order is fully deterministic.
+
+    Plan: tf = one shuffle on (doc, term); df = one shuffle on term;
+    score join is term-keyed (idf table is vocabulary-sized — broadcast
+    when small); per-doc top-k is a window on doc. ``corpus_size``
+    (catalog/footer hint) skips the count job.
+    """
+    from tailpipe_spark.operators.similarity import quantize12
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("term"),
+    ).where(F.col("term") != "")
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = corpus_size if corpus_size is not None else docs.count()
+    idf = (F.lit(float(n)) - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    scored = tf.join(df_, "term").select(
+        id_col,
+        "term",
+        "tf",
+        "df",
+        quantize12(F.col("tf") * idf).alias("tfidf"),
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("tfidf").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= top_k)
+    )
+
+
 #: PII patterns, ordered — redaction applies them in this order, so an
 #: IP-looking substring inside an already-redacted email never matches.
 #: Patterns are restricted to the regex subset Java regex and RE2 agree

@@ -626,6 +626,42 @@ ORDER BY doc_id
 """
 
 
+# --- tf-idf characteristic terms ---
+
+def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc top-3 tf-idf terms with the rational BM25-style idf
+    (transcendental-free, bit-portable across engines)."""
+    from tailpipe_spark.session import parquet_row_count
+
+    return tx.tfidf_top_terms(
+        _docs(spark, sf_dir), top_k=3,
+        corpus_size=parquet_row_count(f"{sf_dir}/documents.parquet"),
+    ).orderBy("doc_id", "rank")
+
+
+TFIDF_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS term FROM documents),
+tf AS (
+  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM toks WHERE term <> '' GROUP BY 1, 2),
+df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+         CAST(ROUND((tf.tf * ((n.n - df.df + 0.5) / (df.df + 0.5)))
+              * 1000000000000) AS BIGINT) / 1000000000000 AS tfidf
+  FROM tf JOIN df USING (term) CROSS JOIN n),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rank
+  FROM scored)
+SELECT doc_id, term, tf, df, tfidf, CAST(rank AS INTEGER) AS rank
+FROM ranked WHERE rank <= 3
+ORDER BY doc_id, rank
+"""
+
+
 # --- duplicate resolution: corpus-wide keep/drop decisions ---
 
 def dedup_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -734,5 +770,6 @@ SPECS = [
     QuerySpec("text_repetition", text_repetition, REPETITION_SQL, "within-doc bigram repetition (Gopher-style quality rule)"),
     QuerySpec("text_url_domains", text_url_domains, URL_DOMAINS_SQL, "URL domain frequency top-k (block-list substrate)"),
     QuerySpec("text_decontaminate", text_decontaminate, DECONTAMINATE_SQL, "benchmark decontamination via 3-gram overlap (broadcast bench grams)"),
+    QuerySpec("text_tfidf_topterms", text_tfidf_topterms, TFIDF_SQL, "per-doc top-3 tf-idf terms (rational BM25-style idf, bit-portable)"),
     QuerySpec("dedup_components", dedup_components, COMPONENTS_SQL, "dup-cluster connected components (min-label propagation vs recursive-CTE oracle)"),
 ]

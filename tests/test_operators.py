@@ -351,6 +351,31 @@ def test_verify_pairs_agrees_with_all_pairs_property(spark):
     check()
 
 
+def test_tfidf_top_terms_known_values(spark):
+    from tailpipe_spark.operators.text import tfidf_top_terms
+
+    docs = [
+        (1, "apple apple banana"),
+        (2, "banana cherry"),
+        (3, "cherry cherry cherry durian"),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    out = tfidf_top_terms(df, top_k=2).collect()
+    by = {(r["doc_id"], r["rank"]): r for r in out}
+    # doc 1: apple tf=2 df=1 idf=(3-1+.5)/1.5=5/3 → 10/3; banana tf=1 df=2
+    # idf=(3-2+.5)/2.5=0.6 → 0.6
+    assert by[(1, 1)]["term"] == "apple"
+    assert abs(by[(1, 1)]["tfidf"] - 2 * (2.5 / 1.5)) < 1e-9
+    assert by[(1, 2)]["term"] == "banana"
+    assert abs(by[(1, 2)]["tfidf"] - 0.6) < 1e-9
+    # doc 3: cherry tf=3 df=2 → 3*0.6=1.8; durian tf=1 df=1 → 5/3
+    assert by[(3, 1)]["term"] == "cherry"
+    assert by[(3, 2)]["term"] == "durian"
+    # corpus_size hint must not change results
+    hinted = tfidf_top_terms(df, top_k=2, corpus_size=3).collect()
+    assert sorted(map(tuple, hinted)) == sorted(map(tuple, out))
+
+
 def test_registry_ann_recall_vs_exact_ground_truth(spark):
     """The two forever-rows-only ANN registry entries (sim_lsh_topk,
     sim_ivf_topk) are pinned against sim_cosine_topk ground truth at
