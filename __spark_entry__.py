@@ -22,13 +22,33 @@ from tailpipe_spark.queries import build_registry
 # NOT in the product registry, whose order stays stable for real
 # consumers) puts the entries the driver has not yet hash-verified this
 # cycle at the front so every query gets the hard signal across rounds.
-# Round 6: the 24 entries the r5 driver sample skipped, led by the two
-# whose plan changed in d873dcf (inverted-index bucket_pairs rework)
-# without a same-round oracle re-check — dedup_minhash_lsh is the only
-# oracle-bearing entry whose current plan has never been hash-verified.
+# Round 6: never-driver-verified entries first — the 19 adapted TPC-H
+# queries (queries/tpch.py, new this round; each already hash-green in
+# the local tools/check_correctness.py replica at sf0.01) and the other
+# r6 additions — then the two whose plan changed in d873dcf without a
+# same-round oracle re-check, then the entries the r5 sample skipped.
 # Rule (adopted per r5 verdict): any entry whose plan code changes goes
 # to the front of this list the same round.
 _VERIFY_FIRST = [
+    "q02_min_cost_supplier",
+    "q04_order_priority",
+    "q06_revenue_forecast",
+    "q07_volume_shipping",
+    "q08_market_share",
+    "q09_product_profit",
+    "q10_returned_items",
+    "q11_important_value",
+    "q12_priority_shipping",
+    "q13_customer_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_supplier_count",
+    "q17_small_qty_revenue",
+    "q18_large_orders",
+    "q19_disjunctive",
+    "q20_promotion_suppliers",
+    "q21_late_suppliers",
+    "q22_global_sales",
     "dedup_minhash_lsh",
     "dedup_lsh_verified",  # new in r6: LSH->verify chain, oracle-checked
     "dedup_resolve",  # new in r6: components -> keep/drop decisions

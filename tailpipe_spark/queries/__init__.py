@@ -36,11 +36,12 @@ def build_registry() -> dict[str, QuerySpec]:
         streaming_q,
         textdata,
         timeseries,
+        tpch,
         vectors_q,
     )
 
     registry: dict[str, QuerySpec] = {}
-    for mod in (relational, timeseries, textdata, vectors_q, advanced, streaming_q):
+    for mod in (relational, tpch, timeseries, textdata, vectors_q, advanced, streaming_q):
         for spec in mod.SPECS:
             if spec.name in registry:
                 raise ValueError(f"duplicate query name {spec.name}")

@@ -1,0 +1,914 @@
+"""Adapted TPC-H suite (Q2..Q22) over the engine's star schema.
+
+The reference delegates its whole relational surface to DuckDB
+(SURVEY.md §2.b; reference internal/database/duck_db.go), so the proof
+that this engine covers that surface is running the canonical analytic
+workload — TPC-H — end-to-end with a DuckDB oracle hash on every query.
+q01/q03/q05 live in relational.py since round 1; this module adds the
+rest, adapted to the driver's cut-down schema (no partsupp table, no
+l_commitdate/l_receiptdate/l_shipmode, no c_phone) while keeping each
+query's defining operator shape:
+
+- Q4  exists semi-join + agg            - Q13 left-join histogram
+- Q6  pure pushdown filter agg          - Q14 conditional-agg ratio
+- Q7  two-sided nation volume join      - Q15 view + max scalar equality
+- Q8  market-share conditional ratio    - Q16 count-distinct + NOT IN
+- Q9  profit by nation/year             - Q17 correlated avg threshold
+- Q10 returned-item top-k               - Q18 having-subquery + top-k
+- Q2  min-unit-price supplier (window)  - Q19 disjunctive OR-of-ANDs
+- Q11 group share of global total       - Q20 nested semi-join chain
+- Q12 priority CASE-sum after join      - Q21 multi-supplier blame (window)
+- Q22 anti-join + scalar subquery
+
+Scale notes: every dimension join (region/nation/supplier/part at
+TPC-H's fixed-or-sublinear sizes) is broadcast; fact-fact joins shuffle
+on their keys; double-typed money aggregates go through the exact
+decimal path (functions/exact.py) so every value hash is
+order-independent and replayable in DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from tailpipe_spark.functions.exact import davg, dsum, oracle_davg, oracle_dsum
+from tailpipe_spark.queries import QuerySpec
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    from tailpipe_spark.session import read_table
+
+    return read_table(spark, f"{sf_dir}/{name}.parquet")
+
+
+def _ts(s: str) -> F.Column:
+    return F.lit(s).cast("timestamp")
+
+
+# --- Q2-style: minimum-unit-price supplier per part ---------------------
+
+def q02_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """No partsupp table, so 'supply cost' is the observed unit price
+    l_extendedprice/l_quantity; the Q2 shape that matters — a correlated
+    MIN subquery per part resolved against suppliers in one region — is
+    kept, expressed as a window min (one shuffle on partkey, no
+    self-join; at 100 TB the window partitions by part and never
+    materializes a per-part list)."""
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    reg = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    part = _t(spark, sf_dir, "part").filter(
+        (F.col("p_size") == 15) & (F.col("p_type") == "LARGE")
+    )
+    europe_supp = (
+        supp.join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    w = Window.partitionBy("l_partkey")
+    offers = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(europe_supp), li.l_suppkey == europe_supp.s_suppkey)
+        .withColumn("unit_price", F.col("l_extendedprice") / F.col("l_quantity"))
+        .withColumn("min_price", F.min("unit_price").over(w))
+    )
+    return (
+        offers.filter(F.col("unit_price") == F.col("min_price"))
+        .select(
+            "s_acctbal", "s_name", "n_name", F.col("l_partkey").alias("p_partkey"),
+            "unit_price",
+        )
+        .distinct()
+        .orderBy(
+            F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey", "unit_price"
+        )
+        .limit(100)
+    )
+
+
+Q02_SQL = """
+WITH offers AS (
+  SELECT s_acctbal, s_name, n_name, l_partkey AS p_partkey,
+         l_extendedprice / l_quantity AS unit_price,
+         MIN(l_extendedprice / l_quantity)
+           OVER (PARTITION BY l_partkey) AS min_price
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey AND p_size = 15 AND p_type = 'LARGE'
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey AND r_name = 'EUROPE'
+)
+SELECT DISTINCT s_acctbal, s_name, n_name, p_partkey, unit_price
+FROM offers WHERE unit_price = min_price
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey, unit_price
+LIMIT 100
+"""
+
+
+# --- Q4: order priority checking (EXISTS semi-join) ---------------------
+
+def q04_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference schema lacks l_commitdate/l_receiptdate; the EXISTS
+    predicate becomes 'some lineitem shipped after the order date'
+    (late shipment), preserving Q4's semi-join + agg shape."""
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= _ts("1997-07-01"))
+        & (F.col("o_orderdate") < _ts("1997-10-01"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    late = li.join(
+        o.select("o_orderkey", "o_orderdate"), li.l_orderkey == F.col("o_orderkey")
+    ).filter(F.col("l_shipdate") > F.col("o_orderdate")).select("l_orderkey")
+    return (
+        o.join(late, o.o_orderkey == late.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+Q04_SQL = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-07-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1997-10-01 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+# --- Q6: forecasting revenue change (pure pushdown) ---------------------
+
+def q06_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scan-only query: all four predicates and the 3-column projection
+    must reach the parquet reader (pinned in tests/test_plans.py)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= _ts("1997-01-01"))
+            & (F.col("l_shipdate") < _ts("1998-01-01"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(dsum(F.col("l_extendedprice") * F.col("l_discount"), "revenue"))
+    )
+
+
+Q06_SQL = f"""
+SELECT {oracle_dsum('l_extendedprice * l_discount')} AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+# --- Q7: volume shipping between two nations ----------------------------
+
+def q07_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _ts("1996-01-01"))
+        & (F.col("l_shipdate") < _ts("1998-01-01"))
+    )
+    o = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    n1 = nat.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nat.select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (F.col("supp_nation") == "NATION_3") & (F.col("cust_nation") == "NATION_8")
+    rpair = (F.col("supp_nation") == "NATION_8") & (F.col("cust_nation") == "NATION_3")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(cust, o.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+        .filter(pair | rpair)
+        .withColumn("l_year", F.year("l_shipdate"))
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+Q07_SQL = f"""
+SELECT supp_nation, cust_nation, l_year,
+       {oracle_dsum('volume')} AS revenue
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         YEAR(l_shipdate) AS l_year,
+         l_extendedprice * (1 - l_discount) AS volume
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+    AND ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_8')
+      OR (n1.n_name = 'NATION_8' AND n2.n_name = 'NATION_3'))
+) shipping
+GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation, cust_nation, l_year
+"""
+
+
+# --- Q8: national market share ------------------------------------------
+
+def q08_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Share = conditional decimal sum / total decimal sum, one divide
+    per output row — both sums deterministic, so the ratio is too."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= _ts("1996-01-01"))
+        & (F.col("o_orderdate") < _ts("1998-01-01"))
+    )
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    reg = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    cust_nat = nat.select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_regionkey").alias("c_rk")
+    )
+    supp_nat = nat.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    dec = "decimal(27,6)"
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(cust, o.o_custkey == cust.c_custkey)
+        .join(F.broadcast(cust_nat), F.col("c_nationkey") == F.col("c_nk"))
+        .join(F.broadcast(reg), F.col("c_rk") == reg.r_regionkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(supp_nat), F.col("s_nationkey") == F.col("s_nk"))
+        .withColumn("o_year", F.year("o_orderdate"))
+        .groupBy("o_year")
+        .agg(
+            (
+                F.sum(
+                    F.when(F.col("supp_nation") == "NATION_3", vol)
+                    .otherwise(F.lit(0.0))
+                    .cast(dec)
+                ).cast("double")
+                / F.sum(vol.cast(dec)).cast("double")
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+Q08_SQL = """
+SELECT o_year,
+       CAST(SUM(CAST(CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE 0.0 END
+                AS DECIMAL(27,6))) AS DOUBLE)
+       / CAST(SUM(CAST(volume AS DECIMAL(27,6))) AS DOUBLE) AS mkt_share
+FROM (
+  SELECT YEAR(o_orderdate) AS o_year,
+         l_extendedprice * (1 - l_discount) AS volume,
+         n2.n_name AS supp_nation
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey AND p_type = 'PROMO'
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+  JOIN region ON n1.n_regionkey = r_regionkey AND r_name = 'ASIA'
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+  WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+) all_nations
+GROUP BY o_year
+ORDER BY o_year
+"""
+
+
+# --- Q9: product type profit measure ------------------------------------
+
+def q09_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """No ps_supplycost; cost is proxied as 10% of retail price x
+    quantity, keeping Q9's shape (part-name LIKE, 4-way join, profit
+    grouped by supplier nation x order year)."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    supp = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+    amount = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.col("p_retailprice") * F.col("l_quantity") * 0.1
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nat), F.col("s_nationkey") == nat.n_nationkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .withColumn("o_year", F.year("o_orderdate"))
+        .groupBy(F.col("n_name").alias("nation"), "o_year")
+        .agg(dsum(amount, "sum_profit"))
+        .orderBy("nation", F.col("o_year").desc())
+    )
+
+
+Q09_SQL = f"""
+SELECT n_name AS nation, YEAR(o_orderdate) AS o_year,
+       {oracle_dsum('l_extendedprice * (1 - l_discount) - p_retailprice * l_quantity * 0.1')} AS sum_profit
+FROM lineitem
+JOIN part ON l_partkey = p_partkey AND p_name LIKE '%red%'
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+GROUP BY n_name, YEAR(o_orderdate)
+ORDER BY nation, o_year DESC
+"""
+
+
+# --- Q10: returned item reporting (top-k customers) ---------------------
+
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= _ts("1997-10-01"))
+        & (F.col("o_orderdate") < _ts("1998-01-01"))
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    cust = _t(spark, sf_dir, "customer")
+    nat = _t(spark, sf_dir, "nation")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(cust, o.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+Q10_SQL = f"""
+SELECT c_custkey, c_name, c_acctbal, n_name,
+       {oracle_dsum('l_extendedprice * (1 - l_discount)')} AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1997-10-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+"""
+
+
+# --- Q11-style: important value concentration ---------------------------
+
+def q11_important_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """No partsupp: 'stock value' is shipped value per (nation, part)
+    from one nation's suppliers; HAVING compares against a fraction of
+    the global total via a broadcast 1-row aggregate (no driver
+    collect, single plan)."""
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_5")
+    val = F.col("l_extendedprice") * F.col("l_quantity")
+    base = (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nat), F.col("s_nationkey") == nat.n_nationkey)
+    )
+    per_part = base.groupBy("l_partkey").agg(dsum(val, "part_value"))
+    total = base.agg(dsum(val, "total_value"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.col("part_value") > F.col("total_value") * 0.001)
+        .select(F.col("l_partkey").alias("p_partkey"), "part_value")
+        .orderBy(F.col("part_value").desc(), F.col("p_partkey").asc())
+    )
+
+
+Q11_SQL = f"""
+WITH base AS (
+  SELECT l_partkey, l_extendedprice * l_quantity AS v
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey AND n_name = 'NATION_5'
+),
+total AS (SELECT {oracle_dsum('v')} AS total_value FROM base)
+SELECT l_partkey AS p_partkey, {oracle_dsum('v')} AS part_value
+FROM base, total
+GROUP BY l_partkey, total.total_value
+HAVING {oracle_dsum('v')} > total.total_value * 0.001
+ORDER BY part_value DESC, p_partkey ASC
+"""
+
+
+# --- Q12-style: shipping priority classification ------------------------
+
+def q12_priority_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """No l_shipmode column; Q12's defining shape — join then CASE-sum
+    classification by order priority — is grouped by l_linestatus."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _ts("1997-01-01"))
+        & (F.col("l_shipdate") < _ts("1998-01-01"))
+    )
+    o = _t(spark, sf_dir, "orders")
+    high = F.when(
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1
+    ).otherwise(0)
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(high).alias("high_line_count"),
+            F.sum(1 - high).alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+Q12_SQL = """
+SELECT l_linestatus,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY l_linestatus
+ORDER BY l_linestatus
+"""
+
+
+# --- Q13: customer order-count distribution -----------------------------
+
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join (keeps zero-order customers) then a second
+    aggregation over the counts — the classic two-level agg; both
+    shuffles key on high-cardinality columns, no skew hazard."""
+    cust = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "4-NOT SPECIFIED"
+    )
+    per_cust = (
+        cust.join(o, cust.c_custkey == o.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+Q13_SQL = """
+SELECT c_count, COUNT(*) AS custdist
+FROM (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer
+  LEFT OUTER JOIN orders ON c_custkey = o_custkey
+       AND o_orderpriority <> '4-NOT SPECIFIED'
+  GROUP BY c_custkey
+) c_orders
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+# --- Q14: promotion effect ----------------------------------------------
+
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _ts("1997-09-01"))
+        & (F.col("l_shipdate") < _ts("1997-10-01"))
+    )
+    part = _t(spark, sf_dir, "part")
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    dec = "decimal(27,6)"
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            (
+                F.lit(100.0)
+                * F.sum(
+                    F.when(F.col("p_type") == "PROMO", vol)
+                    .otherwise(F.lit(0.0))
+                    .cast(dec)
+                ).cast("double")
+                / F.sum(vol.cast(dec)).cast("double")
+            ).alias("promo_revenue")
+        )
+    )
+
+
+Q14_SQL = """
+SELECT 100.0 * CAST(SUM(CAST(CASE WHEN p_type = 'PROMO'
+                 THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END
+                 AS DECIMAL(27,6))) AS DOUBLE)
+       / CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                 AS DECIMAL(27,6))) AS DOUBLE) AS promo_revenue
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-10-01 00:00:00'
+"""
+
+
+# --- Q15: top supplier (view + max equality) ----------------------------
+
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _ts("1997-01-01"))
+        & (F.col("l_shipdate") < _ts("1997-04-01"))
+    )
+    supp = _t(spark, sf_dir, "supplier")
+    revenue = li.groupBy("l_suppkey").agg(
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "total_revenue")
+    )
+    top = revenue.agg(F.max("total_revenue").alias("max_revenue"))
+    return (
+        revenue.crossJoin(F.broadcast(top))
+        .filter(F.col("total_revenue") == F.col("max_revenue"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .select(
+            F.col("s_suppkey"), F.col("s_name"), F.col("total_revenue")
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+Q15_SQL = f"""
+WITH revenue AS (
+  SELECT l_suppkey,
+         {oracle_dsum('l_extendedprice * (1 - l_discount)')} AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM revenue
+JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+ORDER BY s_suppkey
+"""
+
+
+# --- Q16-style: supplier count by part attribute ------------------------
+
+def q16_supplier_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """partsupp is proxied by the observed (part, supplier) pairs in
+    lineitem; 'complaint' suppliers (the NOT IN side) are those with
+    negative account balance."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & (~F.col("p_type").startswith("ECON"))
+        & (F.col("p_size").isin(1, 4, 7, 10, 13, 16, 19, 22))
+    )
+    bad_supp = _t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0)
+    return (
+        li.select("l_partkey", "l_suppkey")
+        .join(
+            F.broadcast(bad_supp.select("s_suppkey")),
+            li.l_suppkey == F.col("s_suppkey"),
+            "left_anti",
+        )
+        .join(F.broadcast(part), F.col("l_partkey") == part.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(
+            F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size"
+        )
+    )
+
+
+Q16_SQL = """
+SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#1'
+  AND p_type NOT LIKE 'ECON%'
+  AND p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+
+# --- Q17: small-quantity-order revenue ----------------------------------
+
+def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated per-part AVG threshold: expressed as an aggregate on
+    the fact keyed by partkey joined back to the fact (two shuffles on
+    the same key — Spark reuses the exchange), never a per-row
+    subquery. Threshold 0.5*avg (quantities are uniform 1..50, the
+    canonical 0.2 would select nothing)."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") == "Brand#3") & (F.col("p_type") == "MEDIUM")
+    )
+    avg_qty = li.groupBy(F.col("l_partkey").alias("a_partkey")).agg(
+        davg("l_quantity", "avg_qty")
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(avg_qty, li.l_partkey == F.col("a_partkey"))
+        .filter(F.col("l_quantity") < F.col("avg_qty") * 0.5)
+        .agg((dsum("l_extendedprice") / 7.0).alias("avg_yearly"))
+    )
+
+
+Q17_SQL = f"""
+SELECT {oracle_dsum('l_extendedprice')} / 7.0 AS avg_yearly
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN (
+  SELECT l_partkey AS a_partkey, {oracle_davg('l_quantity')} AS avg_qty
+  FROM lineitem GROUP BY l_partkey
+) pa ON l_partkey = a_partkey
+WHERE p_brand = 'Brand#3' AND p_type = 'MEDIUM'
+  AND l_quantity < avg_qty * 0.5
+"""
+
+
+# --- Q18: large volume customers ----------------------------------------
+
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(dsum("l_quantity", "sum_qty"))
+        .filter(F.col("sum_qty") > 300)
+    )
+    return (
+        o.join(big, o.o_orderkey == big.l_orderkey)
+        .join(cust, o.o_custkey == cust.c_custkey)
+        .select(
+            "c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice",
+            "sum_qty",
+        )
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(100)
+    )
+
+
+Q18_SQL = f"""
+SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, sum_qty
+FROM orders
+JOIN (
+  SELECT l_orderkey, {oracle_dsum('l_quantity')} AS sum_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING {oracle_dsum('l_quantity')} > 300
+) big ON o_orderkey = big.l_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY o_totalprice DESC, o_orderkey ASC
+LIMIT 100
+"""
+
+
+# --- Q19: discounted revenue (disjunctive predicates) -------------------
+
+def q19_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OR-of-ANDs across two tables: Catalyst extracts the common
+    l_partkey = p_partkey conjunct as the join key and evaluates the
+    residual disjunction post-join — no cartesian fallback."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    b1 = (
+        (F.col("p_brand") == "Brand#2")
+        & (F.col("p_size").between(1, 5))
+        & (F.col("l_quantity").between(1, 11))
+    )
+    b2 = (
+        (F.col("p_brand") == "Brand#13")
+        & (F.col("p_size").between(1, 10))
+        & (F.col("l_quantity").between(10, 20))
+    )
+    b3 = (
+        (F.col("p_brand") == "Brand#24")
+        & (F.col("p_size").between(1, 15))
+        & (F.col("l_quantity").between(20, 30))
+    )
+    return joined.filter(b1 | b2 | b3).agg(
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue")
+    )
+
+
+Q19_SQL = f"""
+SELECT {oracle_dsum('l_extendedprice * (1 - l_discount)')} AS revenue
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 5
+       AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 10
+       AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#24' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
+# --- Q20-style: potential part promotion suppliers ----------------------
+
+def q20_promotion_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested semi-join chain: suppliers (in one nation) whose 1997
+    shipped quantity of PROMO parts exceeds a per-(supplier,part)
+    threshold. partsupp availability is proxied by shipped volume."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _ts("1997-01-01"))
+        & (F.col("l_shipdate") < _ts("1998-01-01"))
+    )
+    part = _t(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    supp = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_2")
+    qualifying = (
+        li.join(F.broadcast(part.select("p_partkey")), li.l_partkey == F.col("p_partkey"))
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(dsum("l_quantity", "shipped_qty"))
+        .filter(F.col("shipped_qty") > 40)
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        supp.join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+        .join(qualifying, supp.s_suppkey == qualifying.l_suppkey, "left_semi")
+        .select("s_name", "s_suppkey")
+        .orderBy("s_name", "s_suppkey")
+    )
+
+
+Q20_SQL = f"""
+SELECT s_name, s_suppkey
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey AND n_name = 'NATION_2'
+WHERE s_suppkey IN (
+  SELECT l_suppkey FROM (
+    SELECT l_suppkey, l_partkey, {oracle_dsum('l_quantity')} AS shipped_qty
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+      AND l_partkey IN (SELECT p_partkey FROM part WHERE p_type = 'PROMO')
+    GROUP BY l_suppkey, l_partkey
+    HAVING {oracle_dsum('l_quantity')} > 40
+  ) q
+)
+ORDER BY s_name, s_suppkey
+"""
+
+
+# --- Q21-style: suppliers who shipped last on shared orders -------------
+
+def q21_late_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q21's EXISTS/NOT-EXISTS pair over other suppliers on the same
+    order is re-expressed with order-scoped window aggregates (one
+    shuffle on orderkey instead of two self-joins): blame suppliers
+    whose lineitem is the strictly-latest shipment on a multi-supplier
+    order. No commit/receipt dates in this schema, so 'late' = last to
+    ship."""
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_1")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    w = Window.partitionBy("l_orderkey")
+    flagged = (
+        li.join(o.select("o_orderkey"), li.l_orderkey == F.col("o_orderkey"))
+        .withColumn("n_supps", F.size(F.collect_set("l_suppkey").over(w)))
+        .withColumn("max_ship", F.max("l_shipdate").over(w))
+        .withColumn(
+            "n_max_ship",
+            F.size(
+                F.collect_set(
+                    F.when(F.col("l_shipdate") == F.col("max_ship"), F.col("l_suppkey"))
+                ).over(w)
+            ),
+        )
+        .filter(
+            (F.col("n_supps") >= 2)
+            & (F.col("l_shipdate") == F.col("max_ship"))
+            & (F.col("n_max_ship") == 1)
+        )
+        .select("l_suppkey", "l_orderkey")
+        .distinct()
+    )
+    return (
+        flagged.join(F.broadcast(supp), flagged.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nat), F.col("s_nationkey") == nat.n_nationkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_name").asc())
+        .limit(100)
+    )
+
+
+Q21_SQL = """
+WITH scoped AS (
+  SELECT l_suppkey, l_orderkey, l_shipdate,
+         COUNT(DISTINCT l_suppkey) OVER (PARTITION BY l_orderkey) AS n_supps,
+         MAX(l_shipdate) OVER (PARTITION BY l_orderkey) AS max_ship
+  FROM lineitem
+  WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F')
+),
+lastship AS (
+  SELECT l_suppkey, l_orderkey, n_supps, max_ship,
+         COUNT(DISTINCT CASE WHEN l_shipdate = max_ship THEN l_suppkey END)
+           OVER (PARTITION BY l_orderkey) AS n_max_ship,
+         l_shipdate
+  FROM scoped
+),
+flagged AS (
+  SELECT DISTINCT l_suppkey, l_orderkey
+  FROM lastship
+  WHERE n_supps >= 2 AND l_shipdate = max_ship AND n_max_ship = 1
+)
+SELECT s_name, COUNT(*) AS numwait
+FROM flagged
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey AND n_name = 'NATION_1'
+GROUP BY s_name
+ORDER BY numwait DESC, s_name ASC
+LIMIT 100
+"""
+
+
+# --- Q22-style: global sales opportunity --------------------------------
+
+def q22_global_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-join (customers with no *recent* orders — every customer in
+    the synthetic corpus has some order, so the canonical no-orders
+    predicate would select nothing) + scalar-subquery threshold
+    (above-average positive balance). No c_phone in this schema, so the
+    country grouping is the customer's nation."""
+    cust = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= _ts("2000-01-01")
+    )
+    nat = _t(spark, sf_dir, "nation")
+    avg_bal = cust.filter(F.col("c_acctbal") > 0.0).agg(
+        davg("c_acctbal", "avg_bal")
+    )
+    return (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(o, cust.c_custkey == o.o_custkey, "left_anti")
+        .join(F.broadcast(nat), F.col("c_nationkey") == nat.n_nationkey)
+        .groupBy(F.col("n_name").alias("cntry"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            dsum("c_acctbal", "totacctbal"),
+        )
+        .orderBy("cntry")
+    )
+
+
+Q22_SQL = f"""
+SELECT n_name AS cntry, COUNT(*) AS numcust, {oracle_dsum('c_acctbal')} AS totacctbal
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+WHERE c_acctbal > (SELECT {oracle_davg('c_acctbal')} FROM customer
+                   WHERE c_acctbal > 0.0)
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                  AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+GROUP BY n_name
+ORDER BY cntry
+"""
+
+
+SPECS = [
+    QuerySpec("q02_min_cost_supplier", q02_min_cost_supplier, Q02_SQL, "TPC-H Q2 shape: correlated min-price supplier via window min"),
+    QuerySpec("q04_order_priority", q04_order_priority, Q04_SQL, "TPC-H Q4: EXISTS semi-join + priority agg"),
+    QuerySpec("q06_revenue_forecast", q06_revenue_forecast, Q06_SQL, "TPC-H Q6: pure pushdown filter + single agg"),
+    QuerySpec("q07_volume_shipping", q07_volume_shipping, Q07_SQL, "TPC-H Q7: two-sided nation volume join by year"),
+    QuerySpec("q08_market_share", q08_market_share, Q08_SQL, "TPC-H Q8: market-share conditional ratio per year"),
+    QuerySpec("q09_product_profit", q09_product_profit, Q09_SQL, "TPC-H Q9: profit by nation x year with LIKE part filter"),
+    QuerySpec("q10_returned_items", q10_returned_items, Q10_SQL, "TPC-H Q10: returned-item revenue top-20 customers"),
+    QuerySpec("q11_important_value", q11_important_value, Q11_SQL, "TPC-H Q11 shape: group share vs global total threshold"),
+    QuerySpec("q12_priority_shipping", q12_priority_shipping, Q12_SQL, "TPC-H Q12 shape: join + CASE-sum priority classification"),
+    QuerySpec("q13_customer_distribution", q13_customer_distribution, Q13_SQL, "TPC-H Q13: left-join order-count histogram"),
+    QuerySpec("q14_promo_revenue", q14_promo_revenue, Q14_SQL, "TPC-H Q14: promo revenue percentage"),
+    QuerySpec("q15_top_supplier", q15_top_supplier, Q15_SQL, "TPC-H Q15: revenue view + max-equality scalar subquery"),
+    QuerySpec("q16_supplier_count", q16_supplier_count, Q16_SQL, "TPC-H Q16 shape: distinct supplier count + NOT IN anti-join"),
+    QuerySpec("q17_small_qty_revenue", q17_small_qty_revenue, Q17_SQL, "TPC-H Q17: correlated per-part avg-quantity threshold"),
+    QuerySpec("q18_large_orders", q18_large_orders, Q18_SQL, "TPC-H Q18: HAVING subquery + customer top-100"),
+    QuerySpec("q19_disjunctive", q19_disjunctive, Q19_SQL, "TPC-H Q19: disjunctive OR-of-ANDs predicates across join"),
+    QuerySpec("q20_promotion_suppliers", q20_promotion_suppliers, Q20_SQL, "TPC-H Q20 shape: nested semi-join chain with agg threshold"),
+    QuerySpec("q21_late_suppliers", q21_late_suppliers, Q21_SQL, "TPC-H Q21 shape: multi-supplier blame via order-scoped windows"),
+    QuerySpec("q22_global_sales", q22_global_sales, Q22_SQL, "TPC-H Q22: anti-join + above-average balance threshold"),
+]
