@@ -49,6 +49,7 @@ _VERIFY_FIRST = [
     "q20_promotion_suppliers",
     "q21_late_suppliers",
     "q22_global_sales",
+    "mm_audio_stats",  # new in r6: real WAV kernel vs arithmetic oracle
     "dedup_minhash_lsh",
     "dedup_lsh_verified",  # new in r6: LSH->verify chain, oracle-checked
     "dedup_resolve",  # new in r6: components -> keep/drop decisions

@@ -1,13 +1,18 @@
 """Multimodal columns: image/audio/video as opaque binary + typed
 metadata, with Arrow-batched processing plumbing.
 
-The decode kernels (image decode, resample, frame extraction) need
-codec libraries that aren't in this container, so the *kernels* are
-stubbed deterministically — but everything Spark-side is real and
-tested: schemas, batch iteration via ``mapInPandas`` (Arrow transfer,
-no per-row Python), partition sizing, and the metadata contract. On a
-real cluster you replace one function body with PIL/ffmpeg calls and
-the plan is unchanged.
+Kernel status:
+- image decode: REAL (Pillow when installed, stdlib PNG otherwise)
+- audio decode + resample: REAL for PCM WAV (stdlib ``wave`` + numpy);
+  compressed codecs (mp3/ogg) land in the error column
+- video frame decode: STUB — needs ffmpeg, not in this container; the
+  frame-sampling plumbing (metadata explode, batch shape) is real
+
+Everything Spark-side is real and tested either way: schemas, batch
+iteration via ``mapInPandas`` (Arrow transfer, no per-row Python),
+partition sizing, corrupt-input containment, and the metadata
+contract. On a real cluster the stubbed video kernel is one function
+body swap and the plan is unchanged.
 """
 
 from __future__ import annotations
@@ -308,31 +313,202 @@ def resize_images(assets: DataFrame, width: int, height: int) -> DataFrame:
     )
 
 
-def resample_audio(assets: DataFrame, sample_rate: int) -> DataFrame:
-    """Audio resample plumbing: filters to audio, rewrites sample_rate
-    metadata, passes payloads through the (stubbed) kernel batch-wise —
-    same Arrow shape as :func:`resize_images`; swap the body for a
-    torchaudio/ffmpeg call in production."""
+# --- real audio (WAV/PCM) kernels ------------------------------------
+#
+# The stdlib ``wave`` module parses RIFF/WAVE PCM containers and numpy
+# does the sample math, so — like the image path — the audio kernel is
+# REAL here, not a stub: decode (dims/duration/per-channel RMS+peak)
+# and linear-interpolation resampling both work on any 8/16/32-bit PCM
+# WAV. Compressed formats (mp3/ogg/flac) need codec libs and land in
+# the ``error`` column; production swaps :func:`decode_wav` for a
+# torchaudio/ffmpeg call with the same contract.
 
-    out_schema = T.StructType(list(ASSET_SCHEMA.fields))
+_WAV_DTYPES = {1: "uint8", 2: "int16", 4: "int32"}
+
+
+def decode_wav(payload: bytes) -> dict:
+    """Decode one PCM WAV payload → container params + per-channel
+    RMS/peak (in raw sample units; 8-bit is centered to signed).
+
+    Raises on non-WAV / non-PCM input — callers wrap for containment.
+    """
+    import io
+    import wave
+
+    import numpy as np
+
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        nch = w.getnchannels()
+        width = w.getsampwidth()
+        rate = w.getframerate()
+        n_frames = w.getnframes()
+        frames = w.readframes(n_frames)
+    if width not in _WAV_DTYPES:
+        raise ValueError(f"unsupported sample width {width}")
+    x = np.frombuffer(frames, dtype=_WAV_DTYPES[width]).astype(np.float64)
+    if width == 1:  # 8-bit WAV is unsigned, center at 0
+        x -= 128.0
+    x = x.reshape(-1, nch) if len(x) else x.reshape(0, max(nch, 1))
+    if len(x):
+        rms = np.sqrt(np.mean(x * x, axis=0))
+        peak = np.max(np.abs(x), axis=0)
+    else:
+        rms = np.zeros(nch)
+        peak = np.zeros(nch)
+    return {
+        "channels": nch,
+        "sample_rate": rate,
+        "sample_width": width,
+        "n_frames": n_frames,
+        "duration_ms": n_frames * 1000 // rate if rate else 0,
+        "rms": [float(v) for v in rms],
+        "peak": [float(v) for v in peak],
+    }
+
+
+def encode_wav_pcm16(samples, rate: int) -> bytes:
+    """Encode an (n_frames, channels) int array as 16-bit PCM WAV."""
+    import io
+    import wave
+
+    import numpy as np
+
+    arr = np.asarray(samples)
+    if arr.ndim == 1:
+        arr = arr[:, None]
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(arr.shape[1])
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(
+            np.clip(np.rint(arr), -32768, 32767).astype("<i2").tobytes()
+        )
+    return buf.getvalue()
+
+
+AUDIO_DECODE_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType(), False),
+        T.StructField("channels", T.IntegerType(), True),
+        T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("sample_width", T.IntegerType(), True),
+        T.StructField("n_frames", T.LongType(), True),
+        T.StructField("duration_ms", T.LongType(), True),
+        T.StructField("rms", T.ArrayType(T.DoubleType()), True),
+        T.StructField("peak", T.ArrayType(T.DoubleType()), True),
+        T.StructField("error", T.StringType(), True),
+    ]
+)
+
+_AUDIO_NULL = {
+    "channels": None, "sample_rate": None, "sample_width": None,
+    "n_frames": None, "duration_ms": None, "rms": None, "peak": None,
+}
+
+
+def decode_audio(assets: DataFrame) -> DataFrame:
+    """Audio payloads → (params, per-channel RMS/peak) via Arrow-batched
+    mapInPandas; undecodable payloads land in ``error`` (same corrupt-
+    input containment as :func:`decode_images`)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            rows = []
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                if payload is None:
+                    rows.append(
+                        {"asset_id": aid, **_AUDIO_NULL, "error": "null payload"}
+                    )
+                    continue
+                try:
+                    d = decode_wav(bytes(payload))
+                    rows.append({"asset_id": aid, **d, "error": None})
+                except Exception as e:  # noqa: BLE001 — corrupt inputs are data
+                    rows.append(
+                        {"asset_id": aid, **_AUDIO_NULL, "error": str(e)[:200]}
+                    )
+            yield pd.DataFrame(rows)
+
+    return (
+        assets.filter(F.col("modality") == "audio")
+        .select("asset_id", "payload")
+        .mapInPandas(run, schema=AUDIO_DECODE_SCHEMA)
+    )
+
+
+#: ASSET_SCHEMA + an error column (corrupt-input containment)
+RESAMPLE_SCHEMA = T.StructType(
+    list(ASSET_SCHEMA.fields) + [T.StructField("error", T.StringType(), True)]
+)
+
+
+def resample_audio(assets: DataFrame, sample_rate: int) -> DataFrame:
+    """REAL audio resampling for PCM WAV: decode with the stdlib wave
+    reader, linear-interpolate each channel onto the new sample grid
+    (numpy, vectorized per Arrow batch), re-encode as 16-bit PCM.
+    Non-PCM payloads pass through unchanged with ``error`` set and their
+    original meta intact — a task retry loop on undecodable data is a
+    cluster-killer at 100 TB."""
+
+    def _resample_one(payload: bytes) -> tuple[bytes, int, int]:
+        import io
+        import wave
+
+        import numpy as np
+
+        with wave.open(io.BytesIO(payload), "rb") as w:
+            nch, width, rate = w.getnchannels(), w.getsampwidth(), w.getframerate()
+            n_frames = w.getnframes()
+            frames = w.readframes(n_frames)
+        if width not in _WAV_DTYPES:
+            raise ValueError(f"unsupported sample width {width}")
+        x = np.frombuffer(frames, dtype=_WAV_DTYPES[width]).astype(np.float64)
+        if width == 1:
+            x = (x - 128.0) * 256.0  # widen 8-bit to 16-bit range
+        elif width == 4:
+            x = x / 65536.0  # narrow 32-bit to 16-bit range
+        x = x.reshape(-1, nch)
+        n_out = max(1, round(n_frames * sample_rate / rate))
+        t_in = np.arange(n_frames, dtype=np.float64) / rate
+        t_out = np.arange(n_out, dtype=np.float64) / sample_rate
+        y = np.column_stack(
+            [np.interp(t_out, t_in, x[:, c]) for c in range(nch)]
+        )
+        return encode_wav_pcm16(y, sample_rate), n_out, nch
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads, metas, errors = [], [], []
+            for payload, meta in zip(pdf["payload"], pdf["meta"]):
+                meta = dict(meta) if meta is not None else {}
+                try:
+                    if payload is None:
+                        raise ValueError("null payload")
+                    out, n_out, _nch = _resample_one(bytes(payload))
+                    payloads.append(out)
+                    metas.append(
+                        {
+                            "width": None,
+                            "height": None,
+                            "duration_ms": n_out * 1000 // sample_rate,
+                            "sample_rate": sample_rate,
+                        }
+                    )
+                    errors.append(None)
+                except Exception as e:  # noqa: BLE001
+                    payloads.append(payload)  # passthrough, meta unchanged
+                    metas.append(meta or None)
+                    errors.append(str(e)[:200])
             pdf = pdf.copy()
-            pdf["meta"] = [
-                {
-                    "width": None,
-                    "height": None,
-                    "duration_ms": (m or {}).get("duration_ms"),
-                    "sample_rate": sample_rate,
-                }
-                for m in pdf["meta"]
-            ]
+            pdf["payload"] = payloads
+            pdf["meta"] = metas
+            pdf["error"] = errors
             yield pdf
 
     return (
         assets.filter(F.col("modality") == "audio")
-        .mapInPandas(run, schema=out_schema)
+        .mapInPandas(run, schema=RESAMPLE_SCHEMA)
     )
 
 

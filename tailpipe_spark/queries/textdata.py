@@ -749,8 +749,76 @@ FROM documents ORDER BY asset_id
 """
 
 
+def mm_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end proof of the REAL WAV kernel: synthesize a stereo
+    square-wave PCM WAV per doc (parameters derived from doc_id), then
+    decode it with operators.multimodal.decode_audio. A square wave's
+    RMS equals its amplitude exactly (every |sample| = A, and the
+    float64 mean/sqrt of integer-valued squares is exact), so the
+    oracle recomputes every output column with integer arithmetic — a
+    wrong byte anywhere in the encoder or decoder breaks the hash."""
+    from tailpipe_spark.operators.multimodal import decode_audio, encode_wav_pcm16
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+
+    def synth(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                rate = 8000 + (did % 3) * 4000
+                d_ms = 50 + (did % 100)
+                n = d_ms * rate // 1000
+                a_l = 1000 + (did % 2000)
+                a_r = 500 + (did % 3000)
+                sign = np.where(np.arange(n) % 2 == 0, 1, -1)
+                rows.append(
+                    {
+                        "asset_id": did,
+                        "modality": "audio",
+                        "payload": encode_wav_pcm16(
+                            np.column_stack([sign * a_l, sign * a_r]), rate
+                        ),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    assets = docs.mapInPandas(
+        synth, schema="asset_id long, modality string, payload binary"
+    )
+    return (
+        decode_audio(assets)
+        .select(
+            "asset_id",
+            "channels",
+            "sample_rate",
+            "n_frames",
+            "duration_ms",
+            F.col("rms")[0].alias("rms_left"),
+            F.col("rms")[1].alias("rms_right"),
+        )
+        .orderBy("asset_id")
+    )
+
+
+MM_AUDIO_SQL = """
+SELECT doc_id AS asset_id,
+       2 AS channels,
+       CAST(8000 + (doc_id % 3) * 4000 AS INTEGER) AS sample_rate,
+       CAST((50 + (doc_id % 100)) * (8 + (doc_id % 3) * 4) AS BIGINT) AS n_frames,
+       CAST(50 + (doc_id % 100) AS BIGINT) AS duration_ms,
+       CAST(1000 + (doc_id % 2000) AS DOUBLE) AS rms_left,
+       CAST(500 + (doc_id % 3000) AS DOUBLE) AS rms_right
+FROM documents ORDER BY asset_id
+"""
+
+
 SPECS = [
     QuerySpec("mm_checksums", mm_checksums, MM_CHECKSUMS_SQL, "multimodal binary payloads through Arrow mapInPandas (checksum parity)"),
+    QuerySpec("mm_audio_stats", mm_audio_stats, MM_AUDIO_SQL, "real WAV encode->decode roundtrip vs arithmetic oracle (square-wave RMS exactness)"),
     QuerySpec("dedup_exact", dedup_exact, DEDUP_EXACT_SQL, "exact dedup via md5 hash-groupBy"),
     QuerySpec("dedup_ngram_jaccard", dedup_ngram_jaccard, DEDUP_JACCARD_SQL, "word-3-gram Jaccard near-dup pairs"),
     QuerySpec("dedup_minhash_lsh", dedup_minhash_lsh, _minhash_sql(), "MinHash(12) + 4-band LSH candidate pairs (portable md5 twin)"),

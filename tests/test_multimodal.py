@@ -127,12 +127,90 @@ def test_sample_frames(spark):
     assert [r["frame_ts_ms"] for r in sorted(out, key=lambda r: r["frame_no"])] == [0, 1000, 2000]
 
 
-def test_resample_audio_only_audio(spark):
+def test_resample_audio_corrupt_passthrough(spark):
+    """Non-WAV audio payloads pass through unchanged with error set and
+    original meta intact (no false resampled-rate claim)."""
     from tailpipe_spark.operators.multimodal import resample_audio
 
     out = resample_audio(_assets(spark), 8000).collect()
     assert len(out) == 1
     assert out[0]["asset_id"] == 2
-    assert out[0]["meta"]["sample_rate"] == 8000
-    assert out[0]["meta"]["duration_ms"] == 2500  # preserved
-    assert out[0]["payload"] is not None
+    assert out[0]["error"] is not None
+    assert out[0]["meta"]["sample_rate"] == 16000  # untouched
+    assert bytes(out[0]["payload"]) == b"RIFF fake wav"
+
+
+def _wav_assets(spark):
+    import numpy as np
+
+    from tailpipe_spark.operators.multimodal import ASSET_SCHEMA, encode_wav_pcm16
+
+    # 16kHz stereo, 100ms: left = +/-2000 square, right = +/-700 square
+    n = 1600
+    sign = np.where(np.arange(n) % 2 == 0, 1, -1)
+    wav = encode_wav_pcm16(np.column_stack([sign * 2000, sign * 700]), 16000)
+    rows = [
+        (7, "audio", "audio/wav", wav,
+         {"width": None, "height": None, "duration_ms": 100, "sample_rate": 16000}),
+        (8, "audio", "audio/wav", b"not a wav", None),
+    ]
+    return spark.createDataFrame(rows, ASSET_SCHEMA)
+
+
+def test_decode_audio_real_wav(spark):
+    from tailpipe_spark.operators.multimodal import decode_audio
+
+    out = {r["asset_id"]: r for r in decode_audio(_wav_assets(spark)).collect()}
+    good = out[7]
+    assert good["error"] is None
+    assert (good["channels"], good["sample_rate"], good["sample_width"]) == (2, 16000, 2)
+    assert good["n_frames"] == 1600
+    assert good["duration_ms"] == 100
+    # square wave: RMS == peak == amplitude, exactly
+    assert good["rms"] == [2000.0, 700.0]
+    assert good["peak"] == [2000.0, 700.0]
+    bad = out[8]
+    assert bad["error"] is not None
+    assert bad["rms"] is None
+
+
+def test_resample_audio_real_roundtrip(spark):
+    from tailpipe_spark.operators.multimodal import decode_audio, resample_audio
+
+    down = resample_audio(_wav_assets(spark), 8000)
+    redecoded = {
+        r["asset_id"]: r
+        for r in decode_audio(
+            down.select("asset_id", "modality", "payload")
+        ).collect()
+    }
+    good = redecoded[7]
+    assert good["error"] is None
+    assert good["sample_rate"] == 8000
+    assert good["n_frames"] == 800  # half the frames at half the rate
+    assert good["duration_ms"] == 100  # duration preserved
+    # linear interp at even offsets of an alternating square lands on
+    # the +A samples exactly → peak preserved
+    assert good["peak"] == [2000.0, 700.0]
+
+
+def test_decode_wav_8bit_centered():
+    import numpy as np
+
+    from tailpipe_spark.operators.multimodal import decode_wav
+
+    # hand-build an 8-bit mono WAV: constant 228 (=100 after centering)
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(1)
+        w.setframerate(8000)
+        w.writeframes(bytes([228] * 800))
+    d = decode_wav(buf.getvalue())
+    assert d["channels"] == 1
+    assert d["duration_ms"] == 100
+    assert d["rms"] == [100.0]
+    assert d["peak"] == [100.0]
