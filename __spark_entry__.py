@@ -50,6 +50,10 @@ _VERIFY_FIRST = [
     "q21_late_suppliers",
     "q22_global_sales",
     "mm_audio_stats",  # new in r6: real WAV kernel vs arithmetic oracle
+    "data_split_counts",  # new in r6: deterministic hash split
+    "data_stratified_sample",
+    "data_sample_fraction",
+    "data_mixture_rates",
     "dedup_minhash_lsh",
     "dedup_lsh_verified",  # new in r6: LSH->verify chain, oracle-checked
     "dedup_resolve",  # new in r6: components -> keep/drop decisions

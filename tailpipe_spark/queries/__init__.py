@@ -33,6 +33,7 @@ def build_registry() -> dict[str, QuerySpec]:
     from tailpipe_spark.queries import (
         advanced,
         relational,
+        sampling_q,
         streaming_q,
         textdata,
         timeseries,
@@ -41,7 +42,16 @@ def build_registry() -> dict[str, QuerySpec]:
     )
 
     registry: dict[str, QuerySpec] = {}
-    for mod in (relational, tpch, timeseries, textdata, vectors_q, advanced, streaming_q):
+    for mod in (
+        relational,
+        tpch,
+        timeseries,
+        textdata,
+        sampling_q,
+        vectors_q,
+        advanced,
+        streaming_q,
+    ):
         for spec in mod.SPECS:
             if spec.name in registry:
                 raise ValueError(f"duplicate query name {spec.name}")

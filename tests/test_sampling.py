@@ -1,0 +1,93 @@
+"""Properties of the deterministic sampling operators that the oracle
+hash can't express: growth stability, salt independence, plan shape."""
+
+from pyspark.sql import functions as F
+
+from tailpipe_spark.operators import sampling
+
+
+def _docs(spark, n=400):
+    return spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 7).cast("string").alias("source"),
+        (F.col("id") * 13 % 997).alias("n_chars"),
+    )
+
+
+def test_split_covers_everything_and_roughly_matches_weights(spark):
+    out = sampling.assign_split(_docs(spark, 2000)).groupBy("split").count()
+    counts = {r["split"]: r["count"] for r in out.collect()}
+    assert set(counts) <= {"train", "val", "test"}
+    assert sum(counts.values()) == 2000
+    assert counts["train"] > 1600  # ~90% of 2000, generous tolerance
+    assert 40 < counts["val"] + counts["test"] < 360
+
+
+def test_split_stable_under_corpus_growth(spark):
+    """Adding documents never flips an existing assignment — the reason
+    this is hash-based, not row_number or df.sample based."""
+    small = sampling.assign_split(_docs(spark, 200)).collect()
+    big = sampling.assign_split(_docs(spark, 2000)).collect()
+    big_map = {r["doc_id"]: r["split"] for r in big}
+    for r in small:
+        assert big_map[r["doc_id"]] == r["split"]
+
+
+def test_split_salt_redraws(spark):
+    a = {
+        r["doc_id"]: r["split"]
+        for r in sampling.assign_split(_docs(spark), salt="a").collect()
+    }
+    b = {
+        r["doc_id"]: r["split"]
+        for r in sampling.assign_split(_docs(spark), salt="b").collect()
+    }
+    assert a != b  # some assignment must differ under a new salt
+    assert set(a) == set(b)  # same rows, only labels move
+
+
+def test_assign_split_is_shuffle_free(spark):
+    plan = (
+        sampling.assign_split(_docs(spark))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+
+
+def test_sample_fraction_deterministic_and_proportional(spark):
+    df = _docs(spark, 5000)
+    once = sorted(r["doc_id"] for r in sampling.sample_fraction(df, 0.2).collect())
+    again = sorted(r["doc_id"] for r in sampling.sample_fraction(df, 0.2).collect())
+    assert once == again
+    assert 700 < len(once) < 1300  # ~1000
+
+
+def test_stratified_sample_exact_n_and_deterministic(spark):
+    df = _docs(spark, 700)
+    out = sampling.stratified_sample(df, "source", 3).collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r["source"], []).append(r["doc_id"])
+    assert all(len(v) == 3 for v in by_src.values())
+    again = sampling.stratified_sample(df, "source", 3).collect()
+    assert sorted(r["doc_id"] for r in again) == sorted(r["doc_id"] for r in out)
+
+
+def test_mixture_rates_cap_and_identity(spark):
+    out = sampling.mixture_rates(_docs(spark), "source", "n_chars", 0.10).collect()
+    assert len(out) == 7
+    for r in out:
+        assert 0.0 < r["rate"] <= 1.0
+    # a single dominant source gets capped below 1
+    skew = spark.createDataFrame(
+        [(i, "big" if i else "tiny", 1000 if i else 1) for i in range(100)],
+        "doc_id long, source string, n_chars long",
+    )
+    rates = {
+        r["source"]: r["rate"]
+        for r in sampling.mixture_rates(skew, "source", "n_chars", 0.5).collect()
+    }
+    assert rates["tiny"] == 1.0
+    assert rates["big"] < 1.0
