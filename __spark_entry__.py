@@ -54,6 +54,7 @@ _VERIFY_FIRST = [
     "data_stratified_sample",
     "data_sample_fraction",
     "data_mixture_rates",
+    "pipeline_quality_dedup_split",  # new in r6: full-chain composition
     "dedup_minhash_lsh",
     "dedup_lsh_verified",  # new in r6: LSH->verify chain, oracle-checked
     "dedup_resolve",  # new in r6: components -> keep/drop decisions

@@ -711,6 +711,88 @@ ORDER BY d.doc_id
 """
 
 
+# --- end-to-end pipeline: quality -> dedup resolve -> split -> audit ---
+
+def pipeline_quality_dedup_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonical training-data preparation pipeline as ONE lazy
+    plan: per-doc quality gate (operators/text.py), duplicate
+    resolution over the n-gram Jaccard dup graph (operators/dedup.py),
+    deterministic train/val/test assignment (operators/sampling.py),
+    and the audit aggregate a pipeline persists alongside its output.
+
+    Every stage is individually oracle-checked elsewhere
+    (`text_quality`, `dedup_resolve`, `data_split_counts`); this entry
+    value-checks their *composition* — join alignment, null handling at
+    the seams, and the split-before-filter ordering (split is assigned
+    to every doc so re-running with a different gate cannot move docs
+    across splits)."""
+    from tailpipe_spark.operators import sampling
+    from tailpipe_spark.session import parquet_row_count
+
+    docs = _docs(spark, sf_dir, parallel=True)
+    quality = tx.quality_features(docs).select("doc_id", "q_keep")
+    pairs = dd.ngram_jaccard_pairs(
+        docs, n=3, threshold=0.2, max_gram_df=_MAX_GRAM_DF,
+        corpus_size=parquet_row_count(f"{sf_dir}/documents.parquet"),
+    ).select("id_a", "id_b")
+    labeled = dd.connected_components(pairs).select(
+        F.col("node").alias("doc_id"), F.col("comp").alias("__comp")
+    )
+    base = (
+        docs.select("doc_id", "source", "n_chars")
+        .join(quality, "doc_id")
+        .join(labeled, "doc_id", "left")
+        .withColumn(
+            "keep_dedup",
+            F.coalesce("__comp", F.col("doc_id")) == F.col("doc_id"),
+        )
+    )
+    return (
+        sampling.assign_split(base)
+        .groupBy(
+            "split", (F.col("q_keep") & F.col("keep_dedup")).alias("selected")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("n_chars"),
+        )
+        .orderBy("split", "selected")
+    )
+
+
+_SPLIT_CASE = (
+    "CASE WHEN substr(md5('split-v1:' || CAST(doc_id AS VARCHAR)), 1, 4) < 'e666'"
+    " THEN 'train'"
+    " WHEN substr(md5('split-v1:' || CAST(doc_id AS VARCHAR)), 1, 4) < 'f333'"
+    " THEN 'val' ELSE 'test' END"
+)
+
+PIPELINE_SQL = _COMPONENTS_CTES + f"""
+, quality AS (
+  SELECT doc_id,
+         (q_words >= 5 AND q_words <= 100000
+          AND (q_chars - (q_words - 1)) / q_words >= 2.0
+          AND (q_chars - (q_words - 1)) / q_words <= 12.0) AS q_keep
+  FROM (SELECT doc_id, length({_NORM_SQL}) AS q_chars,
+               len(string_split({_NORM_SQL}, ' ')) AS q_words
+        FROM documents)),
+resolve AS (
+  SELECT d.doc_id, COALESCE(c.component, d.doc_id) = d.doc_id AS keep_dedup
+  FROM documents d LEFT JOIN comp c ON c.node = d.doc_id),
+final AS (
+  SELECT {_SPLIT_CASE} AS split,
+         q.q_keep AND r.keep_dedup AS selected,
+         d.n_chars
+  FROM documents d
+  JOIN quality q USING (doc_id)
+  JOIN resolve r USING (doc_id))
+SELECT split, selected, COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS n_chars
+FROM final GROUP BY split, selected
+ORDER BY split, selected
+"""
+
+
 # --- multimodal plumbing: docs as binary payloads through mapInPandas ---
 
 def mm_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -824,6 +906,7 @@ SPECS = [
     QuerySpec("dedup_minhash_lsh", dedup_minhash_lsh, _minhash_sql(), "MinHash(12) + 4-band LSH candidate pairs (portable md5 twin)"),
     QuerySpec("dedup_lsh_verified", dedup_lsh_verified, _lsh_verified_sql(), "LSH candidates -> exact-Jaccard verification (canonical chain, value-checked end-to-end)"),
     QuerySpec("dedup_resolve", dedup_resolve, DEDUP_RESOLVE_SQL, "corpus-wide keep/drop decisions from dup components (keep = min-id member)"),
+    QuerySpec("pipeline_quality_dedup_split", pipeline_quality_dedup_split, PIPELINE_SQL, "end-to-end pipeline: quality gate -> dedup resolve -> hash split -> audit agg, one lazy plan"),
     QuerySpec("dedup_minhash_fast", dedup_minhash_fast, None, "MinHash(12) + 4-band LSH, engine-default seeded xxhash64 (rows-only)"),
     QuerySpec("dedup_simhash", dedup_simhash, None, "64-bit SimHash fingerprints + Hamming-chunk candidates (xxhash64; rows-only)"),
     QuerySpec("text_language_id", text_language_id, _langid_sql(), "marker-word language ID heuristic"),
