@@ -138,6 +138,90 @@ ORDER BY user_id
 """
 
 
+def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join: the event stream joins a static
+    customer dimension (the standard lookup/enrich pattern — at scale
+    the static side is broadcast per micro-batch, the stream never
+    shuffles on the join key), then aggregates revenue-weighted counts
+    per market segment."""
+    from tailpipe_spark.session import configure_runtime, read_table
+
+    configure_runtime(spark)
+    path = f"{sf_dir}/events.parquet"
+    schema = spark.read.parquet(path).schema
+    src = spark.readStream.schema(schema).parquet(_stream_dir(path))
+    dim = read_table(spark, f"{sf_dir}/customer.parquet").select(
+        "c_custkey", "c_mktsegment"
+    )
+    joined = src.join(
+        F.broadcast(dim), src.user_id == dim.c_custkey
+    )
+    agg = joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.round(F.col("value") * 1000).cast("long")).alias("value_milli"),
+    )
+    name = "q_stream_static_join_sink"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).orderBy("c_mktsegment")
+
+
+STREAM_STATIC_JOIN_SQL = """
+SELECT c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(ROUND(value * 1000) AS BIGINT)) AS BIGINT) AS value_milli
+FROM events
+JOIN customer ON user_id = c_custkey
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming deduplication: dropDuplicates over (user_id,
+    event_type) inside the stream, then counts per event_type — equal
+    to batch COUNT(DISTINCT user_id). Local drain keeps full dedup
+    state; a production stream bounds it with
+    dropDuplicatesWithinWatermark (streaming/stateful.py carries the
+    TTL variant)."""
+    from tailpipe_spark.session import configure_runtime
+
+    configure_runtime(spark)
+    path = f"{sf_dir}/events.parquet"
+    schema = spark.read.parquet(path).schema
+    src = spark.readStream.schema(schema).parquet(_stream_dir(path))
+    agg = (
+        src.select("user_id", "event_type")
+        .dropDuplicates(["user_id", "event_type"])
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_distinct_users"))
+    )
+    name = "q_stream_dedup_sink"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).orderBy("event_type")
+
+
+STREAM_DEDUP_SQL = """
+SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_distinct_users
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 SPECS = [
     QuerySpec(
         "q_stream_window_counts", q_stream_window_counts, STREAM_WINDOW_SQL,
@@ -146,5 +230,13 @@ SPECS = [
     QuerySpec(
         "q_stream_sessionize", q_stream_sessionize, STREAM_SESSIONIZE_SQL,
         "streaming session_window sessionization == batch gaps-and-islands",
+    ),
+    QuerySpec(
+        "q_stream_static_join", q_stream_static_join, STREAM_STATIC_JOIN_SQL,
+        "stream-static broadcast enrichment join == batch join",
+    ),
+    QuerySpec(
+        "q_stream_dedup", q_stream_dedup, STREAM_DEDUP_SQL,
+        "streaming dropDuplicates == batch COUNT(DISTINCT)",
     ),
 ]
