@@ -57,6 +57,7 @@ _VERIFY_FIRST = [
     "pipeline_quality_dedup_split",  # new in r6: full-chain composition
     "q_stream_static_join",  # new in r6: stream-static broadcast join
     "q_stream_dedup",  # new in r6: streaming dropDuplicates == batch
+    "q_unpivot",  # new in r6: unpivot/melt
     "dedup_minhash_lsh",
     "dedup_lsh_verified",  # new in r6: LSH->verify chain, oracle-checked
     "dedup_resolve",  # new in r6: components -> keep/drop decisions

@@ -368,6 +368,37 @@ FROM events GROUP BY user_id ORDER BY user_id
 """
 
 
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT / melt: wide per-segment balance stats back to long
+    (metric, value) rows — DataFrame.unpivot maps to one Expand node
+    (row-local, no shuffle beyond the upstream agg)."""
+    c = _t(spark, sf_dir, "customer")
+    wide = c.groupBy("c_mktsegment").agg(
+        F.min("c_acctbal").alias("min_bal"),
+        F.max("c_acctbal").alias("max_bal"),
+        F.count(F.lit(1)).cast("double").alias("n_customers"),
+    )
+    return wide.unpivot(
+        ids=["c_mktsegment"],
+        values=["min_bal", "max_bal", "n_customers"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    ).orderBy("c_mktsegment", "metric")
+
+
+Q_UNPIVOT_SQL = """
+WITH wide AS (
+  SELECT c_mktsegment,
+         MIN(c_acctbal) AS min_bal,
+         MAX(c_acctbal) AS max_bal,
+         CAST(COUNT(*) AS DOUBLE) AS n_customers
+  FROM customer GROUP BY c_mktsegment)
+SELECT c_mktsegment, metric, value
+FROM wide UNPIVOT (value FOR metric IN (min_bal, max_bal, n_customers))
+ORDER BY c_mktsegment, metric
+"""
+
+
 # --- multiset set ops (ALL variants keep duplicates) ---
 
 def q_set_ops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -578,6 +609,7 @@ SPECS = [
     QuerySpec("q_skew_two_phase_agg", q_skew_two_phase_agg, Q_SKEW_AGG_SQL, "salted two-phase agg == plain GROUP BY (skew operator equivalence)"),
     QuerySpec("q_percentiles", q_percentiles, Q_PERCENTILES_SQL, "exact interpolated percentiles / median per group (quantized grid)"),
     QuerySpec("q_pivot", q_pivot, Q_PIVOT_SQL, "pivot / wide CASE aggregation"),
+    QuerySpec("q_unpivot", q_unpivot, Q_UNPIVOT_SQL, "unpivot / melt wide stats to long rows"),
     QuerySpec("q_set_ops_all", q_set_ops_all, Q_SET_OPS_ALL_SQL, "EXCEPT ALL / INTERSECT ALL multiset semantics"),
     QuerySpec("q_ilike", q_ilike, Q_ILIKE_SQL, "case-insensitive LIKE"),
 ]
