@@ -368,6 +368,37 @@ FROM events GROUP BY user_id ORDER BY user_id
 """
 
 
+def q_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL join (DataFrame.lateralJoin, Spark 4): for
+    each nation, the top-2 customers by balance. Catalyst decorrelates
+    the per-row subquery into WindowGroupLimit (partial top-k before
+    the shuffle) + one broadcast join — no nested-loop re-execution per
+    outer row, which is what makes LATERAL viable at 100 TB."""
+    nat = _t(spark, sf_dir, "nation")
+    cust = _t(spark, sf_dir, "customer")
+    top2 = (
+        cust.where(F.col("c_nationkey") == F.col("n_nationkey").outer())
+        .orderBy(F.col("c_acctbal").desc(), F.col("c_custkey").asc())
+        .limit(2)
+        .select("c_custkey", "c_acctbal")
+    )
+    return (
+        nat.lateralJoin(top2)
+        .select("n_name", "c_custkey", "c_acctbal")
+        .orderBy("n_name", "c_custkey")
+    )
+
+
+Q_LATERAL_SQL = """
+SELECT n_name, t.c_custkey, t.c_acctbal
+FROM nation, LATERAL (
+  SELECT c_custkey, c_acctbal FROM customer
+  WHERE c_nationkey = n_nationkey
+  ORDER BY c_acctbal DESC, c_custkey ASC LIMIT 2) t
+ORDER BY n_name, c_custkey
+"""
+
+
 def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UNPIVOT / melt: wide per-segment balance stats back to long
     (metric, value) rows — DataFrame.unpivot maps to one Expand node
@@ -610,6 +641,7 @@ SPECS = [
     QuerySpec("q_percentiles", q_percentiles, Q_PERCENTILES_SQL, "exact interpolated percentiles / median per group (quantized grid)"),
     QuerySpec("q_pivot", q_pivot, Q_PIVOT_SQL, "pivot / wide CASE aggregation"),
     QuerySpec("q_unpivot", q_unpivot, Q_UNPIVOT_SQL, "unpivot / melt wide stats to long rows"),
+    QuerySpec("q_lateral_topk", q_lateral_topk, Q_LATERAL_SQL, "correlated LATERAL join decorrelated to WindowGroupLimit"),
     QuerySpec("q_set_ops_all", q_set_ops_all, Q_SET_OPS_ALL_SQL, "EXCEPT ALL / INTERSECT ALL multiset semantics"),
     QuerySpec("q_ilike", q_ilike, Q_ILIKE_SQL, "case-insensitive LIKE"),
 ]
