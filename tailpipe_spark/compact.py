@@ -171,12 +171,16 @@ def compact_table(
     reindex_expr: str | None = None,
     small_file_bytes: int = 32 * 1024 * 1024,
     max_chunk_rows: int = MAX_CHUNK_ROWS,
+    zorder_by: list[str] | None = None,
 ) -> dict:
     """Compact every partition key that needs it. Returns a summary.
 
     A key needs compaction when it has time-overlapping files or >1
     file under ``small_file_bytes``. With ``reindex_expr`` every key is
     rewritten and rows move to their newly-computed tp_index (A25).
+    With ``zorder_by`` (2-4 columns) rewritten chunks are clustered on
+    the interleaved z-value instead of tp_timestamp alone, so footer
+    stats prune on every listed column (plans/zorder.py).
 
     Rewrites stage into ``catalog.staging_dir`` (never inside the table
     tree — a crash must not leave tmp dirs a reader would scan) and are
@@ -225,12 +229,15 @@ def compact_table(
                 if lo is None:  # first window keeps stat-less rows
                     cond = cond | F.col("tp_timestamp").isNull()
                 chunk = chunk.filter(cond)
-            (
-                chunk.repartitionByRange(int(n_out), F.col("tp_timestamp"))
-                .sortWithinPartitions("tp_timestamp")
-                .write.mode("append")
-                .parquet(staged)
-            )
+            if zorder_by:
+                from tailpipe_spark.plans.zorder import zorder_rewrite
+
+                out = zorder_rewrite(chunk, zorder_by, int(n_out))
+            else:
+                out = chunk.repartitionByRange(
+                    int(n_out), F.col("tp_timestamp")
+                ).sortWithinPartitions("tp_timestamp")
+            out.write.mode("append").parquet(staged)
             chunk_jobs += 1
         shutil.rmtree(part_dir)
         os.replace(staged, part_dir)
