@@ -288,8 +288,15 @@ def cmd_compact(args) -> int:
     cat = _catalog(args)
     from tailpipe_spark.compact import compact_table
 
+    zorder = (
+        [c.strip() for c in args.zorder.split(",") if c.strip()]
+        if args.zorder
+        else None
+    )
     for t in args.tables or cat.list_tables():
-        summary = compact_table(spark, cat, t, reindex_expr=args.reindex)
+        summary = compact_table(
+            spark, cat, t, reindex_expr=args.reindex, zorder_by=zorder
+        )
         print(f"compacted {t}: {summary}")
     return 0
 
@@ -695,6 +702,11 @@ def main(argv: list[str] | None = None) -> int:
     k = sub.add_parser("compact")
     k.add_argument("tables", nargs="*")
     k.add_argument("--reindex")
+    k.add_argument(
+        "--zorder",
+        help="comma-separated 2-4 columns: cluster rewritten chunks on "
+        "the interleaved z-value for multi-column pruning",
+    )
     k.set_defaults(fn=cmd_compact)
 
     n = sub.add_parser("connect")

@@ -254,3 +254,19 @@ def test_cli_connect_filter_rejects_statements(populated_workspace, capsys, tmp_
         "--out-dir", str(tmp_path / "conn"),
     ])
     assert rc == 0
+
+
+def test_cli_compact_zorder(populated_workspace, capsys):
+    rc = main([
+        "--workspace", populated_workspace.workspace,
+        "compact", "server_metrics", "--zorder", "tp_timestamp,cpu",
+    ])
+    assert rc == 0
+    assert "compacted server_metrics" in capsys.readouterr().out
+    # table still queryable and complete after the z-order rewrite
+    rc = main([
+        "--workspace", populated_workspace.workspace,
+        "query", "select count(*) as n from server_metrics",
+    ])
+    assert rc == 0
+    assert capsys.readouterr().out.strip().splitlines()[-1] == "4"
