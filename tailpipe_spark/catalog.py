@@ -196,6 +196,113 @@ class Catalog:
                 rows += pq.read_metadata(p).num_rows
         return {"table": table, "files": files, "bytes": bytes_, "rows": rows}
 
+    # --- manifest-based data skipping -------------------------------
+    #
+    # At 100 TB a table is millions of files; letting every query open
+    # every footer just to discover "this file's time range is disjoint
+    # from the predicate" wastes the driver's scan-planning time. Like
+    # Iceberg/DuckLake manifests (reference: internal/database/
+    # duck_db.go:270-291 keeps per-file entries in its catalog), we
+    # record per-file tp_timestamp min/max + null_count at write time
+    # and intersect the predicate against the index instead.
+
+    def refresh_file_index(self, table: str) -> int:
+        """Record per-file footer stats for ``tp_timestamp`` in the
+        manifest. Returns the number of files indexed. Called after
+        collect/compact; cheap (one footer read per file, no data)."""
+        import pyarrow.parquet as pq
+
+        tdir = self.table_dir(table)
+        index = []
+        for root, _dirs, names in os.walk(tdir):
+            for n in sorted(names):
+                if not n.endswith(".parquet"):
+                    continue
+                p = os.path.join(root, n)
+                md = pq.read_metadata(p)
+                lo = hi = None
+                nulls = 0
+                no_stats = False
+
+                def _naive_utc(ts):
+                    from datetime import timezone
+
+                    if ts.tzinfo is not None:
+                        ts = ts.astimezone(timezone.utc).replace(tzinfo=None)
+                    return ts
+
+                for rg in range(md.num_row_groups):
+                    group = md.row_group(rg)
+                    col = next(
+                        (
+                            group.column(i)
+                            for i in range(group.num_columns)
+                            if group.column(i).path_in_schema == "tp_timestamp"
+                        ),
+                        None,
+                    )
+                    stats = col.statistics if col is not None else None
+                    if stats is None or not stats.has_min_max:
+                        no_stats = True
+                        continue
+                    nulls += stats.null_count or 0
+                    mn, mx = _naive_utc(stats.min), _naive_utc(stats.max)
+                    lo = mn if lo is None else min(lo, mn)
+                    hi = mx if hi is None else max(hi, mx)
+                index.append(
+                    {
+                        "path": os.path.relpath(p, tdir),
+                        "bytes": os.path.getsize(p),
+                        "rows": md.num_rows,
+                        "min_ts": lo.isoformat() if lo is not None else None,
+                        "max_ts": hi.isoformat() if hi is not None else None,
+                        "null_ts": int(nulls) if not no_stats else None,
+                    }
+                )
+        manifest = self._load()
+        manifest["tables"][table]["file_index"] = index
+        self._store(manifest)
+        return len(index)
+
+    def pruned_files(self, table, time_from=None, time_to=None):
+        """File subset whose tp_timestamp range can intersect
+        [time_from, time_to) per the manifest index, or ``None`` when
+        the index is missing or STALE (the on-disk file set no longer
+        matches — callers must fall back to a full scan, never trust a
+        stale index).
+
+        Conservative by construction: files without stats and files
+        containing null timestamps are always kept (the query layer's
+        lower bound keeps NULL rows, query_cli.py)."""
+        from datetime import datetime
+
+        entry = self._load()["tables"].get(table, {})
+        index = entry.get("file_index")
+        if index is None:
+            return None
+        tdir = self.table_dir(table)
+        on_disk = set()
+        for root, _dirs, names in os.walk(tdir):
+            for n in names:
+                if n.endswith(".parquet"):
+                    p = os.path.join(root, n)
+                    on_disk.add((os.path.relpath(p, tdir), os.path.getsize(p)))
+        if on_disk != {(e["path"], e["bytes"]) for e in index}:
+            return None  # stale — file set changed since refresh
+        keep = []
+        for e in index:
+            if e["min_ts"] is None or e["null_ts"] is None or e["null_ts"] > 0:
+                keep.append(os.path.join(tdir, e["path"]))
+                continue
+            lo = datetime.fromisoformat(e["min_ts"])
+            hi = datetime.fromisoformat(e["max_ts"])
+            if time_from is not None and hi < time_from:
+                continue
+            if time_to is not None and lo >= time_to:
+                continue
+            keep.append(os.path.join(tdir, e["path"]))
+        return keep
+
     # --- spark registration (A16) ---
     def register_views(
         self,
@@ -220,7 +327,17 @@ class Catalog:
             names.append(t)
         return names
 
-    def read_table(self, spark: SparkSession, table: str) -> DataFrame:
+    def read_table(
+        self,
+        spark: SparkSession,
+        table: str,
+        time_from=None,
+        time_to=None,
+    ) -> DataFrame:
+        """Table scan; with time bounds the manifest file index (when
+        fresh) restricts the scan to intersecting files — the predicate
+        itself is still applied by the query layer, skipping is a
+        conservative superset."""
         if table not in self.list_tables():
             raise KeyError(f"table {table!r} does not exist")
         from pyspark.sql import functions as F
@@ -228,9 +345,22 @@ class Catalog:
         from tailpipe_spark.session import configure_runtime
 
         configure_runtime(spark)
-        df = spark.read.option("basePath", self.table_dir(table)).parquet(
-            self.table_dir(table)
-        )
+        paths = None
+        if time_from is not None or time_to is not None:
+            paths = self.pruned_files(table, time_from, time_to)
+        reader = spark.read.option("basePath", self.table_dir(table))
+        if paths is None:
+            df = reader.parquet(self.table_dir(table))
+        elif paths:
+            df = reader.parquet(*paths)
+        else:
+            # every file pruned: plan over one file (schema + layout
+            # cols intact) with a false predicate — cheapest empty scan
+            any_file = os.path.join(
+                self.table_dir(table),
+                self._load()["tables"][table]["file_index"][0]["path"],
+            )
+            df = reader.parquet(any_file).filter(F.lit(False))
         # partition type inference is off (tp_index stays varchar);
         # restore int types for the numeric layout columns
         return df.withColumn("tp_year", F.col("tp_year").cast("int")).withColumn(

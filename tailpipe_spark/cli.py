@@ -164,14 +164,24 @@ def cmd_query(args) -> int:
         emitted = False
         try:
             # registration reads footers too — keep it inside the retry
+            from datetime import datetime, timezone
+
+            from tailpipe_spark.query_cli import parse_time
+
+            # one `now` for both the file-index pruning bound and the
+            # row filter, so relative T-7d forms can't straddle
+            now = datetime.now(timezone.utc)
+            tf = parse_time(args.time_from, now) if args.time_from else None
+            tt = parse_time(args.time_to, now) if args.time_to else None
             for t in cat.list_tables():
-                df = cat.read_table(spark, t)
+                df = cat.read_table(spark, t, time_from=tf, time_to=tt)
                 df = apply_query_filters(
                     df,
                     time_from=args.time_from,
                     time_to=args.time_to,
                     index_patterns=args.index,
                     partition_patterns=args.partition,
+                    now=now,
                 )
                 df.drop("tp_year", "tp_month").createOrReplaceTempView(t)
             result = spark.sql(args.sql)

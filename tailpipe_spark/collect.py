@@ -256,6 +256,8 @@ def collect(
         "collect",
         {"table": table.name, "partition": partition.name, "rows": written},
     )
+    # manifest file index for query-time data skipping (catalog.py)
+    catalog.refresh_file_index(table.name)
     return CollectResult(
         table=table.name,
         partition=partition.name,

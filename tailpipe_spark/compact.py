@@ -204,6 +204,7 @@ def compact_table(
         shutil.rmtree(catalog.table_dir(table))
         os.replace(staged, catalog.table_dir(table))
         catalog.record_snapshot("compact", {"table": table, "reindex": True})
+        catalog.refresh_file_index(table)
         return {"keys_rewritten": len(keys), "files_merged": 0, "rows": rows_total}
 
     base = catalog.table_dir(table)
@@ -248,6 +249,8 @@ def compact_table(
     catalog.record_snapshot(
         "compact", {"table": table, "keys": rewritten, "files": merged_files}
     )
+    if rewritten:
+        catalog.refresh_file_index(table)
     return {
         "keys_rewritten": rewritten,
         "files_merged": merged_files,

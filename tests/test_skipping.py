@@ -1,0 +1,128 @@
+"""Manifest-based data skipping: the file index must prune only what
+the predicate provably excludes, fall back on staleness, and never drop
+null-timestamp rows (which the query layer's lower bound keeps)."""
+
+import datetime
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from tailpipe_spark.cli import main
+
+
+@pytest.fixture()
+def monthly_workspace(spark, workspace, tmp_path):
+    """Three months of data → three tp_month partition dirs/files."""
+    from tailpipe_spark.collect import collect
+    from tailpipe_spark.config import ColumnConfig, PartitionConfig, TableConfig
+    from tailpipe_spark.sources.formats import read_jsonl
+
+    rows = [
+        {"server_id": f"srv-{i % 2}", "cpu": float(i),
+         "time": f"2024-{m:02d}-{d:02d}T12:00:00"}
+        for m in (3, 4, 5)
+        for i, d in enumerate((1, 10, 20))
+    ]
+    p = tmp_path / "m.jsonl"
+    p.write_text("\n".join(json.dumps(r) for r in rows))
+    table = TableConfig(
+        name="metrics",
+        columns=[
+            ColumnConfig(name="server_id", type="varchar"),
+            ColumnConfig(name="cpu", type="double"),
+            ColumnConfig(name="tp_timestamp", type="timestamp", source="time"),
+        ],
+        map_fields=[],
+    )
+    collect(spark, workspace, table, PartitionConfig("metrics", "default"),
+            source_df=read_jsonl(spark, [str(p)]))
+    return workspace
+
+
+def test_collect_builds_file_index(monthly_workspace):
+    idx = monthly_workspace._load()["tables"]["metrics"].get("file_index")
+    assert idx, "collect must refresh the file index"
+    assert all(e["min_ts"] is not None for e in idx)
+    assert {e["path"] for e in idx} == {
+        os.path.relpath(os.path.join(r, n), monthly_workspace.table_dir("metrics"))
+        for r, _d, ns in os.walk(monthly_workspace.table_dir("metrics"))
+        for n in ns
+        if n.endswith(".parquet")
+    }
+
+
+def test_pruned_files_subset_and_correct(monthly_workspace, spark):
+    cat = monthly_workspace
+    all_files = cat.pruned_files("metrics")
+    april = cat.pruned_files(
+        "metrics",
+        time_from=datetime.datetime(2024, 4, 1),
+        time_to=datetime.datetime(2024, 5, 1),
+    )
+    assert april is not None and all_files is not None
+    assert len(april) < len(all_files)
+    # the pruned read returns exactly the rows the full read + filter does
+    pruned = cat.read_table(
+        spark, "metrics",
+        time_from=datetime.datetime(2024, 4, 1),
+        time_to=datetime.datetime(2024, 5, 1),
+    ).filter(
+        (F.col("tp_timestamp") >= "2024-04-01") & (F.col("tp_timestamp") < "2024-05-01")
+    )
+    full = cat.read_table(spark, "metrics").filter(
+        (F.col("tp_timestamp") >= "2024-04-01") & (F.col("tp_timestamp") < "2024-05-01")
+    )
+    assert sorted(map(str, pruned.collect())) == sorted(map(str, full.collect()))
+    assert full.count() == 3
+
+
+def test_stale_index_falls_back_to_full_scan(monthly_workspace):
+    cat = monthly_workspace
+    # mutate the on-disk file set behind the index's back
+    tdir = cat.table_dir("metrics")
+    victim = next(
+        os.path.join(r, n)
+        for r, _d, ns in os.walk(tdir)
+        for n in ns
+        if n.endswith(".parquet")
+    )
+    os.rename(victim, victim + ".moved")
+    assert cat.pruned_files("metrics", time_from=datetime.datetime(2024, 4, 1)) is None
+    os.rename(victim + ".moved", victim)
+    assert cat.pruned_files("metrics", time_from=datetime.datetime(2024, 4, 1)) is not None
+
+
+def test_all_pruned_returns_empty_schema_preserving_scan(monthly_workspace, spark):
+    df = monthly_workspace.read_table(
+        spark, "metrics",
+        time_from=datetime.datetime(2030, 1, 1),
+    )
+    assert df.count() == 0
+    assert "server_id" in df.columns and "tp_partition" in df.columns
+
+
+def test_cli_query_uses_index_and_matches(monthly_workspace, capsys):
+    rc = main([
+        "--workspace", monthly_workspace.workspace,
+        "query", "select count(*) as n from metrics",
+        "--from", "2024-04-01T00:00:00", "--to", "2024-05-01T00:00:00",
+    ])
+    assert rc == 0
+    assert capsys.readouterr().out.strip().splitlines()[-1] == "3"
+
+
+def test_null_stat_files_always_kept(monthly_workspace):
+    cat = monthly_workspace
+    m = cat._load()
+    # simulate a file whose footer had no usable stats (null_ts=None)
+    m["tables"]["metrics"]["file_index"][0]["min_ts"] = None
+    m["tables"]["metrics"]["file_index"][0]["max_ts"] = None
+    m["tables"]["metrics"]["file_index"][0]["null_ts"] = None
+    cat._store(m)
+    kept = cat.pruned_files("metrics", time_from=datetime.datetime(2030, 1, 1))
+    stats_less = os.path.join(
+        cat.table_dir("metrics"), m["tables"]["metrics"]["file_index"][0]["path"]
+    )
+    assert stats_less in kept
