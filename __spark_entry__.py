@@ -59,6 +59,7 @@ _VERIFY_FIRST = [
     "q_stream_dedup",  # new in r6: streaming dropDuplicates == batch
     "q_unpivot",  # new in r6: unpivot/melt
     "q_lateral_topk",  # new in r6: LATERAL decorrelation
+    "q_rollup_continuous",  # new in r6: continuous aggregate union
     "dedup_minhash_lsh",
     "dedup_lsh_verified",  # new in r6: LSH->verify chain, oracle-checked
     "dedup_resolve",  # new in r6: components -> keep/drop decisions

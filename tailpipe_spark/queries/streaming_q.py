@@ -222,10 +222,53 @@ ORDER BY event_type
 """
 
 
+def q_rollup_continuous(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-aggregate read path (streaming/rollup.py): hourly
+    buckets materialized for history (< boundary) unioned with the same
+    aggregation over the raw tail — the result must equal aggregating
+    all raw rows, which is exactly what the oracle does. The streaming
+    maintenance side (foreachBatch bucket upsert) is pytest-covered;
+    this entry value-checks the union-boundary semantics."""
+    from tailpipe_spark.session import read_table
+    from tailpipe_spark.streaming.rollup import BUCKET_COL, bucketize, continuous_read
+
+    ev = read_table(spark, f"{sf_dir}/events.parquet")
+    aggs = [
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.round(F.col("value") * 1000).cast("long")).alias("value_milli"),
+    ]
+    boundary = "2024-01-20 00:00:00"
+    rollup = bucketize(
+        ev.filter(F.col("ts") < F.lit(boundary).cast("timestamp")),
+        "ts", "1 hour", ["event_type"], aggs,
+    )
+    out = continuous_read(
+        ev, rollup, "ts", "1 hour", ["event_type"], aggs, boundary
+    )
+    return out.select(
+        F.col(BUCKET_COL), "event_type", "n_events", "value_milli"
+    ).orderBy(BUCKET_COL, "event_type")
+
+
+ROLLUP_CONTINUOUS_SQL = """
+SELECT date_trunc('hour', ts) AS bucket_start,
+       event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(ROUND(value * 1000) AS BIGINT)) AS BIGINT) AS value_milli
+FROM events
+GROUP BY 1, 2
+ORDER BY bucket_start, event_type
+"""
+
+
 SPECS = [
     QuerySpec(
         "q_stream_window_counts", q_stream_window_counts, STREAM_WINDOW_SQL,
         "streaming hourly window counts (availableNow drain) == batch SQL",
+    ),
+    QuerySpec(
+        "q_rollup_continuous", q_rollup_continuous, ROLLUP_CONTINUOUS_SQL,
+        "continuous aggregate: materialized history buckets ∪ fresh tail == full agg",
     ),
     QuerySpec(
         "q_stream_sessionize", q_stream_sessionize, STREAM_SESSIONIZE_SQL,

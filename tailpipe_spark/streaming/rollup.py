@@ -1,0 +1,124 @@
+"""Continuous aggregates (hypertable-style rollups).
+
+A rollup table holds pre-aggregated buckets (e.g. hourly counts) for
+history, maintained incrementally by a streaming job; queries read
+``rollup ∪ fresh``: materialized buckets before the boundary, plus the
+same aggregation computed on the raw tail at query time. This is the
+timescale/druid "continuous aggregate" pattern re-expressed Spark-first:
+
+- maintenance is Structured Streaming ``foreachBatch`` writing bucket
+  partitions with dynamic partition overwrite (idempotent per bucket —
+  a replayed micro-batch overwrites, never double-counts);
+- the read path is one lazy plan: partition-pruned scan of the rollup
+  (only buckets < boundary) unioned with a windowed agg over the raw
+  tail (only files >= boundary survive pushdown/data skipping), so
+  query cost is bounded by bucket count + tail size, not history size.
+
+The boundary MUST be bucket-aligned; a mid-bucket boundary would split
+one bucket across both sides and double-count. ``continuous_read``
+enforces it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: canonical rollup schema columns produced by bucketize()
+BUCKET_COL = "bucket_start"
+
+
+def _check_aligned(boundary, window: str) -> None:
+    import re
+    from datetime import datetime, timezone
+
+    m = re.match(r"^(\d+)\s+(hour|minute|day)s?$", window.strip())
+    if not m:
+        raise ValueError(f"unsupported rollup window {window!r}")
+    qty, unit = int(m.group(1)), m.group(2)
+    b = boundary if isinstance(boundary, datetime) else datetime.fromisoformat(boundary)
+    sec = {"minute": 60, "hour": 3600, "day": 86400}[unit] * qty
+    # naive datetimes are session-UTC; .timestamp() would apply local tz
+    epoch = b.replace(tzinfo=b.tzinfo or timezone.utc).timestamp()
+    if epoch % sec != 0:
+        raise ValueError(
+            f"boundary {b.isoformat()} is not aligned to the {window} bucket "
+            "grid; a straddled bucket would be double-counted"
+        )
+
+
+def bucketize(
+    df: DataFrame,
+    ts_col: str,
+    window: str,
+    group_cols: list[str],
+    aggs: list[Column],
+) -> DataFrame:
+    """Aggregate raw rows into (bucket_start, *group_cols, *aggs)."""
+    w = F.window(F.col(ts_col), window)
+    return (
+        df.groupBy(w.start.alias(BUCKET_COL), *group_cols)
+        .agg(*aggs)
+    )
+
+
+def maintain_rollup(
+    stream: DataFrame,
+    rollup_path: str,
+    ts_col: str,
+    window: str,
+    group_cols: list[str],
+    aggs: list[Column],
+    checkpoint: str,
+    watermark: str = "1 hour",
+):
+    """Streaming maintenance: each micro-batch re-aggregates the
+    buckets it touches and overwrites exactly those bucket partitions
+    (dynamic partition overwrite → idempotent under replay).
+
+    Complete-mode bucket state stays in the agg operator (bounded by
+    watermark); the sink holds one directory per bucket date.
+    """
+
+    def upsert(batch_df: DataFrame, _batch_id: int) -> None:
+        if not batch_df.take(1):
+            return
+        spark = batch_df.sparkSession
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        (
+            batch_df.withColumn("bucket_date", F.to_date(F.col(BUCKET_COL)))
+            .write.mode("overwrite")
+            .partitionBy("bucket_date")
+            .parquet(rollup_path)
+        )
+
+    agg = bucketize(
+        stream.withWatermark(ts_col, watermark), ts_col, window, group_cols, aggs
+    )
+    return (
+        agg.writeStream.foreachBatch(upsert)
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def continuous_read(
+    raw: DataFrame,
+    rollup: DataFrame,
+    ts_col: str,
+    window: str,
+    group_cols: list[str],
+    aggs: list[Column],
+    boundary,
+) -> DataFrame:
+    """rollup(buckets < boundary) ∪ bucketize(raw >= boundary).
+
+    One lazy plan; the rollup side prunes on bucket_start, the raw side
+    pushes the timestamp bound to the scan."""
+    _check_aligned(boundary, window)
+    b = F.lit(boundary).cast("timestamp")
+    hist = rollup.filter(F.col(BUCKET_COL) < b)
+    fresh = bucketize(raw.filter(F.col(ts_col) >= b), ts_col, window, group_cols, aggs)
+    return hist.select(fresh.columns).unionByName(fresh)

@@ -145,3 +145,72 @@ def test_dedup_stream_with_ttl(spark, tmp_path):
         ("a", "2024-05-01 02:00:00"),
         ("b", "2024-05-01 00:05:00"),
     ]
+
+
+def test_rollup_maintenance_and_continuous_read(spark, tmp_path):
+    """foreachBatch bucket upsert is idempotent under replay, and
+    rollup ∪ fresh equals the full batch aggregation."""
+    import pyspark.sql.functions as F
+
+    from tailpipe_spark.streaming.rollup import (
+        BUCKET_COL,
+        continuous_read,
+        maintain_rollup,
+    )
+
+    src_dir = tmp_path / "src"
+    src_dir.mkdir()
+    rows = [
+        (i, f"2024-01-0{1 + i % 3}T0{i % 8}:15:00", "a" if i % 2 else "b", float(i))
+        for i in range(48)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts_s string, event_type string, value double"
+    ).withColumn("ts", F.col("ts_s").cast("timestamp")).drop("ts_s")
+    df.write.parquet(str(src_dir / "batch1"))
+
+    aggs = [
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.round(F.col("value") * 1000).cast("long")).alias("value_milli"),
+    ]
+    rollup_path = str(tmp_path / "rollup")
+
+    def run_maintenance(checkpoint):
+        stream = spark.readStream.schema(
+            spark.read.parquet(str(src_dir / "batch1")).schema
+        ).parquet(str(src_dir / "batch1"))
+        q = maintain_rollup(
+            stream, rollup_path, "ts", "1 hour", ["event_type"], aggs,
+            checkpoint=str(tmp_path / checkpoint),
+        )
+        q.awaitTermination()
+
+    run_maintenance("ck1")
+    once = sorted(
+        map(str, spark.read.parquet(rollup_path).drop("bucket_date").collect())
+    )
+    # replay with a FRESH checkpoint (worst case: everything reprocessed)
+    run_maintenance("ck2")
+    twice = spark.read.parquet(rollup_path).drop("bucket_date")
+    assert once == sorted(map(str, twice.collect()))
+
+    raw = spark.read.parquet(str(src_dir / "batch1"))
+    got = continuous_read(
+        raw, twice, "ts", "1 hour", ["event_type"], aggs, "2024-01-02 00:00:00"
+    )
+    want = (
+        raw.groupBy(
+            F.window("ts", "1 hour").start.alias(BUCKET_COL), "event_type"
+        ).agg(*aggs)
+    )
+    assert sorted(map(str, got.collect())) == sorted(map(str, want.collect()))
+
+
+def test_rollup_rejects_unaligned_boundary(spark):
+    import pytest as _pytest
+
+    from tailpipe_spark.streaming.rollup import _check_aligned
+
+    with _pytest.raises(ValueError, match="aligned"):
+        _check_aligned("2024-01-02 00:30:00", "1 hour")
+    _check_aligned("2024-01-02 07:00:00", "1 hour")
