@@ -98,10 +98,12 @@ def main() -> int:
     # Round-4 lesson: one analysis error must NOT kill the artifact —
     # each query is contained, failures land in an "errors" map, and the
     # partial totals always print.
-    # 5 reps: the shared box shows 2-3× rep-to-rep inflation under
-    # background load (r5's 2-rep mins read ~0.3 s high per query); the
-    # min of 5 is stable to ~±0.05 s.
-    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "5"))
+    # 7 reps: the shared box shows 2-3× rep-to-rep inflation under
+    # background load (r5's 2-rep mins read ~0.3 s high per query), and
+    # r6's 5-rep series were still monotonically falling at rep 5 (JIT/
+    # code-cache warming: q01_fast 1.05→0.49→0.42→0.42→0.38) — min of 7
+    # captures steady state to ~±0.03 s for ~25 s more wall.
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "7"))
     timings: dict[str, float] = {}
     detail: dict[str, dict] = {}
     errors: dict[str, str] = {}

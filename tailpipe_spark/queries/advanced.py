@@ -399,6 +399,21 @@ ORDER BY n_name, c_custkey
 """
 
 
+def q_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable HLL distinct-count rollup (operators/sketches.py):
+    per-day user sketches unioned to per-event-type estimates without
+    rescanning raw rows. Sketch bytes are engine-specific
+    (DataSketches), so this entry is rows-only; the accuracy bound vs
+    exact COUNT(DISTINCT) is pinned in tests/test_operators.py."""
+    from tailpipe_spark.operators import sketches as sk
+
+    ev = _t(spark, sf_dir, "events")
+    daily = sk.sketch_buckets(
+        ev, F.to_date("ts"), "user_id", group_cols=["event_type"]
+    )
+    return sk.rollup_estimate(daily, ["event_type"]).orderBy("event_type")
+
+
 def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UNPIVOT / melt: wide per-segment balance stats back to long
     (metric, value) rows — DataFrame.unpivot maps to one Expand node
@@ -642,6 +657,7 @@ SPECS = [
     QuerySpec("q_pivot", q_pivot, Q_PIVOT_SQL, "pivot / wide CASE aggregation"),
     QuerySpec("q_unpivot", q_unpivot, Q_UNPIVOT_SQL, "unpivot / melt wide stats to long rows"),
     QuerySpec("q_lateral_topk", q_lateral_topk, Q_LATERAL_SQL, "correlated LATERAL join decorrelated to WindowGroupLimit"),
+    QuerySpec("q_sketch_rollup", q_sketch_rollup, None, "mergeable HLL distinct sketches rolled up without rescan (rows-only: sketch bytes are engine-specific)"),
     QuerySpec("q_set_ops_all", q_set_ops_all, Q_SET_OPS_ALL_SQL, "EXCEPT ALL / INTERSECT ALL multiset semantics"),
     QuerySpec("q_ilike", q_ilike, Q_ILIKE_SQL, "case-insensitive LIKE"),
 ]

@@ -727,3 +727,30 @@ def test_connected_components_random_property(spark):
         df = spark.createDataFrame(edges, ["id_a", "id_b"])
         got = {r["node"]: r["comp"] for r in connected_components(df).collect()}
         assert got == want, f"trial {trial}: {got} != {want}"
+
+
+def test_hll_sketch_rollup_lossless_union_and_accuracy(spark):
+    """HLL union must be lossless (merged estimate == whole-corpus
+    estimate) and the estimate within the standard error bound of the
+    exact count."""
+    import pyspark.sql.functions as F
+
+    from tailpipe_spark.operators import sketches as sk
+
+    df = spark.range(60000).select(
+        (F.col("id") % 30).cast("string").alias("day"),
+        # ~20k distinct users spread over all days
+        F.abs(F.xxhash64("id")).bitwiseAND(F.lit(0x3FFF)).alias("user_id"),
+    )
+    daily = sk.sketch_buckets(df, F.col("day"), "user_id")
+    merged = sk.rollup_estimate(daily).collect()[0]["approx_distinct"]
+    direct = (
+        df.agg(
+            F.hll_sketch_estimate(
+                F.hll_sketch_agg("user_id", F.lit(12))
+            ).cast("long").alias("e")
+        ).collect()[0]["e"]
+    )
+    assert merged == direct  # lossless union
+    exact = df.select("user_id").distinct().count()
+    assert abs(merged - exact) / exact < 0.05  # lgk=12 → ~1.6% RSE
