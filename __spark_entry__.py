@@ -61,6 +61,8 @@ _VERIFY_FIRST = [
     "q_lateral_topk",  # new in r6: LATERAL decorrelation
     "q_rollup_continuous",  # new in r6: continuous aggregate union
     "q_sketch_rollup",  # new in r6: mergeable HLL rollup (rows-only)
+    "q_trend_linear",  # new in r6: exact OLS trend
+    "q_ewma_last",  # new in r6: grouped applyInPandas EWMA (rows-only)
     "dedup_minhash_lsh",
     "dedup_lsh_verified",  # new in r6: LSH->verify chain, oracle-checked
     "dedup_resolve",  # new in r6: components -> keep/drop decisions

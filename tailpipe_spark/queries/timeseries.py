@@ -409,7 +409,54 @@ ORDER BY row_id
 """
 
 
+def q_trend_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type OLS trend of value over day index — exact
+    integer-sum formulation (operators/trend.py), bit-replayable in any
+    SQL engine unlike native regr_slope's streaming double sums."""
+    from tailpipe_spark.operators.trend import linear_trend
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "day", F.datediff(F.to_date("ts"), F.lit("2024-01-01"))
+    )
+    return linear_trend(ev, ["event_type"], "day", "value").orderBy("event_type")
+
+
+def _trend_sql() -> str:
+    from tailpipe_spark.operators.trend import oracle_linear_trend_sql
+
+    inner = oracle_linear_trend_sql(
+        "(SELECT event_type, date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day, value FROM events)",
+        ["event_type"],
+        "day",
+        "value",
+    )
+    return inner + " ORDER BY event_type"
+
+
+def q_ewma_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group EWMA (sequential recurrence → applyInPandas, the
+    grouped Arrow path) reduced to the last smoothed value per group.
+    Rows-only: pandas ewm's float accumulation has no SQL twin; the
+    recurrence itself is pinned against a hand-rolled reference in
+    tests/test_operators.py."""
+    from tailpipe_spark.operators.trend import ewma
+
+    ev = _t(spark, sf_dir, "events").select("event_type", "ts", "event_id", "value")
+    sm = ewma(ev, ["event_type"], "ts", "value", alpha=0.3)
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        sm.withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") == 1)
+        .select("event_type", "ts", "ewma")
+        .orderBy("event_type")
+    )
+
+
 SPECS = [
+    QuerySpec("q_trend_linear", q_trend_linear, _trend_sql(), "per-group OLS trend via exact integer sums (deterministic regr_slope twin)"),
+    QuerySpec("q_ewma_last", q_ewma_last, None, "per-group EWMA recurrence via grouped applyInPandas (rows-only)"),
     QuerySpec("q_window_functions", q_window_functions, Q_WINDOW_SQL, "row_number/rank/lag/lead/running+moving sums"),
     QuerySpec("q_time_bucket_hourly", q_time_bucket_hourly, Q_TIME_BUCKET_SQL, "tumbling-window rollup (batch)"),
     QuerySpec("q_sessionize", q_sessionize, Q_SESSIONIZE_SQL, "gap-based sessionization"),

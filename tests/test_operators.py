@@ -754,3 +754,49 @@ def test_hll_sketch_rollup_lossless_union_and_accuracy(spark):
     assert merged == direct  # lossless union
     exact = df.select("user_id").distinct().count()
     assert abs(merged - exact) / exact < 0.05  # lgk=12 → ~1.6% RSE
+
+
+def test_ewma_matches_hand_rolled_recurrence(spark):
+    """applyInPandas EWMA must equal the textbook recurrence
+    EWMA_t = a*x_t + (1-a)*EWMA_{t-1} computed independently."""
+    import pyspark.sql.functions as F
+
+    from tailpipe_spark.operators.trend import ewma
+
+    rows = [
+        ("g1", i, float(v))
+        for i, v in enumerate([10, 20, 10, 40, 0, 30])
+    ] + [("g2", i, float(i * i)) for i in range(5)]
+    df = spark.createDataFrame(rows, "grp string, t long, value double").withColumn(
+        "ts", F.to_timestamp(F.lit("2024-01-01")) + F.make_interval(secs=F.col("t"))
+    )
+    out = ewma(df, ["grp"], "ts", "value", alpha=0.5).collect()
+    got = {}
+    for r in sorted(out, key=lambda r: (r["grp"], r["t"])):
+        got.setdefault(r["grp"], []).append(r["ewma"])
+    for grp, vals in {
+        "g1": [10, 20, 10, 40, 0, 30],
+        "g2": [0, 1, 4, 9, 16],
+    }.items():
+        acc = None
+        for i, v in enumerate(vals):
+            acc = v if acc is None else 0.5 * v + 0.5 * acc
+            assert abs(got[grp][i] - acc) < 1e-9, (grp, i)
+
+
+def test_linear_trend_exact_on_known_line(spark):
+    """y = 3x + 7 with zero noise must recover slope/intercept exactly
+    (the integer-sum path has no rounding anywhere)."""
+    import pyspark.sql.functions as F
+
+    from tailpipe_spark.operators.trend import linear_trend
+
+    df = spark.range(100).select(
+        F.lit("g").alias("grp"),
+        F.col("id").alias("x"),
+        (F.col("id") * 3 + 7).cast("double").alias("y"),
+    )
+    row = linear_trend(df, ["grp"], "x", "y").collect()[0]
+    assert row["slope"] == 3.0
+    assert row["intercept"] == 7.0
+    assert row["n"] == 100
