@@ -181,3 +181,37 @@ def test_regex_format_char_class_paren(spark, tmp_path):
     )
     rows = {r["num"]: r["status"] for r in read_regex(spark, [str(p)], fmt).collect()}
     assert rows == {"42": "ok", "7": "fail"}
+
+
+def test_jsonl_gzip_and_mixed_compression(spark, tmp_path):
+    """Compressed logs are the common case (reference file sources read
+    .gz archives); Spark's text readers decompress by extension — pin
+    that plain and gzip inputs mix in one read."""
+    import gzip
+    import json as _json
+
+    plain = tmp_path / "a.jsonl"
+    plain.write_text("\n".join(_json.dumps({"k": i}) for i in range(3)))
+    gz = tmp_path / "b.jsonl.gz"
+    with gzip.open(gz, "wt") as f:
+        f.write("\n".join(_json.dumps({"k": i}) for i in range(3, 7)))
+
+    from tailpipe_spark.sources.formats import read_jsonl
+
+    out = read_jsonl(spark, [str(plain), str(gz)])
+    assert sorted(r["k"] for r in out.collect()) == list(range(7))
+
+
+def test_delimited_gzip(spark, tmp_path):
+    import gzip
+
+    from tailpipe_spark.config import FormatConfig
+    from tailpipe_spark.sources.formats import read_delimited
+
+    gz = tmp_path / "c.csv.gz"
+    with gzip.open(gz, "wt") as f:
+        f.write("a,b\n1,x\n2,y\n")
+    fmt = FormatConfig(name="csv", type="delimited", delimiter=",", header=True)
+    out = read_delimited(spark, [str(gz)], fmt)
+    # no explicit schema → inferSchema promotes `a` to int
+    assert sorted((r["a"], r["b"]) for r in out.collect()) == [(1, "x"), (2, "y")]
