@@ -53,6 +53,25 @@ BASE_PATTERNS: dict[str, str] = {
     "QUOTEDSTRING": r"(?:\"(?:[^\"\\]*(?:\\.[^\"\\]*)*)\"|'(?:[^'\\]*(?:\\.[^'\\]*)*)')",
     "PATH": r"(?:/[^\s?*]*)+",
     "HTTPDATE": r"(?:(?:0[1-9])|(?:[12][0-9])|(?:3[01])|[1-9])/\b\w+\b/(?:\d\d){1,2}:(?:2[0123]|[01]?[0-9]):(?:[0-5][0-9])(?::(?:(?:[0-5]?[0-9]|60)(?:[:.,][0-9]+)?))? [+-][0-9]{4}",
+    # --- composite log-line patterns (standard grok definitions, as
+    # shipped by the elastic pattern base the reference consumes via
+    # go-grok; field captures inside them surface like user captures) ---
+    "QS": r"%{QUOTEDSTRING}",
+    "PROG": r"[\x21-\x5a\x5c\x5e-\x7e]+",
+    "EMAILADDRESS": r"%{EMAILLOCALPART}@%{HOSTNAME}",
+    "HTTPDUSER": r"(?:%{EMAILADDRESS}|%{USER})",
+    "SYSLOGTIMESTAMP": r"%{MONTH} +%{MONTHDAY} %{TIME}",
+    "SYSLOGHOST": r"%{IPORHOST}",
+    "SYSLOGFACILITY": r"<%{NONNEGINT:facility}.%{NONNEGINT:priority}>",
+    "SYSLOGPROG": r"%{PROG:program}(?:\[%{POSINT:pid}\])?",
+    "SYSLOGBASE": r"%{SYSLOGTIMESTAMP:timestamp} (?:%{SYSLOGFACILITY} )?%{SYSLOGHOST:logsource} %{SYSLOGPROG}:",
+    "COMMONAPACHELOG": (
+        r"%{IPORHOST:clientip} %{HTTPDUSER:ident} %{HTTPDUSER:auth} "
+        r"\[%{HTTPDATE:timestamp}\] \"(?:%{WORD:verb} %{NOTSPACE:request}"
+        r"(?: HTTP/%{NUMBER:httpversion})?|%{DATA:rawrequest})\" "
+        r"%{NONNEGINT:response} (?:%{NONNEGINT:bytes}|-)"
+    ),
+    "COMBINEDAPACHELOG": r"%{COMMONAPACHELOG} %{QS:referrer} %{QS:agent}",
 }
 
 _GROK_REF = re.compile(r"%\{(\w+)(?::([\w.\[\]]+))?(?::(\w+))?\}")

@@ -215,3 +215,59 @@ def test_delimited_gzip(spark, tmp_path):
     out = read_delimited(spark, [str(gz)], fmt)
     # no explicit schema → inferSchema promotes `a` to int
     assert sorted((r["a"], r["b"]) for r in out.collect()) == [(1, "x"), (2, "y")]
+
+
+def test_grok_combined_apache_log(spark):
+    """The composite COMBINEDAPACHELOG pattern must surface its inner
+    field captures exactly like user-written ones, in both the Python
+    matcher and the Spark regexp path."""
+    from tailpipe_spark.sources.grok import compile_grok
+
+    line = (
+        '203.0.113.9 - frank [10/Oct/2024:13:55:36 -0700] '
+        '"GET /apache_pb.gif HTTP/1.0" 200 2326 '
+        '"http://example.com/start.html" "Mozilla/5.0"'
+    )
+    g = compile_grok("%{COMBINEDAPACHELOG}")
+    import re as _re
+
+    m = _re.match(g.regex, line)
+    assert m, g.regex
+    got = {f: m.group(i) for f, (i, _t) in g.fields.items()}
+    assert got["clientip"] == "203.0.113.9"
+    assert got["auth"] == "frank"
+    assert got["verb"] == "GET"
+    assert got["request"] == "/apache_pb.gif"
+    assert got["response"] == "200"
+    assert got["bytes"] == "2326"
+    assert got["referrer"] == '"http://example.com/start.html"'
+    assert got["agent"] == '"Mozilla/5.0"'
+
+    # Spark side: the same regex must drive regexp_extract identically
+    import pyspark.sql.functions as F
+
+    df = spark.createDataFrame([(line,)], "raw string")
+    out = df.select(
+        *[
+            F.regexp_extract("raw", g.regex, i).alias(f)
+            for f, (i, _t) in g.fields.items()
+        ]
+    ).collect()[0]
+    assert out["clientip"] == "203.0.113.9"
+    assert out["response"] == "200"
+
+
+def test_grok_syslog_base(spark):
+    from tailpipe_spark.sources.grok import compile_grok
+    import re as _re
+
+    g = compile_grok("%{SYSLOGBASE} %{GREEDYDATA:message}")
+    line = "Oct 11 22:14:15 host1 sshd[4123]: Failed password for root"
+    m = _re.match(g.regex, line)
+    assert m
+    got = {f: m.group(i) for f, (i, _t) in g.fields.items()}
+    assert got["timestamp"] == "Oct 11 22:14:15"
+    assert got["logsource"] == "host1"
+    assert got["program"] == "sshd"
+    assert got["pid"] == "4123"
+    assert got["message"] == "Failed password for root"
