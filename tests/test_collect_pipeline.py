@@ -459,3 +459,39 @@ def test_collect_all_rows_invalid_writes_nothing(spark, workspace, tmp_path):
     st = load_state(workspace, "server_metrics", "default")
     assert st.get("watermark") is None
     assert st["rows_total"] == 0
+
+
+def test_collect_drops_and_reports_corrupt_jsonl_rows(spark, workspace, tmp_path):
+    """A malformed JSONL line yields an all-null row (Spark PERMISSIVE
+    mode); its null tp_timestamp must be counted, reported, and the row
+    deleted before insert — the reference's invalid-row contract
+    (convertor_validate.go) extended to parse failures."""
+    import json
+
+    from tailpipe_spark.collect import collect
+    from tailpipe_spark.config import ColumnConfig, PartitionConfig, TableConfig
+    from tailpipe_spark.sources.formats import read_jsonl
+
+    p = tmp_path / "corrupt.jsonl"
+    p.write_text(
+        json.dumps({"server_id": "s1", "time": "2024-05-01T00:00:00"})
+        + "\nTHIS IS NOT JSON AT ALL\n"
+        + json.dumps({"server_id": "s2", "time": "2024-05-02T00:00:00"})
+    )
+    table = TableConfig(
+        name="corrupt_t",
+        columns=[
+            ColumnConfig(name="server_id", type="varchar"),
+            ColumnConfig(name="tp_timestamp", type="timestamp", source="time"),
+        ],
+        map_fields=[],
+    )
+    res = collect(
+        spark, workspace, table, PartitionConfig("corrupt_t", "default"),
+        source_df=read_jsonl(spark, [str(p)]),
+    )
+    assert res.rows_written == 2
+    assert res.rows_dropped == 1
+    assert "tp_timestamp" in res.null_columns
+    back = workspace.read_table(spark, "corrupt_t")
+    assert sorted(r["server_id"] for r in back.collect()) == ["s1", "s2"]
