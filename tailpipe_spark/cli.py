@@ -725,7 +725,9 @@ def main(argv: list[str] | None = None) -> int:
     n.add_argument("--to", dest="time_to")
     n.add_argument("--index", action="append")
     n.add_argument("--partition", action="append")
-    n.add_argument("--dialect", choices=["sql", "pyspark"], default="sql")
+    n.add_argument(
+        "--dialect", choices=["sql", "duckdb", "pyspark"], default="sql"
+    )
     n.add_argument("--output", choices=["text", "json"], default="text")
     n.add_argument("--out-dir", default="/tmp/tailpipe_spark_connect")
     n.set_defaults(fn=cmd_connect)

@@ -270,3 +270,26 @@ def test_cli_compact_zorder(populated_workspace, capsys):
     ])
     assert rc == 0
     assert capsys.readouterr().out.strip().splitlines()[-1] == "4"
+
+
+def test_connect_duckdb_dialect_executes(populated_workspace, tmp_path, capsys):
+    """The duckdb-dialect init script must be directly sourceable by
+    DuckDB and expose the same filtered view surface (the reference's
+    own connect contract)."""
+    import duckdb
+
+    from tailpipe_spark.connect import write_init_script
+
+    path = write_init_script(
+        populated_workspace, str(tmp_path), dialect="duckdb",
+        time_from="2024-05-02T00:00:00",
+    )
+    con = duckdb.connect()
+    con.execute(open(path).read())
+    rows = con.execute(
+        "SELECT server_id, cpu FROM server_metrics ORDER BY cpu"
+    ).fetchall()
+    # --from drops the 2024-05-01 row, keeps the other three
+    assert [r[0] for r in rows] == ["srv-1", "srv-0", "srv-1"]
+    cols = [d[0] for d in con.execute("SELECT * FROM server_metrics").description]
+    assert "tp_year" not in cols and "tp_month" not in cols
