@@ -63,6 +63,7 @@ _VERIFY_FIRST = [
     "q_sketch_rollup",  # new in r6: mergeable HLL rollup (rows-only)
     "q_trend_linear",  # new in r6: exact OLS trend
     "q_ewma_last",  # new in r6: grouped applyInPandas EWMA (rows-only)
+    "q_recursive_cte",  # new in r6: WITH RECURSIVE gap-fill
     "dedup_minhash_lsh",
     "dedup_lsh_verified",  # new in r6: LSH->verify chain, oracle-checked
     "dedup_resolve",  # new in r6: components -> keep/drop decisions

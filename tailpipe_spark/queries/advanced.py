@@ -399,6 +399,46 @@ ORDER BY n_name, c_custkey
 """
 
 
+def q_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4 WITH RECURSIVE): generate a calendar
+    series and left-join per-day order counts — the canonical gap-fill
+    query, recursive in both engines. The recursion depth is the series
+    length (90), independent of data size; the join against the fact is
+    one ordinary shuffle."""
+    o = _t(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("__rcte_orders")
+    return spark.sql("""
+      WITH RECURSIVE days(d) AS (
+        SELECT DATE '1996-01-01'
+        UNION ALL SELECT date_add(d, 1) FROM days WHERE d < DATE '1996-03-30')
+      SELECT date_format(d, 'yyyy-MM') AS month,
+             COUNT(*) AS n_days,
+             COUNT(o.cnt) AS days_with_orders,
+             COUNT(CASE WHEN o.cnt IS NULL THEN 1 END) AS days_without
+      FROM days
+      LEFT JOIN (
+        SELECT CAST(o_orderdate AS DATE) AS od, COUNT(*) AS cnt
+        FROM __rcte_orders GROUP BY 1) o ON o.od = days.d
+      GROUP BY 1 ORDER BY 1
+    """)
+
+
+Q_RECURSIVE_SQL = """
+WITH RECURSIVE days(d) AS (
+  SELECT DATE '1996-01-01'
+  UNION ALL SELECT d + INTERVAL 1 DAY FROM days WHERE d < DATE '1996-03-30')
+SELECT strftime(CAST(d AS DATE), '%Y-%m') AS month,
+       CAST(COUNT(*) AS BIGINT) AS n_days,
+       CAST(COUNT(o.cnt) AS BIGINT) AS days_with_orders,
+       CAST(COUNT(CASE WHEN o.cnt IS NULL THEN 1 END) AS BIGINT) AS days_without
+FROM days
+LEFT JOIN (
+  SELECT CAST(o_orderdate AS DATE) AS od, COUNT(*) AS cnt
+  FROM orders GROUP BY 1) o ON o.od = CAST(days.d AS DATE)
+GROUP BY 1 ORDER BY 1
+"""
+
+
 def q_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable HLL distinct-count rollup (operators/sketches.py):
     per-day user sketches unioned to per-event-type estimates without
@@ -658,6 +698,7 @@ SPECS = [
     QuerySpec("q_unpivot", q_unpivot, Q_UNPIVOT_SQL, "unpivot / melt wide stats to long rows"),
     QuerySpec("q_lateral_topk", q_lateral_topk, Q_LATERAL_SQL, "correlated LATERAL join decorrelated to WindowGroupLimit"),
     QuerySpec("q_sketch_rollup", q_sketch_rollup, None, "mergeable HLL distinct sketches rolled up without rescan (rows-only: sketch bytes are engine-specific)"),
+    QuerySpec("q_recursive_cte", q_recursive_cte, Q_RECURSIVE_SQL, "WITH RECURSIVE calendar series + gap-fill left join"),
     QuerySpec("q_set_ops_all", q_set_ops_all, Q_SET_OPS_ALL_SQL, "EXCEPT ALL / INTERSECT ALL multiset semantics"),
     QuerySpec("q_ilike", q_ilike, Q_ILIKE_SQL, "case-insensitive LIKE"),
 ]
