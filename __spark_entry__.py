@@ -64,6 +64,8 @@ _VERIFY_FIRST = [
     "q_trend_linear",  # new in r6: exact OLS trend
     "q_ewma_last",  # new in r6: grouped applyInPandas EWMA (rows-only)
     "q_recursive_cte",  # new in r6: WITH RECURSIVE gap-fill
+    "q_variant_json",  # new in r6: VARIANT parse-once navigation
+    "q_collation",  # new in r6: COLLATE UTF8_LCASE predicate
     "dedup_minhash_lsh",
     "dedup_lsh_verified",  # new in r6: LSH->verify chain, oracle-checked
     "dedup_resolve",  # new in r6: components -> keep/drop decisions

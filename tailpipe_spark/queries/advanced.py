@@ -399,6 +399,68 @@ ORDER BY n_name, c_custkey
 """
 
 
+def q_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VARIANT semi-structured path (Spark 4): parse the JSON props
+    column ONCE into a variant and extract typed fields from the
+    binary-encoded value — at 100 TB this replaces per-field
+    get_json_object re-parsing (N parses per row) with one parse and
+    O(1) typed navigations."""
+    e = _t(spark, sf_dir, "events")
+    v = e.select(
+        "event_type", F.parse_json(F.col("props")).alias("v")
+    ).select(
+        "event_type", F.variant_get("v", "$.k", "long").alias("k")
+    )
+    return (
+        v.groupBy("event_type")
+        .agg(
+            F.count("k").alias("n_with_k"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+Q_VARIANT_SQL = """
+SELECT event_type,
+       CAST(COUNT(k) AS BIGINT) AS n_with_k,
+       CAST(SUM(k) AS BIGINT) AS sum_k,
+       CAST(MIN(k) AS BIGINT) AS min_k,
+       CAST(MAX(k) AS BIGINT) AS max_k
+FROM (SELECT event_type,
+             CAST(json_extract(props, '$.k') AS BIGINT) AS k
+      FROM events)
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+def q_collation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collation-aware comparison (Spark 4 COLLATE): case-insensitive
+    predicate evaluated JVM-side under UTF8_LCASE instead of wrapping
+    every row in lower() — the collation survives into pushdown where
+    lower(col) would not."""
+    c = _t(spark, sf_dir, "customer")
+    c.createOrReplaceTempView("__coll_customer")
+    return spark.sql("""
+      SELECT c_mktsegment, COUNT(*) AS n
+      FROM __coll_customer
+      WHERE c_mktsegment COLLATE UTF8_LCASE = 'building'
+         OR c_mktsegment COLLATE UTF8_LCASE = 'machinery'
+      GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """)
+
+
+Q_COLLATION_SQL = """
+SELECT c_mktsegment, COUNT(*) AS n
+FROM customer
+WHERE lower(c_mktsegment) = 'building' OR lower(c_mktsegment) = 'machinery'
+GROUP BY c_mktsegment ORDER BY c_mktsegment
+"""
+
+
 def q_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recursive CTE (Spark 4 WITH RECURSIVE): generate a calendar
     series and left-join per-day order counts — the canonical gap-fill
@@ -699,6 +761,8 @@ SPECS = [
     QuerySpec("q_lateral_topk", q_lateral_topk, Q_LATERAL_SQL, "correlated LATERAL join decorrelated to WindowGroupLimit"),
     QuerySpec("q_sketch_rollup", q_sketch_rollup, None, "mergeable HLL distinct sketches rolled up without rescan (rows-only: sketch bytes are engine-specific)"),
     QuerySpec("q_recursive_cte", q_recursive_cte, Q_RECURSIVE_SQL, "WITH RECURSIVE calendar series + gap-fill left join"),
+    QuerySpec("q_variant_json", q_variant_json, Q_VARIANT_SQL, "VARIANT semi-structured: parse once, typed navigation"),
+    QuerySpec("q_collation", q_collation, Q_COLLATION_SQL, "COLLATE UTF8_LCASE case-insensitive predicate"),
     QuerySpec("q_set_ops_all", q_set_ops_all, Q_SET_OPS_ALL_SQL, "EXCEPT ALL / INTERSECT ALL multiset semantics"),
     QuerySpec("q_ilike", q_ilike, Q_ILIKE_SQL, "case-insensitive LIKE"),
 ]
