@@ -133,23 +133,19 @@ def bucket_pairs(
     # defensive: a duplicate member (e.g. a within-doc hash collision
     # upstream producing (id, key) twice) would emit (x, x) self-pairs
     # the old id_a < id_b join filtered out; array_distinct on a sorted
-    # array is row-local, order-preserving, and cheap
-    sorted_ids = F.array_distinct(F.array_sort(F.col(ids_col)))
+    # array is row-local, order-preserving, and cheap.
+    # One SQL-parsed expression (not nested Column lambdas): same
+    # Catalyst tree, ~50 fewer py4j round trips per plan construction.
+    pair_expr = F.expr(
+        f"explode(flatten(transform("
+        f"array_distinct(array_sort({ids_col})), (x, i) -> transform("
+        f"slice(array_distinct(array_sort({ids_col})), i + 2, "
+        f"size(array_distinct(array_sort({ids_col})))), "
+        f"y -> struct(x AS {oa}, y AS {ob})))))"
+    )
     small = (
         (b2 if local_only else b2.where(F.size(ids_col) <= _LOCAL_PAIR_CAP))
-        .select(
-            F.explode(
-                F.flatten(
-                    F.transform(
-                        sorted_ids,
-                        lambda x, i: F.transform(
-                            F.slice(sorted_ids, i + 2, F.size(sorted_ids)),
-                            lambda y: F.struct(x.alias(oa), y.alias(ob)),
-                        ),
-                    )
-                )
-            ).alias("__p")
-        )
+        .select(pair_expr.alias("__p"))
         .select(f"__p.{oa}", f"__p.{ob}")
     )
     if local_only:
@@ -472,37 +468,43 @@ def minhash_signatures(
     # the whole split+hash chain per element inside the Filter
     # (measured ~18× slower at sf0.1).
     g = _tokens(docs, text_col, n, id_col)
-    seq = F.sequence(F.lit(0), F.size("__t") - n)
 
     if hash_fn is None:
         # engine default: collapse each token n-tuple to ONE xxhash64
         # long up front, then derive every seeded hash from that 8-byte
         # value — k fixed-width long hashes per gram instead of k
-        # variable-length string-tuple hashes (the dominant cost)
-        grams = F.transform(
-            seq,
-            lambda i: F.xxhash64(*[F.element_at("__t", i + j + 1) for j in range(n)]),
+        # variable-length string-tuple hashes (the dominant cost).
+        # Built as ONE SQL-parsed expression, not nested Column lambdas:
+        # the lambda formulation cost ~100s of py4j round trips and
+        # ~0.3 s of driver time PER plan construction (measured at
+        # sf0.1) — identical Catalyst tree either way, so results are
+        # bit-for-bit unchanged.
+        args = ", ".join(f"element_at(__t, i + {j + 1})" for j in range(n))
+        grams = F.expr(
+            f"transform(sequence(0, size(__t) - {n}), i -> xxhash64({args}))"
         )
-    else:
-        # portable twin: build the exact gram string any SQL engine can
-        # replay, then apply the caller's hash per seed
-        grams = F.transform(seq, lambda i: F.array_join(F.slice("__t", i + 1, n), " "))
+        g = g.select(F.col(id_col), grams.alias("__g"))
+        sigs = [
+            F.expr(f"array_min(transform(__g, x -> xxhash64(x, {s})))").alias(
+                f"mh{s}"
+            )
+            for s in range(num_hashes)
+        ]
+        return g.select(F.col(id_col), *sigs)
+
+    # portable twin: build the exact gram string any SQL engine can
+    # replay, then apply the caller's hash per seed
+    seq = F.sequence(F.lit(0), F.size("__t") - n)
+    grams = F.transform(seq, lambda i: F.array_join(F.slice("__t", i + 1, n), " "))
     g = g.select(F.col(id_col), grams.alias("__g"))
 
     # factory keeps the lambda single-arg: a 2-arg lambda (e.g. `s=s`
     # defaulting) makes F.transform pass the ELEMENT INDEX as the second
     # argument, silently replacing the seed
-    if hash_fn is None:
-        def _sig(s: int):
-            return F.array_min(
-                F.transform("__g", lambda x: F.xxhash64(x, F.lit(s)))
-            ).alias(f"mh{s}")
-
-    else:
-        def _sig(s: int):
-            return F.array_min(
-                F.transform("__g", lambda x: hash_fn(x, s))
-            ).alias(f"mh{s}")
+    def _sig(s: int):
+        return F.array_min(
+            F.transform("__g", lambda x: hash_fn(x, s))
+        ).alias(f"mh{s}")
 
     return g.select(F.col(id_col), *[_sig(s) for s in range(num_hashes)])
 
