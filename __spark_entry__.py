@@ -66,6 +66,8 @@ _VERIFY_FIRST = [
     "q_recursive_cte",  # new in r6: WITH RECURSIVE gap-fill
     "q_variant_json",  # new in r6: VARIANT parse-once navigation
     "q_collation",  # new in r6: COLLATE UTF8_LCASE predicate
+    "q_funnel",  # new in r6: ordered funnel stages
+    "q_cohort_retention",  # new in r6: cohort retention matrix
     "dedup_minhash_lsh",
     "dedup_lsh_verified",  # new in r6: LSH->verify chain, oracle-checked
     "dedup_resolve",  # new in r6: components -> keep/drop decisions

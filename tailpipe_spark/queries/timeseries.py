@@ -454,8 +454,104 @@ def q_ewma_last(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel analysis (view → click → purchase): per user the
+    earliest qualifying time of each stage, where a stage only counts
+    after the previous stage's time. Three user-keyed aggregations —
+    Spark reuses the user_id exchange across them — and a final tiny
+    stage-count rollup. No window over the full event stream, no
+    per-user UDF."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    t1 = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    t2 = (
+        ev.where(F.col("event_type") == "click")
+        .join(t1, "user_id")
+        .where(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    t3 = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(t2, "user_id")
+        .where(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    counts = (
+        t1.agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("1_view").alias("stage"), "n")
+        .unionByName(
+            t2.agg(F.count(F.lit(1)).alias("n")).select(
+                F.lit("2_click").alias("stage"), "n"
+            )
+        )
+        .unionByName(
+            t3.agg(F.count(F.lit(1)).alias("n")).select(
+                F.lit("3_purchase").alias("stage"), "n"
+            )
+        )
+    )
+    return counts.orderBy("stage")
+
+
+Q_FUNNEL_SQL = """
+WITH t1 AS (
+  SELECT user_id, MIN(ts) AS t1 FROM events WHERE event_type = 'view'
+  GROUP BY user_id),
+t2 AS (
+  SELECT e.user_id, MIN(ts) AS t2 FROM events e JOIN t1 USING (user_id)
+  WHERE event_type = 'click' AND ts > t1 GROUP BY e.user_id),
+t3 AS (
+  SELECT e.user_id, MIN(ts) AS t3 FROM events e JOIN t2 USING (user_id)
+  WHERE event_type = 'purchase' AND ts > t2 GROUP BY e.user_id)
+SELECT stage, n FROM (
+  SELECT '1_view' AS stage, CAST(COUNT(*) AS BIGINT) AS n FROM t1
+  UNION ALL
+  SELECT '2_click', CAST(COUNT(*) AS BIGINT) FROM t2
+  UNION ALL
+  SELECT '3_purchase', CAST(COUNT(*) AS BIGINT) FROM t3)
+ORDER BY stage
+"""
+
+
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-activity week,
+    counted as retained in each later week they were active. Two
+    aggregations (first activity per user; distinct user-week pairs)
+    joined on user — the standard product-analytics rollup."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.weekofyear("ts").alias("wk")
+    )
+    cohort = ev.groupBy("user_id").agg(F.min("wk").alias("cohort_wk"))
+    active = ev.distinct()
+    return (
+        active.join(cohort, "user_id")
+        .groupBy("cohort_wk", (F.col("wk") - F.col("cohort_wk")).alias("offset_wk"))
+        .agg(F.count_distinct("user_id").alias("n_users"))
+        .orderBy("cohort_wk", "offset_wk")
+    )
+
+
+Q_COHORT_SQL = """
+WITH ev AS (SELECT user_id, CAST(weekofyear(ts) AS INTEGER) AS wk FROM events),
+cohort AS (SELECT user_id, MIN(wk) AS cohort_wk FROM ev GROUP BY user_id),
+active AS (SELECT DISTINCT user_id, wk FROM ev)
+SELECT cohort_wk, wk - cohort_wk AS offset_wk,
+       CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS n_users
+FROM active a JOIN cohort USING (user_id)
+GROUP BY cohort_wk, wk - cohort_wk
+ORDER BY cohort_wk, offset_wk
+"""
+
+
 SPECS = [
     QuerySpec("q_trend_linear", q_trend_linear, _trend_sql(), "per-group OLS trend via exact integer sums (deterministic regr_slope twin)"),
+    QuerySpec("q_funnel", q_funnel, Q_FUNNEL_SQL, "ordered funnel analysis: stage-gated min-time aggregations"),
+    QuerySpec("q_cohort_retention", q_cohort_retention, Q_COHORT_SQL, "cohort retention matrix by first-activity week"),
     QuerySpec("q_ewma_last", q_ewma_last, None, "per-group EWMA recurrence via grouped applyInPandas (rows-only)"),
     QuerySpec("q_window_functions", q_window_functions, Q_WINDOW_SQL, "row_number/rank/lag/lead/running+moving sums"),
     QuerySpec("q_time_bucket_hourly", q_time_bucket_hourly, Q_TIME_BUCKET_SQL, "tumbling-window rollup (batch)"),
