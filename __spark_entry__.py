@@ -68,6 +68,7 @@ _VERIFY_FIRST = [
     "q_collation",  # new in r6: COLLATE UTF8_LCASE predicate
     "q_funnel",  # new in r6: ordered funnel stages
     "q_cohort_retention",  # new in r6: cohort retention matrix
+    "text_hash_embedding",  # new in r6: feature-hashing embedding
     "dedup_minhash_lsh",
     "dedup_lsh_verified",  # new in r6: LSH->verify chain, oracle-checked
     "dedup_resolve",  # new in r6: components -> keep/drop decisions

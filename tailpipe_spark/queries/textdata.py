@@ -793,6 +793,49 @@ ORDER BY split, selected
 """
 
 
+def text_hash_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-hashing embedding over documents (operators/text.py
+    hash_embedding, portable md5 twin): integer bucket sums, so the
+    whole dim-64 vector value-hashes across engines. Summarized per doc
+    as (l1 norm, nonzero count, first/last component) to keep the
+    compare row compact while still pinning every bucket's placement."""
+    from tailpipe_spark.operators.text import hash_embedding
+
+    emb = hash_embedding(_docs(spark, sf_dir), dim=64)
+    return emb.select(
+        "doc_id",
+        F.expr("aggregate(embedding, 0L, (a, x) -> a + abs(x))").alias("l1"),
+        F.expr("size(filter(embedding, x -> x != 0))").alias("nonzero"),
+        F.expr("embedding[0]").alias("c0"),
+        F.expr("embedding[63]").alias("c63"),
+    ).orderBy("doc_id")
+
+
+_HX = "0123456789abcdef"
+HASH_EMBEDDING_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, t AS tok
+  FROM (SELECT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS t
+        FROM documents)
+  WHERE t <> ''),
+hashed AS (
+  SELECT doc_id,
+         ((strpos('{_HX}', substr(md5(tok), 1, 1)) - 1) * 16
+          + strpos('{_HX}', substr(md5(tok), 2, 1)) - 1) % 64 AS bucket,
+         1 - 2 * ((strpos('{_HX}', substr(md5(tok), 3, 1)) - 1) % 2) AS sign
+  FROM toks),
+pb AS (
+  SELECT doc_id, bucket, CAST(SUM(sign) AS BIGINT) AS v
+  FROM hashed GROUP BY doc_id, bucket)
+SELECT doc_id,
+       CAST(SUM(ABS(v)) AS BIGINT) AS l1,
+       CAST(COUNT(CASE WHEN v != 0 THEN 1 END) AS INTEGER) AS nonzero,
+       CAST(COALESCE(MAX(CASE WHEN bucket = 0 THEN v END), 0) AS BIGINT) AS c0,
+       CAST(COALESCE(MAX(CASE WHEN bucket = 63 THEN v END), 0) AS BIGINT) AS c63
+FROM pb GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 # --- multimodal plumbing: docs as binary payloads through mapInPandas ---
 
 def mm_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -922,5 +965,6 @@ SPECS = [
     QuerySpec("text_url_domains", text_url_domains, URL_DOMAINS_SQL, "URL domain frequency top-k (block-list substrate)"),
     QuerySpec("text_decontaminate", text_decontaminate, DECONTAMINATE_SQL, "benchmark decontamination via 3-gram overlap (broadcast bench grams)"),
     QuerySpec("text_tfidf_topterms", text_tfidf_topterms, TFIDF_SQL, "per-doc top-3 tf-idf terms (rational BM25-style idf, bit-portable)"),
+    QuerySpec("text_hash_embedding", text_hash_embedding, HASH_EMBEDDING_SQL, "feature-hashing bag-of-words embedding (integer buckets, bit-portable)"),
     QuerySpec("dedup_components", dedup_components, COMPONENTS_SQL, "dup-cluster connected components (min-label propagation vs recursive-CTE oracle)"),
 ]

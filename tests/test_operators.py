@@ -800,3 +800,39 @@ def test_linear_trend_exact_on_known_line(spark):
     assert row["slope"] == 3.0
     assert row["intercept"] == 7.0
     assert row["n"] == 100
+
+
+def test_hash_embedding_properties(spark):
+    """Deterministic, dense dim-64, and usable by the embedding
+    operators (the documents→embeddings bridge)."""
+    import pyspark.sql.functions as F
+
+    from tailpipe_spark.operators.text import hash_embedding
+    from tailpipe_spark.session import read_table
+
+    docs = read_table(spark, "/root/testdata/sf0.001/documents.parquet")
+    emb = hash_embedding(docs, dim=64)
+    a = {r["doc_id"]: r["embedding"] for r in emb.collect()}
+    b = {r["doc_id"]: r["embedding"] for r in hash_embedding(docs, dim=64).collect()}
+    assert a == b  # deterministic
+    assert all(len(v) == 64 for v in a.values())
+    # identical docs hash to identical vectors; the duplicated corpus
+    # rows must collide exactly
+    texts = {r["doc_id"]: r["text"] for r in docs.select("doc_id", "text").collect()}
+    by_text = {}
+    for did, t in texts.items():
+        by_text.setdefault(t, []).append(did)
+    dup_group = next((ids for ids in by_text.values() if len(ids) > 1), None)
+    if dup_group:
+        first = a[dup_group[0]]
+        assert all(a[d] == first for d in dup_group[1:])
+    # bridges into the similarity operators: exact cosine top-k runs
+    from tailpipe_spark.operators.similarity import brute_force_topk
+
+    vecs = hash_embedding(docs, dim=64).select(
+        F.col("doc_id").alias("vec_id"),
+        F.expr("transform(embedding, x -> cast(x as float))").alias("embedding"),
+    )
+    probe = vecs.limit(2)
+    out = brute_force_topk(vecs, probe, k=3)
+    assert out.count() == 6
