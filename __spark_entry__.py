@@ -30,6 +30,11 @@ from tailpipe_spark.queries import build_registry
 # Rule (adopted per r5 verdict): any entry whose plan code changes goes
 # to the front of this list the same round.
 _VERIFY_FIRST = [
+    # the r5 verdict's explicit ask — plan changed in d873dcf (and again
+    # in the r6 expr-string rework): pinned first so the ~50-entry
+    # sample always covers them no matter how many new entries land
+    "dedup_minhash_lsh",
+    "dedup_simhash",
     "q02_min_cost_supplier",
     "q04_order_priority",
     "q06_revenue_forecast",
@@ -69,13 +74,11 @@ _VERIFY_FIRST = [
     "q_funnel",  # new in r6: ordered funnel stages
     "q_cohort_retention",  # new in r6: cohort retention matrix
     "text_hash_embedding",  # new in r6: feature-hashing embedding
-    "dedup_minhash_lsh",
     "dedup_lsh_verified",  # new in r6: LSH->verify chain, oracle-checked
     "dedup_resolve",  # new in r6: components -> keep/drop decisions
     "q_stream_window_counts",  # new in r6: streaming==batch oracle proof
     "q_stream_sessionize",  # new in r6: streaming session windows
     "text_tfidf_topterms",  # new in r6: rational-idf tf-idf top terms
-    "dedup_simhash",
     "q_asof_join",
     "q_window_frames",
     "q_array_explode",
