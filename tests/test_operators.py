@@ -836,3 +836,38 @@ def test_hash_embedding_properties(spark):
     probe = vecs.limit(2)
     out = brute_force_topk(vecs, probe, k=3)
     assert out.count() == 6
+
+
+def test_arrow_pair_kernel_bit_identical_to_sql_fold(spark):
+    """The vectorized exact-cosine kernel must reproduce the SQL
+    fixed-point fold bit-for-bit on every pair (no tolerance)."""
+    import pyspark.sql.functions as F
+
+    from tailpipe_spark.operators import similarity as sim
+    from tailpipe_spark.session import read_table
+
+    emb = read_table(spark, "/root/testdata/sf0.001/embeddings.parquet")
+    norms = emb.select(
+        F.col("vec_id").alias("id"),
+        F.col("embedding").alias("v"),
+        F.sqrt(sim._exact_sq_norm(F.col("embedding"))).alias("norm"),
+    )
+    a = norms.select(
+        F.col("id").alias("id_a"), F.col("v").alias("__va"), F.col("norm").alias("__na")
+    )
+    b = norms.select(
+        F.col("id").alias("id_b"), F.col("v").alias("__vb"), F.col("norm").alias("__nb")
+    )
+    cand = a.join(b, F.col("id_a") < F.col("id_b"))
+    sql_scored = cand.select(
+        "id_a", "id_b",
+        sim.quantize12(
+            sim._exact_dot(F.col("__va"), F.col("__vb"))
+            / (F.col("__na") * F.col("__nb"))
+        ).alias("cosine"),
+    )
+    arrow_scored = sim._score_pairs_arrow(
+        cand.select("id_a", "id_b", "__va", "__vb", "__na", "__nb"), -2.0
+    )
+    assert sql_scored.exceptAll(arrow_scored).count() == 0
+    assert arrow_scored.exceptAll(sql_scored).count() == 0
