@@ -113,11 +113,12 @@ def brute_force_topk(
 
 
 #: auto mode flips to LSH above this corpus size. Calibrated against
-#: measured fold throughput (~2×10⁵ exact fixed-point cosines/s on
-#: local[32] at dim 64 — r6 profile): n²/2 pairs at 5k is 1.25×10⁷,
-#: ≈1 min worst-case; 20k would already be ~17 min. The boundary is
-#: inclusive: exactly-threshold corpora take the exact path.
-AUTO_LSH_THRESHOLD = 5_000
+#: the Arrow pair kernel's measured throughput (~2×10⁶ exact
+#: fixed-point cosines/s on local[32] at dim 64 — r6 profile, 11x the
+#: per-pair codegen fold it replaced): n²/2 pairs at 20k is 2×10⁸,
+#: ≈100 s worst-case — the practical ceiling for an exact default.
+#: The boundary is inclusive: exactly-threshold corpora stay exact.
+AUTO_LSH_THRESHOLD = 20_000
 
 
 def cosine_pairs_threshold(
