@@ -74,6 +74,7 @@ _VERIFY_FIRST = [
     "q_funnel",  # new in r6: ordered funnel stages
     "q_cohort_retention",  # new in r6: cohort retention matrix
     "text_hash_embedding",  # new in r6: feature-hashing embedding
+    "dedup_incremental",  # new in r6: batch-vs-index incremental dedup
     "dedup_lsh_verified",  # new in r6: LSH->verify chain, oracle-checked
     "dedup_resolve",  # new in r6: components -> keep/drop decisions
     "q_stream_window_counts",  # new in r6: streaming==batch oracle proof

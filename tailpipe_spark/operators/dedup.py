@@ -509,6 +509,83 @@ def minhash_signatures(
     return g.select(F.col(id_col), *[_sig(s) for s in range(num_hashes)])
 
 
+def band_memberships(
+    docs: DataFrame,
+    n: int = 3,
+    num_hashes: int = 12,
+    bands: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_fn=None,
+) -> DataFrame:
+    """(id, band, sig) LSH band membership rows — the INDEX an
+    incremental pipeline persists: new batches probe it by (band, sig)
+    equi-join without ever rescanning the historical corpus."""
+    assert num_hashes % bands == 0
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(docs, n, num_hashes, text_col, id_col, hash_fn)
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.concat_ws(
+                "|", *[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
+            ).alias("sig"),
+        )
+        for b in range(bands)
+    ]
+    return sig.select(id_col, F.explode(F.array(*band_cols)).alias("bk")).select(
+        id_col, F.col("bk.band").alias("band"), F.col("bk.sig").alias("sig")
+    )
+
+
+def incremental_dedup(
+    new_docs: DataFrame,
+    seen_hashes: DataFrame,
+    seen_bands: DataFrame,
+    n: int = 3,
+    num_hashes: int = 12,
+    bands: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_fn=None,
+) -> DataFrame:
+    """Dedup a NEW batch against an already-indexed corpus — the
+    incremental-ingest shape: the historical corpus is touched only
+    through its two persisted indexes (``seen_hashes``: one md5 per
+    seen normalized text; ``seen_bands``: band_memberships output), so
+    per-batch cost is O(batch) regardless of history size.
+
+    Returns one row per new doc: ``is_exact_dup`` (its normalized text
+    was seen verbatim) and ``n_near_candidates`` (distinct historical
+    docs sharing >=1 LSH band — candidates for the verify_pairs stage).
+    """
+    h = new_docs.select(
+        F.col(id_col), F.md5(normalize_text(F.col(text_col))).alias("__h")
+    )
+    seen = seen_hashes.select(F.col(seen_hashes.columns[0]).alias("__h")).distinct()
+    exact = h.join(seen.withColumn("__seen", F.lit(True)), "__h", "left").select(
+        id_col, F.coalesce("__seen", F.lit(False)).alias("is_exact_dup")
+    )
+    nb = band_memberships(
+        new_docs, n, num_hashes, bands, text_col, id_col, hash_fn
+    )
+    sb = seen_bands.select(
+        F.col(seen_bands.columns[0]).alias("__old_id"), "band", "sig"
+    )
+    near = (
+        nb.join(sb, ["band", "sig"])
+        .groupBy(id_col)
+        .agg(F.count_distinct("__old_id").alias("n_near_candidates"))
+    )
+    return exact.join(near, id_col, "left").select(
+        id_col,
+        "is_exact_dup",
+        F.coalesce("n_near_candidates", F.lit(0).cast("long")).alias(
+            "n_near_candidates"
+        ),
+    )
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     n: int = 3,
@@ -536,20 +613,8 @@ def minhash_lsh_pairs(
     provably at-or-under the cap the guard is dropped from the plan and
     results are bit-identical to the uncapped form. None disables.
     """
-    assert num_hashes % bands == 0
-    rows_per_band = num_hashes // bands
-    sig = minhash_signatures(docs, n, num_hashes, text_col, id_col, hash_fn)
-    band_cols = [
-        F.struct(
-            F.lit(b).alias("band"),
-            F.concat_ws(
-                "|", *[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
-            ).alias("sig"),
-        )
-        for b in range(bands)
-    ]
-    memberships = sig.select(id_col, F.explode(F.array(*band_cols)).alias("bk")).select(
-        id_col, F.col("bk.band").alias("band"), F.col("bk.sig").alias("sig")
+    memberships = band_memberships(
+        docs, n, num_hashes, bands, text_col, id_col, hash_fn
     )
     if max_bucket_df is not None:
         size = corpus_size if corpus_size is not None else docs.count()

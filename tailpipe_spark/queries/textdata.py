@@ -793,6 +793,44 @@ ORDER BY split, selected
 """
 
 
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest dedup (operators/dedup.py incremental_dedup):
+    even-id docs play the already-indexed corpus (md5 set + LSH band
+    index), odd-id docs are the new batch probed against those indexes
+    only. The oracle replays hash membership and the band join from the
+    shared signature CTEs."""
+    docs = _docs(spark, sf_dir)
+    old = docs.where(F.col("doc_id") % 2 == 0)
+    new = docs.where(F.col("doc_id") % 2 == 1)
+    seen_hashes = old.select(F.md5(dd.normalize_text(F.col("text"))).alias("h"))
+    seen_bands = dd.band_memberships(old, n=3, num_hashes=_NUM_HASHES,
+                                     bands=_BANDS, hash_fn=dd.md5_hash_fn)
+    out = dd.incremental_dedup(
+        new, seen_hashes, seen_bands, n=3, num_hashes=_NUM_HASHES,
+        bands=_BANDS, hash_fn=dd.md5_hash_fn,
+    )
+    return out.orderBy("doc_id")
+
+
+DEDUP_INCREMENTAL_SQL = _minhash_ctes() + f"""
+, seen AS (
+  SELECT DISTINCT md5({_NORM_SQL}) AS h FROM documents WHERE doc_id % 2 = 0),
+new_docs AS (
+  SELECT doc_id, md5({_NORM_SQL}) AS h FROM documents WHERE doc_id % 2 = 1),
+near AS (
+  SELECT n.doc_id, CAST(COUNT(DISTINCT o.doc_id) AS BIGINT) AS n_near_candidates
+  FROM buckets n
+  JOIN buckets o ON n.band = o.band AND n.sig = o.sig
+  WHERE n.doc_id % 2 = 1 AND o.doc_id % 2 = 0
+  GROUP BY n.doc_id)
+SELECT nd.doc_id,
+       nd.h IN (SELECT h FROM seen) AS is_exact_dup,
+       COALESCE(near.n_near_candidates, 0) AS n_near_candidates
+FROM new_docs nd LEFT JOIN near ON near.doc_id = nd.doc_id
+ORDER BY nd.doc_id
+"""
+
+
 def text_hash_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Feature-hashing embedding over documents (operators/text.py
     hash_embedding, portable md5 twin): integer bucket sums, so the
@@ -966,5 +1004,6 @@ SPECS = [
     QuerySpec("text_decontaminate", text_decontaminate, DECONTAMINATE_SQL, "benchmark decontamination via 3-gram overlap (broadcast bench grams)"),
     QuerySpec("text_tfidf_topterms", text_tfidf_topterms, TFIDF_SQL, "per-doc top-3 tf-idf terms (rational BM25-style idf, bit-portable)"),
     QuerySpec("text_hash_embedding", text_hash_embedding, HASH_EMBEDDING_SQL, "feature-hashing bag-of-words embedding (integer buckets, bit-portable)"),
+    QuerySpec("dedup_incremental", dedup_incremental, DEDUP_INCREMENTAL_SQL, "incremental dedup of a new batch against persisted md5 + LSH band indexes"),
     QuerySpec("dedup_components", dedup_components, COMPONENTS_SQL, "dup-cluster connected components (min-label propagation vs recursive-CTE oracle)"),
 ]
