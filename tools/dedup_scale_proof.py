@@ -227,7 +227,7 @@ def main() -> int:
         "broadcasts the benchmark gram set; the corpus never shuffles "
         "on gram.\n"
     )
-    with open(out_md, "w") as f:
+    with open(out_md, "a") as f:  # append: SCALE_PROOF.md holds multiple proof sections
         f.write(hdr + "\n".join(lines) + notes)
     print(f"wrote {out_md}")
     return 0
