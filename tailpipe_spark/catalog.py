@@ -206,11 +206,57 @@ class Catalog:
     # record per-file tp_timestamp min/max + null_count at write time
     # and intersect the predicate against the index instead.
 
-    def refresh_file_index(self, table: str) -> int:
-        """Record per-file footer stats for ``tp_timestamp`` in the
-        manifest. Returns the number of files indexed. Called after
-        collect/compact; cheap (one footer read per file, no data)."""
+    def refresh_file_index(self, table: str, columns: list[str] | None = None) -> int:
+        """Record per-file footer stats in the manifest: always
+        ``tp_timestamp``, plus any extra ``columns`` (the z-order
+        companion: a layout clustered on (tp_timestamp, user_id) makes a
+        user_id index selective, so `compact --zorder` passes its
+        columns here). Returns the number of files indexed. Called
+        after collect/compact; cheap (one footer read per file)."""
+        import datetime as _dt
+
         import pyarrow.parquet as pq
+
+        def _naive_utc(ts):
+            from datetime import timezone
+
+            if ts.tzinfo is not None:
+                ts = ts.astimezone(timezone.utc).replace(tzinfo=None)
+            return ts
+
+        def _jsonable(v):
+            if isinstance(v, _dt.datetime):
+                return _naive_utc(v).isoformat()
+            if isinstance(v, (bytes, bytearray)):
+                return bytes(v).decode("utf-8", "replace")
+            if isinstance(v, (int, float, str, bool)):
+                return v
+            return None  # unindexable type → treated as no-stats
+
+        def _col_stats(md, name):
+            lo = hi = None
+            nulls = 0
+            for rg in range(md.num_row_groups):
+                group = md.row_group(rg)
+                col = next(
+                    (
+                        group.column(i)
+                        for i in range(group.num_columns)
+                        if group.column(i).path_in_schema == name
+                    ),
+                    None,
+                )
+                stats = col.statistics if col is not None else None
+                if stats is None or not stats.has_min_max:
+                    return None  # any stat-less row group poisons the file
+                nulls += stats.null_count or 0
+                mn, mx = stats.min, stats.max
+                lo = mn if lo is None else min(lo, mn)
+                hi = mx if hi is None else max(hi, mx)
+            jlo, jhi = _jsonable(lo), _jsonable(hi)
+            if jlo is None or jhi is None:
+                return None
+            return {"min": jlo, "max": jhi, "nulls": int(nulls)}
 
         tdir = self.table_dir(table)
         index = []
@@ -220,60 +266,38 @@ class Catalog:
                     continue
                 p = os.path.join(root, n)
                 md = pq.read_metadata(p)
-                lo = hi = None
-                nulls = 0
-                no_stats = False
-
-                def _naive_utc(ts):
-                    from datetime import timezone
-
-                    if ts.tzinfo is not None:
-                        ts = ts.astimezone(timezone.utc).replace(tzinfo=None)
-                    return ts
-
-                for rg in range(md.num_row_groups):
-                    group = md.row_group(rg)
-                    col = next(
-                        (
-                            group.column(i)
-                            for i in range(group.num_columns)
-                            if group.column(i).path_in_schema == "tp_timestamp"
-                        ),
-                        None,
-                    )
-                    stats = col.statistics if col is not None else None
-                    if stats is None or not stats.has_min_max:
-                        no_stats = True
-                        continue
-                    nulls += stats.null_count or 0
-                    mn, mx = _naive_utc(stats.min), _naive_utc(stats.max)
-                    lo = mn if lo is None else min(lo, mn)
-                    hi = mx if hi is None else max(hi, mx)
-                index.append(
-                    {
-                        "path": os.path.relpath(p, tdir),
-                        "bytes": os.path.getsize(p),
-                        "rows": md.num_rows,
-                        "min_ts": lo.isoformat() if lo is not None else None,
-                        "max_ts": hi.isoformat() if hi is not None else None,
-                        "null_ts": int(nulls) if not no_stats else None,
-                    }
-                )
+                ts = _col_stats(md, "tp_timestamp")
+                entry = {
+                    "path": os.path.relpath(p, tdir),
+                    "bytes": os.path.getsize(p),
+                    "rows": md.num_rows,
+                    "min_ts": ts["min"] if ts else None,
+                    "max_ts": ts["max"] if ts else None,
+                    "null_ts": ts["nulls"] if ts else None,
+                }
+                if columns:
+                    entry["cols"] = {c: _col_stats(md, c) for c in columns}
+                index.append(entry)
         manifest = self._load()
         manifest["tables"][table]["file_index"] = index
+        if columns:
+            manifest["tables"][table]["indexed_columns"] = list(columns)
         self._store(manifest)
         return len(index)
 
-    def pruned_files(self, table, time_from=None, time_to=None):
-        """File subset whose tp_timestamp range can intersect
-        [time_from, time_to) per the manifest index, or ``None`` when
-        the index is missing or STALE (the on-disk file set no longer
-        matches — callers must fall back to a full scan, never trust a
-        stale index).
+    def pruned_files(self, table, time_from=None, time_to=None, predicates=None):
+        """File subset that can satisfy the given bounds per the
+        manifest index, or ``None`` when the index is missing or STALE
+        (the on-disk file set no longer matches — callers must fall
+        back to a full scan, never trust a stale index).
 
-        Conservative by construction: files without stats and files
-        containing null timestamps are always kept (the query layer's
-        lower bound keeps NULL rows, query_cli.py)."""
+        ``predicates``: optional ``{column: (lo, hi)}`` inclusive
+        ranges over extra indexed columns (see refresh_file_index's
+        ``columns``); either bound may be None.
+
+        Conservative by construction: files without stats for a tested
+        column and files containing null timestamps are always kept
+        (the query layer's lower bound keeps NULL rows, query_cli.py)."""
         from datetime import datetime
 
         entry = self._load()["tables"].get(table, {})
@@ -291,16 +315,32 @@ class Catalog:
             return None  # stale — file set changed since refresh
         keep = []
         for e in index:
+            full = os.path.join(tdir, e["path"])
+            ts_ok = True
             if e["min_ts"] is None or e["null_ts"] is None or e["null_ts"] > 0:
-                keep.append(os.path.join(tdir, e["path"]))
+                pass  # no usable ts stats / null rows → ts test keeps it
+            else:
+                lo = datetime.fromisoformat(e["min_ts"])
+                hi = datetime.fromisoformat(e["max_ts"])
+                if time_from is not None and hi < time_from:
+                    ts_ok = False
+                if time_to is not None and lo >= time_to:
+                    ts_ok = False
+            if not ts_ok:
                 continue
-            lo = datetime.fromisoformat(e["min_ts"])
-            hi = datetime.fromisoformat(e["max_ts"])
-            if time_from is not None and hi < time_from:
-                continue
-            if time_to is not None and lo >= time_to:
-                continue
-            keep.append(os.path.join(tdir, e["path"]))
+            col_ok = True
+            for c, (plo, phi) in (predicates or {}).items():
+                st = (e.get("cols") or {}).get(c)
+                if st is None:
+                    continue  # no stats for this column → keep
+                if plo is not None and st["max"] < plo:
+                    col_ok = False
+                    break
+                if phi is not None and st["min"] > phi:
+                    col_ok = False
+                    break
+            if col_ok:
+                keep.append(full)
         return keep
 
     # --- spark registration (A16) ---

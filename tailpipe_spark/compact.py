@@ -250,7 +250,11 @@ def compact_table(
         "compact", {"table": table, "keys": rewritten, "files": merged_files}
     )
     if rewritten:
-        catalog.refresh_file_index(table)
+        # a z-ordered layout makes its companion columns selective per
+        # file — index them so pruned_files() can skip on them too
+        catalog.refresh_file_index(
+            table, columns=[c for c in (zorder_by or []) if c != "tp_timestamp"] or None
+        )
     return {
         "keys_rewritten": rewritten,
         "files_merged": merged_files,
