@@ -399,6 +399,63 @@ ORDER BY n_name, c_custkey
 """
 
 
+def q_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-style upsert compaction: reduce an event history to the
+    latest state per key (window rank over (ts, event_id) — the
+    deterministic tiebreak matters, duplicate timestamps exist in any
+    real feed). WindowGroupLimit prunes non-latest rows before the
+    exchange's final stage, so state size, not history size, bounds the
+    output."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        e.withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") == 1)
+        .select("user_id", "event_type", "ts", "value")
+        .orderBy("user_id")
+    )
+
+
+Q_UPSERT_SQL = """
+SELECT user_id, event_type, ts, value
+FROM (
+  SELECT user_id, event_type, ts, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rk
+  FROM events)
+WHERE rk = 1
+ORDER BY user_id
+"""
+
+
+def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram — the binning shape every metrics dashboard
+    needs; one partial-agg exchange over bucket ids. Binning is plain
+    arithmetic (floor of a power-of-ten division, IEEE-identical
+    everywhere) rather than width_bucket, which DuckDB doesn't ship."""
+    o = _t(spark, sf_dir, "orders")
+    bucket = F.least(
+        F.lit(19).cast("long"),
+        F.floor(F.col("o_totalprice") / 25000.0).cast("long"),
+    )
+    return (
+        o.select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("bucket")
+    )
+
+
+Q_HISTOGRAM_SQL = """
+SELECT CAST(LEAST(19, FLOOR(o_totalprice / 25000.0)) AS BIGINT) AS bucket,
+       COUNT(*) AS n
+FROM orders
+GROUP BY 1 ORDER BY bucket
+"""
+
+
 def q_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     """VARIANT semi-structured path (Spark 4): parse the JSON props
     column ONCE into a variant and extract typed fields from the
@@ -763,6 +820,8 @@ SPECS = [
     QuerySpec("q_recursive_cte", q_recursive_cte, Q_RECURSIVE_SQL, "WITH RECURSIVE calendar series + gap-fill left join"),
     QuerySpec("q_variant_json", q_variant_json, Q_VARIANT_SQL, "VARIANT semi-structured: parse once, typed navigation"),
     QuerySpec("q_collation", q_collation, Q_COLLATION_SQL, "COLLATE UTF8_LCASE case-insensitive predicate"),
+    QuerySpec("q_upsert_latest", q_upsert_latest, Q_UPSERT_SQL, "CDC-style latest-state-per-key compaction (WindowGroupLimit)"),
+    QuerySpec("q_histogram", q_histogram, Q_HISTOGRAM_SQL, "equi-width histogram via width_bucket"),
     QuerySpec("q_set_ops_all", q_set_ops_all, Q_SET_OPS_ALL_SQL, "EXCEPT ALL / INTERSECT ALL multiset semantics"),
     QuerySpec("q_ilike", q_ilike, Q_ILIKE_SQL, "case-insensitive LIKE"),
 ]
