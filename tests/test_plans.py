@@ -235,3 +235,31 @@ def test_kmeans_assign_broadcasts_centroids(spark):
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
     # the corpus side must never shuffle on anything but the window key
     assert "SortMergeJoin" not in plan
+
+
+def test_funnel_reuses_user_exchange(spark):
+    """The three stage aggregations all key on user_id; at most a
+    handful of exchanges survive (reuse + the tiny stage-count union),
+    and nothing goes cartesian."""
+    from tailpipe_spark.queries.timeseries import q_funnel
+
+    plan = _plan(q_funnel(spark, "/root/testdata/sf0.001"))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_upsert_latest_uses_window_group_limit(spark):
+    """Non-latest rows must be pruned before the final window stage —
+    state-size, not history-size, output."""
+    from tailpipe_spark.queries.advanced import q_upsert_latest
+
+    plan = _plan(q_upsert_latest(spark, "/root/testdata/sf0.001"))
+    assert "WindowGroupLimit" in plan
+
+
+def test_trend_linear_single_agg_no_join(spark):
+    from tailpipe_spark.queries.timeseries import q_trend_linear
+
+    plan = _plan(q_trend_linear(spark, "/root/testdata/sf0.001"))
+    assert "Join" not in plan  # pure one-pass aggregation
+    assert plan.count("Exchange hashpartitioning") <= 1
