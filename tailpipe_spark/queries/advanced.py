@@ -399,6 +399,32 @@ ORDER BY n_name, c_custkey
 """
 
 
+def q_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (LISTAGG WITHIN GROUP, Spark 4 /
+    string_agg in DuckDB): nation names per region, deterministic
+    order — the report-building aggregate SQL surfaces lacked for
+    years."""
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    joined = n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    joined.createOrReplaceTempView("__sa_nr")
+    return spark.sql("""
+      SELECT r_name,
+             listagg(n_name, ',') WITHIN GROUP (ORDER BY n_name) AS nations,
+             COUNT(*) AS n_nations
+      FROM __sa_nr GROUP BY r_name ORDER BY r_name
+    """)
+
+
+Q_STRING_AGG_SQL = """
+SELECT r_name,
+       string_agg(n_name, ',' ORDER BY n_name) AS nations,
+       COUNT(*) AS n_nations
+FROM nation JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name ORDER BY r_name
+"""
+
+
 def q_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDC-style upsert compaction: reduce an event history to the
     latest state per key (window rank over (ts, event_id) — the
@@ -821,6 +847,7 @@ SPECS = [
     QuerySpec("q_variant_json", q_variant_json, Q_VARIANT_SQL, "VARIANT semi-structured: parse once, typed navigation"),
     QuerySpec("q_collation", q_collation, Q_COLLATION_SQL, "COLLATE UTF8_LCASE case-insensitive predicate"),
     QuerySpec("q_upsert_latest", q_upsert_latest, Q_UPSERT_SQL, "CDC-style latest-state-per-key compaction (WindowGroupLimit)"),
+    QuerySpec("q_string_agg", q_string_agg, Q_STRING_AGG_SQL, "LISTAGG WITHIN GROUP ordered string aggregation"),
     QuerySpec("q_histogram", q_histogram, Q_HISTOGRAM_SQL, "equi-width histogram via width_bucket"),
     QuerySpec("q_set_ops_all", q_set_ops_all, Q_SET_OPS_ALL_SQL, "EXCEPT ALL / INTERSECT ALL multiset semantics"),
     QuerySpec("q_ilike", q_ilike, Q_ILIKE_SQL, "case-insensitive LIKE"),
