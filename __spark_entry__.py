@@ -78,6 +78,7 @@ _VERIFY_FIRST = [
     "q_upsert_latest",  # new in r6: CDC latest-state compaction
     "q_histogram",  # new in r6: equi-width histogram
     "q_string_agg",  # new in r6: LISTAGG WITHIN GROUP
+    "q_stream_stream_join",  # new in r6: watermarked interval join
     "dedup_lsh_verified",  # new in r6: LSH->verify chain, oracle-checked
     "dedup_resolve",  # new in r6: components -> keep/drop decisions
     "q_stream_window_counts",  # new in r6: streaming==batch oracle proof

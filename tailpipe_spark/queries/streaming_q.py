@@ -222,6 +222,73 @@ ORDER BY event_type
 """
 
 
+def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join with event-time bounds: each click
+    joins the same user's purchases within the following hour. Both
+    sides are watermarked so the state store can evict rows once the
+    join window passes — THE capability that distinguishes streaming
+    joins from a static join (unbounded state otherwise). availableNow
+    drain == the equivalent batch time-range self-join, hash-checked."""
+    from tailpipe_spark.session import configure_runtime
+
+    configure_runtime(spark)
+    path = f"{sf_dir}/events.parquet"
+    schema = spark.read.parquet(path).schema
+    clicks = (
+        spark.readStream.schema(schema)
+        .parquet(_stream_dir(path))
+        .where(F.col("event_type") == "click")
+        .select(
+            F.col("user_id"), F.col("ts").alias("click_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+        .withWatermark("click_ts", "2 hours")
+    )
+    purchases = (
+        spark.readStream.schema(schema)
+        .parquet(_stream_dir(path))
+        .where(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id"), F.col("ts").alias("buy_ts"),
+            F.col("event_id").alias("buy_id"),
+        )
+        .withWatermark("buy_ts", "2 hours")
+    )
+    joined = clicks.join(
+        purchases,
+        (clicks.user_id == purchases.user_id)
+        & (purchases.buy_ts > clicks.click_ts)
+        & (purchases.buy_ts <= clicks.click_ts + F.expr("INTERVAL 1 HOUR")),
+    ).select(clicks.user_id, "click_id", "buy_id")
+    name = "q_stream_stream_join_sink"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(name)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_attributed"))
+        .orderBy("user_id")
+    )
+
+
+STREAM_STREAM_JOIN_SQL = """
+SELECT c.user_id, CAST(COUNT(*) AS BIGINT) AS n_attributed
+FROM (SELECT user_id, ts AS click_ts FROM events WHERE event_type = 'click') c
+JOIN (SELECT user_id, ts AS buy_ts FROM events WHERE event_type = 'purchase') p
+  ON c.user_id = p.user_id
+ AND p.buy_ts > c.click_ts
+ AND p.buy_ts <= c.click_ts + INTERVAL 1 HOUR
+GROUP BY c.user_id
+ORDER BY c.user_id
+"""
+
+
 def q_rollup_continuous(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Continuous-aggregate read path (streaming/rollup.py): hourly
     buckets materialized for history (< boundary) unioned with the same
@@ -281,5 +348,9 @@ SPECS = [
     QuerySpec(
         "q_stream_dedup", q_stream_dedup, STREAM_DEDUP_SQL,
         "streaming dropDuplicates == batch COUNT(DISTINCT)",
+    ),
+    QuerySpec(
+        "q_stream_stream_join", q_stream_stream_join, STREAM_STREAM_JOIN_SQL,
+        "watermarked stream-stream interval join == batch time-range self-join",
     ),
 ]
