@@ -328,10 +328,66 @@ ORDER BY bucket_start, event_type
 """
 
 
+def q_stream_budget_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom arbitrary-state operator (streaming/stateful.py
+    budget_alerts_stream): per-user budget-crossing alerts whose
+    emission depends on the whole history — summarized per user. With
+    strictly positive values, crossings-per-user equals
+    floor(total_milli / budget), which the oracle computes exactly from
+    the same fixed-point longs; max(cross_n) must equal the count
+    (monotone totals), so both are value-checked."""
+    from tailpipe_spark.session import configure_runtime
+    from tailpipe_spark.streaming.stateful import budget_alerts_stream
+
+    configure_runtime(spark)
+    path = f"{sf_dir}/events.parquet"
+    schema = spark.read.parquet(path).schema
+    src = spark.readStream.schema(schema).parquet(_stream_dir(path))
+    alerts = budget_alerts_stream(
+        src, "user_id", "value", "ts", budget_milli=1_000_000
+    )
+    name = "q_stream_budget_alerts_sink"
+    q = (
+        alerts.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(name)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_alerts"),
+            F.max("cross_n").alias("max_level"),
+        )
+        .orderBy("user_id")
+    )
+
+
+STREAM_BUDGET_SQL = """
+WITH totals AS (
+  SELECT user_id,
+         CAST(SUM(CAST(ROUND(value * 1000) AS BIGINT)) AS BIGINT) AS total_milli
+  FROM events GROUP BY user_id)
+SELECT user_id,
+       total_milli // 1000000 AS n_alerts,
+       total_milli // 1000000 AS max_level
+FROM totals
+WHERE total_milli // 1000000 >= 1
+ORDER BY user_id
+"""
+
+
 SPECS = [
     QuerySpec(
         "q_stream_window_counts", q_stream_window_counts, STREAM_WINDOW_SQL,
         "streaming hourly window counts (availableNow drain) == batch SQL",
+    ),
+    QuerySpec(
+        "q_stream_budget_alerts", q_stream_budget_alerts, STREAM_BUDGET_SQL,
+        "arbitrary-state budget-crossing alerts == exact fixed-point totals",
     ),
     QuerySpec(
         "q_rollup_continuous", q_rollup_continuous, ROLLUP_CONTINUOUS_SQL,
