@@ -399,6 +399,59 @@ ORDER BY n_name, c_custkey
 """
 
 
+def sec_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group z-score anomaly detection with EXACT portable math:
+    mean and variance derive from fixed-point integer sums (milli-unit
+    longs — sum and sum-of-squares are exact, so mean/var/σ are the
+    same doubles in any engine), then outliers are |v−mean| > 3σ. One
+    group aggregation broadcast back onto the stream of rows — no
+    window over the full event set."""
+    e = _t(spark, sf_dir, "events")
+    m = e.select(
+        "event_id", "event_type",
+        F.round(F.col("value") * 1000).cast("long").alias("v"),
+    )
+    stats = m.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("v").alias("s1"),
+        F.sum(F.col("v") * F.col("v")).alias("s2"),
+    )
+    mean = F.col("s1").cast("double") / F.col("n")
+    var = (
+        F.col("s2").cast("double") / F.col("n") - mean * mean
+    )
+    enriched = m.join(F.broadcast(stats), "event_type").withColumn(
+        "__sigma", F.sqrt(var)
+    )
+    out = enriched.where(
+        F.abs(F.col("v").cast("double") - mean) > 3.0 * F.col("__sigma")
+    )
+    return (
+        out.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_outliers"))
+        .orderBy("event_type")
+    )
+
+
+SEC_ZSCORE_SQL = """
+WITH m AS (
+  SELECT event_id, event_type, CAST(ROUND(value * 1000) AS BIGINT) AS v
+  FROM events),
+stats AS (
+  SELECT event_type, COUNT(*) AS n,
+         CAST(SUM(v) AS BIGINT) AS s1,
+         CAST(SUM(v * v) AS BIGINT) AS s2
+  FROM m GROUP BY event_type)
+SELECT m.event_type, CAST(COUNT(*) AS BIGINT) AS n_outliers
+FROM m JOIN stats ON m.event_type = stats.event_type
+WHERE ABS(CAST(v AS DOUBLE) - CAST(s1 AS DOUBLE) / n)
+      > 3.0 * SQRT(CAST(s2 AS DOUBLE) / n
+                   - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))
+GROUP BY m.event_type
+ORDER BY m.event_type
+"""
+
+
 def q_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered string aggregation (LISTAGG WITHIN GROUP, Spark 4 /
     string_agg in DuckDB): nation names per region, deterministic
@@ -837,6 +890,7 @@ SPECS = [
     QuerySpec("sec_ip_classify", sec_ip_classify, SEC_IP_SQL, "threat detection: IP parse/CIDR/private classification"),
     QuerySpec("sec_error_burst", sec_error_burst, SEC_BURST_SQL, "threat detection: sliding-window burst detector"),
     QuerySpec("sec_entropy_scan", sec_entropy_scan, SEC_ENTROPY_SQL, "threat detection: Shannon entropy scoring (quantized grid)"),
+    QuerySpec("sec_zscore_outliers", sec_zscore_outliers, SEC_ZSCORE_SQL, "threat detection: per-group z-score anomalies from exact integer sums"),
     QuerySpec("q_skew_two_phase_agg", q_skew_two_phase_agg, Q_SKEW_AGG_SQL, "salted two-phase agg == plain GROUP BY (skew operator equivalence)"),
     QuerySpec("q_percentiles", q_percentiles, Q_PERCENTILES_SQL, "exact interpolated percentiles / median per group (quantized grid)"),
     QuerySpec("q_pivot", q_pivot, Q_PIVOT_SQL, "pivot / wide CASE aggregation"),
