@@ -60,7 +60,7 @@ def q02_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     nat = _t(spark, sf_dir, "nation")
     reg = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
     part = _t(spark, sf_dir, "part").filter(
-        (F.col("p_size") == 15) & (F.col("p_type") == "LARGE")
+        (F.col("p_size").isin(5, 15, 25, 35)) & (F.col("p_type") == "LARGE")
     )
     europe_supp = (
         supp.join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
@@ -95,7 +95,8 @@ WITH offers AS (
          MIN(l_extendedprice / l_quantity)
            OVER (PARTITION BY l_partkey) AS min_price
   FROM lineitem
-  JOIN part ON l_partkey = p_partkey AND p_size = 15 AND p_type = 'LARGE'
+  JOIN part ON l_partkey = p_partkey AND p_size IN (5, 15, 25, 35)
+           AND p_type = 'LARGE'
   JOIN supplier ON l_suppkey = s_suppkey
   JOIN nation ON s_nationkey = n_nationkey
   JOIN region ON n_regionkey = r_regionkey AND r_name = 'EUROPE'
