@@ -81,6 +81,7 @@ _VERIFY_FIRST = [
     "q_stream_stream_join",  # new in r6: watermarked interval join
     "q_stream_budget_alerts",  # new in r6: arbitrary-state crossings
     "sec_zscore_outliers",  # new in r6: exact z-score anomalies
+    "q_null_semantics",  # new in r6: null-safe equality join
     "dedup_lsh_verified",  # new in r6: LSH->verify chain, oracle-checked
     "dedup_resolve",  # new in r6: components -> keep/drop decisions
     "q_stream_window_counts",  # new in r6: streaming==batch oracle proof

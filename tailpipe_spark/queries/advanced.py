@@ -399,6 +399,38 @@ ORDER BY n_name, c_custkey
 """
 
 
+def q_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-handling zoo: null-safe equality join (<=> / IS NOT
+    DISTINCT FROM — NULL keys MATCH each other, unlike '='), NULLIF
+    null injection, and NULLS FIRST ordering. Derived NULL keys
+    (every 7th customer) exercise the join on both populated and null
+    sides."""
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.nullif((F.col("c_custkey") % 7).cast("int"), F.lit(0)).alias("grp"),
+    )
+    s = _t(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        F.nullif((F.col("s_suppkey") % 7).cast("int"), F.lit(0)).alias("grp"),
+    )
+    joined = c.join(s, c.grp.eqNullSafe(s.grp))
+    return (
+        joined.groupBy(c.grp.alias("grp"))
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .orderBy(F.col("grp").asc_nulls_first())
+    )
+
+
+Q_NULL_SEMANTICS_SQL = """
+WITH c AS (SELECT NULLIF(c_custkey % 7, 0) AS grp FROM customer),
+s AS (SELECT NULLIF(s_suppkey % 7, 0) AS grp FROM supplier)
+SELECT CAST(c.grp AS INTEGER) AS grp, COUNT(*) AS n_pairs
+FROM c JOIN s ON c.grp IS NOT DISTINCT FROM s.grp
+GROUP BY c.grp
+ORDER BY grp NULLS FIRST
+"""
+
+
 def sec_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-group z-score anomaly detection with EXACT portable math:
     mean and variance derive from fixed-point integer sums (milli-unit
@@ -891,6 +923,7 @@ SPECS = [
     QuerySpec("sec_error_burst", sec_error_burst, SEC_BURST_SQL, "threat detection: sliding-window burst detector"),
     QuerySpec("sec_entropy_scan", sec_entropy_scan, SEC_ENTROPY_SQL, "threat detection: Shannon entropy scoring (quantized grid)"),
     QuerySpec("sec_zscore_outliers", sec_zscore_outliers, SEC_ZSCORE_SQL, "threat detection: per-group z-score anomalies from exact integer sums"),
+    QuerySpec("q_null_semantics", q_null_semantics, Q_NULL_SEMANTICS_SQL, "null-safe equality join + NULLIF + NULLS FIRST ordering"),
     QuerySpec("q_skew_two_phase_agg", q_skew_two_phase_agg, Q_SKEW_AGG_SQL, "salted two-phase agg == plain GROUP BY (skew operator equivalence)"),
     QuerySpec("q_percentiles", q_percentiles, Q_PERCENTILES_SQL, "exact interpolated percentiles / median per group (quantized grid)"),
     QuerySpec("q_pivot", q_pivot, Q_PIVOT_SQL, "pivot / wide CASE aggregation"),
