@@ -399,6 +399,47 @@ ORDER BY n_name, c_custkey
 """
 
 
+def q_window_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The rank-family window zoo not covered by q_window_functions:
+    ntile / percent_rank / first+nth_value over a TOTAL order (ties
+    would make ntile nondeterministic), dense_rank / cume_dist over a
+    tie-heavy bucket order (both are tie-aware, so deterministic)."""
+    c = _t(spark, sf_dir, "customer")
+    w_total = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").asc(), F.col("c_custkey").asc()
+    )
+    w_bucket = Window.partitionBy("c_mktsegment").orderBy(
+        F.floor(F.col("c_acctbal") / 1000.0).asc()
+    )
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.ntile(4).over(w_total).alias("quartile"),
+        F.percent_rank().over(w_total).alias("pct_rank"),
+        F.first_value(F.col("c_custkey")).over(w_total).alias("poorest"),
+        F.nth_value(F.col("c_custkey"), 3).over(w_total).alias("third"),
+        F.dense_rank().over(w_bucket).alias("bucket_rank"),
+        F.cume_dist().over(w_bucket).alias("cume"),
+    ).orderBy("c_custkey")
+
+
+Q_WINDOW_RANKS_SQL = """
+SELECT c_custkey, c_mktsegment,
+       NTILE(4) OVER w_total AS quartile,
+       PERCENT_RANK() OVER w_total AS pct_rank,
+       FIRST_VALUE(c_custkey) OVER w_total AS poorest,
+       NTH_VALUE(c_custkey, 3) OVER w_total AS third,
+       DENSE_RANK() OVER w_bucket AS bucket_rank,
+       CUME_DIST() OVER w_bucket AS cume
+FROM customer
+WINDOW w_total AS (PARTITION BY c_mktsegment
+                   ORDER BY c_acctbal ASC, c_custkey ASC),
+       w_bucket AS (PARTITION BY c_mktsegment
+                    ORDER BY FLOOR(c_acctbal / 1000.0) ASC)
+ORDER BY c_custkey
+"""
+
+
 def q_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NULL-handling zoo: null-safe equality join (<=> / IS NOT
     DISTINCT FROM — NULL keys MATCH each other, unlike '='), NULLIF
@@ -924,6 +965,7 @@ SPECS = [
     QuerySpec("sec_entropy_scan", sec_entropy_scan, SEC_ENTROPY_SQL, "threat detection: Shannon entropy scoring (quantized grid)"),
     QuerySpec("sec_zscore_outliers", sec_zscore_outliers, SEC_ZSCORE_SQL, "threat detection: per-group z-score anomalies from exact integer sums"),
     QuerySpec("q_null_semantics", q_null_semantics, Q_NULL_SEMANTICS_SQL, "null-safe equality join + NULLIF + NULLS FIRST ordering"),
+    QuerySpec("q_window_ranks", q_window_ranks, Q_WINDOW_RANKS_SQL, "ntile/percent_rank/dense_rank/cume_dist/first+nth_value window zoo"),
     QuerySpec("q_skew_two_phase_agg", q_skew_two_phase_agg, Q_SKEW_AGG_SQL, "salted two-phase agg == plain GROUP BY (skew operator equivalence)"),
     QuerySpec("q_percentiles", q_percentiles, Q_PERCENTILES_SQL, "exact interpolated percentiles / median per group (quantized grid)"),
     QuerySpec("q_pivot", q_pivot, Q_PIVOT_SQL, "pivot / wide CASE aggregation"),
