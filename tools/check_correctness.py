@@ -78,8 +78,13 @@ def _duck_rows(con, sql):
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    json_out = next(
+        (a.split("=", 1)[1] for a in sys.argv[1:] if a.startswith("--json=")), None
+    )
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
+    results: dict[str, dict] = {}
 
     spark = build_session("correctness-check")
     con = duckdb.connect()
@@ -101,25 +106,32 @@ def main() -> int:
             scols = sdf.columns
         except Exception as e:  # noqa: BLE001
             failures.append(name)
+            results[name] = {"status": "fail", "err": f"spark: {e}"[:200]}
             print(f"FAIL {name}: spark error: {e}")
             continue
         if name not in oracles:
+            results[name] = {"status": "rows_only", "rows": len(srows)}
             print(f"ok   {name}: rows-only ({len(srows)} rows, {time.time()-t0:.1f}s)")
             continue
         try:
             orows, ocols = _duck_rows(con, oracles[name])
         except Exception as e:  # noqa: BLE001
             failures.append(name)
+            results[name] = {"status": "fail", "err": f"duckdb: {e}"[:200]}
             print(f"FAIL {name}: duckdb error: {e}")
             continue
         sc, sv = _normalize([tuple(r) for r in srows], scols)
         oc, ov = _normalize(orows, ocols)
         if len(sv) != len(ov):
             failures.append(name)
+            results[name] = {
+                "status": "fail", "err": f"rowcount {len(sv)} vs {len(ov)}"
+            }
             print(f"FAIL {name}: rowcount spark={len(sv)} duckdb={len(ov)}")
             continue
         if sc != oc:
             failures.append(name)
+            results[name] = {"status": "fail", "err": "column mismatch"}
             print(f"FAIL {name}: columns spark={sc} duckdb={oc}")
             continue
         bad = None
@@ -129,14 +141,34 @@ def main() -> int:
                 break
         if bad:
             failures.append(name)
+            results[name] = {"status": "fail", "err": f"value diff at row {bad[0]}"}
             print(f"FAIL {name}: first diff at sorted row {bad[0]}")
             print(f"  cols : {sc}")
             print(f"  spark: {bad[1]}")
             print(f"  duck : {bad[2]}")
         else:
+            results[name] = {"status": "hash_match", "rows": len(sv)}
             print(f"ok   {name}: {len(sv)} rows match ({time.time()-t0:.1f}s)")
 
     print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
+    if json_out:
+        import json as _json
+
+        summary = {
+            "sf_dir": sf_dir,
+            "entries": len(results),
+            "hash_match": sum(
+                1 for r in results.values() if r["status"] == "hash_match"
+            ),
+            "rows_only": sum(
+                1 for r in results.values() if r["status"] == "rows_only"
+            ),
+            "failures": len(failures),
+            "results": results,
+        }
+        with open(json_out, "w") as f:
+            _json.dump(summary, f, indent=1, sort_keys=True)
+        print(f"wrote {json_out}")
     return 1 if failures else 0
 
 
