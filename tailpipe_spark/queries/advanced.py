@@ -399,6 +399,47 @@ ORDER BY n_name, c_custkey
 """
 
 
+def q_try_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-safe expression semantics under ANSI mode: TRY_CAST turns
+    malformed input into NULL instead of failing the job, try_divide
+    absorbs division by zero — the contract that keeps a 100 TB scan
+    alive when one row is garbage. Mixed-validity strings are derived
+    from customer rows so both engines see identical inputs."""
+    c = _t(spark, sf_dir, "customer")
+    mixed = F.when(
+        F.col("c_custkey") % 3 == 0, F.concat(F.lit("x"), F.col("c_name"))
+    ).otherwise((F.col("c_custkey") % 100).cast("string"))
+    denom = (F.col("c_custkey") % 5).cast("double")
+    return (
+        c.select(
+            mixed.try_cast("int").alias("as_int"),
+            F.try_divide(F.col("c_acctbal"), denom).alias("ratio"),
+        )
+        .agg(
+            F.count("as_int").alias("n_parsed"),
+            F.count(F.when(F.col("as_int").isNull(), 1)).alias("n_unparsable"),
+            F.count("ratio").alias("n_divided"),
+            F.count(F.when(F.col("ratio").isNull(), 1)).alias("n_div_by_zero"),
+        )
+    )
+
+
+Q_TRY_SQL = """
+WITH m AS (
+  SELECT TRY_CAST(CASE WHEN c_custkey % 3 = 0 THEN 'x' || c_name
+                       ELSE CAST(c_custkey % 100 AS VARCHAR) END AS INTEGER)
+           AS as_int,
+         CASE WHEN (c_custkey % 5) = 0 THEN NULL
+              ELSE c_acctbal / (c_custkey % 5) END AS ratio
+  FROM customer)
+SELECT CAST(COUNT(as_int) AS BIGINT) AS n_parsed,
+       CAST(COUNT(CASE WHEN as_int IS NULL THEN 1 END) AS BIGINT) AS n_unparsable,
+       CAST(COUNT(ratio) AS BIGINT) AS n_divided,
+       CAST(COUNT(CASE WHEN ratio IS NULL THEN 1 END) AS BIGINT) AS n_div_by_zero
+FROM m
+"""
+
+
 def q_window_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The rank-family window zoo not covered by q_window_functions:
     ntile / percent_rank / first+nth_value over a TOTAL order (ties
@@ -966,6 +1007,7 @@ SPECS = [
     QuerySpec("sec_zscore_outliers", sec_zscore_outliers, SEC_ZSCORE_SQL, "threat detection: per-group z-score anomalies from exact integer sums"),
     QuerySpec("q_null_semantics", q_null_semantics, Q_NULL_SEMANTICS_SQL, "null-safe equality join + NULLIF + NULLS FIRST ordering"),
     QuerySpec("q_window_ranks", q_window_ranks, Q_WINDOW_RANKS_SQL, "ntile/percent_rank/dense_rank/cume_dist/first+nth_value window zoo"),
+    QuerySpec("q_try_semantics", q_try_semantics, Q_TRY_SQL, "TRY_CAST / try_divide error-safe semantics under ANSI mode"),
     QuerySpec("q_skew_two_phase_agg", q_skew_two_phase_agg, Q_SKEW_AGG_SQL, "salted two-phase agg == plain GROUP BY (skew operator equivalence)"),
     QuerySpec("q_percentiles", q_percentiles, Q_PERCENTILES_SQL, "exact interpolated percentiles / median per group (quantized grid)"),
     QuerySpec("q_pivot", q_pivot, Q_PIVOT_SQL, "pivot / wide CASE aggregation"),
