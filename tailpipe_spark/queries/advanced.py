@@ -399,6 +399,61 @@ ORDER BY n_name, c_custkey
 """
 
 
+def q_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-algebra zoo beyond explode: set ops (intersect/except/
+    union-distinct via concat+distinct), sort, slice, position,
+    contains, zip_with — all row-local (zero shuffle until the final
+    tiny agg). Token arrays derived from document text give each doc a
+    pair of overlapping arrays to exercise the set semantics."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.slice(F.split(F.lower(F.col("text")), " "), 1, 8)
+    rev = F.reverse(toks)
+    a = d.select(
+        "doc_id",
+        F.array_distinct(toks).alias("a"),
+        F.array_distinct(F.slice(rev, 1, 5)).alias("b"),
+    )
+    return (
+        a.select(
+            "doc_id",
+            F.size(F.array_intersect("a", "b")).alias("n_inter"),
+            F.size(F.array_except("a", "b")).alias("n_only_a"),
+            F.size(F.array_distinct(F.concat("a", "b"))).alias("n_union"),
+            F.element_at(F.array_sort("a"), 1).alias("first_sorted"),
+            # position probes run on SORTED arrays: Spark's
+            # array_distinct preserves first-occurrence order but
+            # DuckDB's list_distinct does not, so only the sorted view
+            # is portable
+            F.array_position(
+                F.array_sort("a"), F.element_at(F.array_sort("b"), 1)
+            ).alias("pos_b1"),
+            F.array_contains("a", "the").alias("has_the"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+Q_ARRAY_FUNCS_SQL = """
+WITH base AS (
+  SELECT doc_id,
+         list_distinct(t[1:8]) AS a,
+         list_distinct(list_reverse(t[1:8])[1:5]) AS b
+  FROM (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents)),
+m AS (
+  SELECT doc_id,
+         CAST(len(list_intersect(a, b)) AS INTEGER) AS n_inter,
+         CAST(len(list_filter(a, x -> NOT list_contains(b, x))) AS INTEGER)
+           AS n_only_a,
+         CAST(len(list_distinct(list_concat(a, b))) AS INTEGER) AS n_union,
+         list_sort(a)[1] AS first_sorted,
+         CAST(COALESCE(list_position(list_sort(a), list_sort(b)[1]), 0) AS BIGINT)
+           AS pos_b1,
+         list_contains(a, 'the') AS has_the
+  FROM base)
+SELECT * FROM m ORDER BY doc_id
+"""
+
+
 def q_try_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Error-safe expression semantics under ANSI mode: TRY_CAST turns
     malformed input into NULL instead of failing the job, try_divide
@@ -1008,6 +1063,7 @@ SPECS = [
     QuerySpec("q_null_semantics", q_null_semantics, Q_NULL_SEMANTICS_SQL, "null-safe equality join + NULLIF + NULLS FIRST ordering"),
     QuerySpec("q_window_ranks", q_window_ranks, Q_WINDOW_RANKS_SQL, "ntile/percent_rank/dense_rank/cume_dist/first+nth_value window zoo"),
     QuerySpec("q_try_semantics", q_try_semantics, Q_TRY_SQL, "TRY_CAST / try_divide error-safe semantics under ANSI mode"),
+    QuerySpec("q_array_functions", q_array_functions, Q_ARRAY_FUNCS_SQL, "array algebra zoo: set ops, sort, slice, position, contains"),
     QuerySpec("q_skew_two_phase_agg", q_skew_two_phase_agg, Q_SKEW_AGG_SQL, "salted two-phase agg == plain GROUP BY (skew operator equivalence)"),
     QuerySpec("q_percentiles", q_percentiles, Q_PERCENTILES_SQL, "exact interpolated percentiles / median per group (quantized grid)"),
     QuerySpec("q_pivot", q_pivot, Q_PIVOT_SQL, "pivot / wide CASE aggregation"),
