@@ -399,6 +399,45 @@ ORDER BY n_name, c_custkey
 """
 
 
+def q_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-type zoo: per-doc token-count maps built row-locally
+    (map_from_entries over transform/filter), probed via scalar lookups
+    (element_at / cardinality / value-max) — scalars keep the compare
+    portable since map key ORDER is engine-specific."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.slice(F.split(F.lower(F.col("text")), " "), 1, 8)
+    base = d.select("doc_id", toks.alias("t8"))
+    entries = F.expr(
+        "transform(array_distinct(t8), "
+        "u -> struct(u AS key, size(filter(t8, x -> x = u)) AS value))"
+    )
+    m = base.withColumn("m", F.map_from_entries(entries))
+    return m.select(
+        "doc_id",
+        F.size("m").alias("n_keys"),
+        F.coalesce(F.element_at("m", F.lit("the")), F.lit(0)).alias("the_cnt"),
+        F.array_max(F.map_values("m")).alias("max_cnt"),
+    ).orderBy("doc_id")
+
+
+Q_MAP_FUNCS_SQL = """
+WITH base AS (
+  SELECT doc_id, (string_split(lower(text), ' '))[1:8] AS t8 FROM documents),
+m AS (
+  SELECT doc_id,
+         map_from_entries(list_transform(list_distinct(t8),
+           u -> {'k': u,
+                 'v': CAST(len(list_filter(t8, x -> x = u)) AS INTEGER)}))
+           AS mp
+  FROM base)
+SELECT doc_id,
+       CAST(cardinality(mp) AS INTEGER) AS n_keys,
+       COALESCE(map_extract(mp, 'the')[1], 0) AS the_cnt,
+       list_max(map_values(mp)) AS max_cnt
+FROM m ORDER BY doc_id
+"""
+
+
 def q_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array-algebra zoo beyond explode: set ops (intersect/except/
     union-distinct via concat+distinct), sort, slice, position,
@@ -1064,6 +1103,7 @@ SPECS = [
     QuerySpec("q_window_ranks", q_window_ranks, Q_WINDOW_RANKS_SQL, "ntile/percent_rank/dense_rank/cume_dist/first+nth_value window zoo"),
     QuerySpec("q_try_semantics", q_try_semantics, Q_TRY_SQL, "TRY_CAST / try_divide error-safe semantics under ANSI mode"),
     QuerySpec("q_array_functions", q_array_functions, Q_ARRAY_FUNCS_SQL, "array algebra zoo: set ops, sort, slice, position, contains"),
+    QuerySpec("q_map_functions", q_map_functions, Q_MAP_FUNCS_SQL, "map-type zoo: row-local map build + scalar lookups"),
     QuerySpec("q_skew_two_phase_agg", q_skew_two_phase_agg, Q_SKEW_AGG_SQL, "salted two-phase agg == plain GROUP BY (skew operator equivalence)"),
     QuerySpec("q_percentiles", q_percentiles, Q_PERCENTILES_SQL, "exact interpolated percentiles / median per group (quantized grid)"),
     QuerySpec("q_pivot", q_pivot, Q_PIVOT_SQL, "pivot / wide CASE aggregation"),
