@@ -399,6 +399,45 @@ ORDER BY n_name, c_custkey
 """
 
 
+def q_argmax_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arg-max aggregation (max_by/min_by == DuckDB arg_max/arg_min):
+    per market segment, WHICH customer holds the extreme balance — the
+    select-the-witness aggregate that otherwise costs a window + filter
+    pass. Ties broken deterministically by encoding (balance, key) into
+    one sortable long (DuckDB's arg_max rejects struct keys): balances
+    carry 2 decimals, so round(bal*100)*10^7 + key orders exactly like
+    the pair while keys stay under 10^7."""
+    c = _t(spark, sf_dir, "customer")
+    enc = (
+        F.round(F.col("c_acctbal") * 100).cast("long") * 10_000_000
+        + F.col("c_custkey")
+    )
+    return (
+        c.groupBy("c_mktsegment")
+        .agg(
+            F.max_by("c_custkey", enc).alias("richest"),
+            F.min_by("c_custkey", enc).alias("poorest"),
+            F.max("c_acctbal").alias("max_bal"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+Q_ARGMAX_SQL = """
+SELECT c_mktsegment,
+       arg_max(c_custkey,
+               CAST(ROUND(c_acctbal * 100) AS BIGINT) * 10000000 + c_custkey)
+         AS richest,
+       arg_min(c_custkey,
+               CAST(ROUND(c_acctbal * 100) AS BIGINT) * 10000000 + c_custkey)
+         AS poorest,
+       MAX(c_acctbal) AS max_bal
+FROM customer
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
 def q_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Map-type zoo: per-doc token-count maps built row-locally
     (map_from_entries over transform/filter), probed via scalar lookups
@@ -1104,6 +1143,7 @@ SPECS = [
     QuerySpec("q_try_semantics", q_try_semantics, Q_TRY_SQL, "TRY_CAST / try_divide error-safe semantics under ANSI mode"),
     QuerySpec("q_array_functions", q_array_functions, Q_ARRAY_FUNCS_SQL, "array algebra zoo: set ops, sort, slice, position, contains"),
     QuerySpec("q_map_functions", q_map_functions, Q_MAP_FUNCS_SQL, "map-type zoo: row-local map build + scalar lookups"),
+    QuerySpec("q_argmax_agg", q_argmax_agg, Q_ARGMAX_SQL, "arg-max aggregation (max_by/min_by) with deterministic tiebreak"),
     QuerySpec("q_skew_two_phase_agg", q_skew_two_phase_agg, Q_SKEW_AGG_SQL, "salted two-phase agg == plain GROUP BY (skew operator equivalence)"),
     QuerySpec("q_percentiles", q_percentiles, Q_PERCENTILES_SQL, "exact interpolated percentiles / median per group (quantized grid)"),
     QuerySpec("q_pivot", q_pivot, Q_PIVOT_SQL, "pivot / wide CASE aggregation"),
