@@ -399,6 +399,50 @@ ORDER BY n_name, c_custkey
 """
 
 
+def q_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING()/GROUPING_ID semantics over CUBE: distinguishes a NULL
+    that came from the DATA from a NULL synthesized by the rollup — the
+    corner every report-over-cube query eventually hits. Events carry
+    no null event_type, so one is injected (every 7th event) to make
+    the distinction observable."""
+    e = _t(spark, sf_dir, "events")
+    typed = e.select(
+        F.when(F.col("event_id") % 7 == 0, None)
+        .otherwise(F.col("event_type"))
+        .alias("et"),
+        (F.col("user_id") % 3).alias("ub"),
+    )
+    return (
+        typed.cube("et", "ub")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.grouping("et").cast("int").alias("g_et"),
+            F.grouping("ub").cast("int").alias("g_ub"),
+            F.grouping_id().cast("int").alias("gid"),
+        )
+        .orderBy(
+            F.col("gid"),
+            F.col("et").asc_nulls_first(),
+            F.col("ub").asc_nulls_first(),
+        )
+    )
+
+
+Q_GROUPING_ID_SQL = """
+WITH typed AS (
+  SELECT CASE WHEN event_id % 7 = 0 THEN NULL ELSE event_type END AS et,
+         user_id % 3 AS ub
+  FROM events)
+SELECT et, ub, COUNT(*) AS n,
+       CAST(GROUPING(et) AS INTEGER) AS g_et,
+       CAST(GROUPING(ub) AS INTEGER) AS g_ub,
+       CAST(GROUPING(et, ub) AS INTEGER) AS gid
+FROM typed
+GROUP BY CUBE (et, ub)
+ORDER BY gid, et NULLS FIRST, ub NULLS FIRST
+"""
+
+
 def q_argmax_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arg-max aggregation (max_by/min_by == DuckDB arg_max/arg_min):
     per market segment, WHICH customer holds the extreme balance — the
@@ -1144,6 +1188,7 @@ SPECS = [
     QuerySpec("q_array_functions", q_array_functions, Q_ARRAY_FUNCS_SQL, "array algebra zoo: set ops, sort, slice, position, contains"),
     QuerySpec("q_map_functions", q_map_functions, Q_MAP_FUNCS_SQL, "map-type zoo: row-local map build + scalar lookups"),
     QuerySpec("q_argmax_agg", q_argmax_agg, Q_ARGMAX_SQL, "arg-max aggregation (max_by/min_by) with deterministic tiebreak"),
+    QuerySpec("q_grouping_id", q_grouping_id, Q_GROUPING_ID_SQL, "GROUPING()/GROUPING_ID over CUBE with data-vs-rollup NULLs"),
     QuerySpec("q_skew_two_phase_agg", q_skew_two_phase_agg, Q_SKEW_AGG_SQL, "salted two-phase agg == plain GROUP BY (skew operator equivalence)"),
     QuerySpec("q_percentiles", q_percentiles, Q_PERCENTILES_SQL, "exact interpolated percentiles / median per group (quantized grid)"),
     QuerySpec("q_pivot", q_pivot, Q_PIVOT_SQL, "pivot / wide CASE aggregation"),
