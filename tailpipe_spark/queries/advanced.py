@@ -399,6 +399,33 @@ ORDER BY n_name, c_custkey
 """
 
 
+def q_bool_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean/conditional aggregates: bool_and / bool_or / count_if —
+    the predicate-summary class (ALL rows satisfy / ANY row satisfies /
+    how many satisfy) every data-quality report uses."""
+    c = _t(spark, sf_dir, "customer")
+    return (
+        c.groupBy("c_mktsegment")
+        .agg(
+            F.bool_and(F.col("c_acctbal") > -1000).alias("all_above_floor"),
+            F.bool_or(F.col("c_acctbal") < 0).alias("any_negative"),
+            F.count_if(F.col("c_acctbal") > 9000).alias("n_rich"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+Q_BOOL_AGGS_SQL = """
+SELECT c_mktsegment,
+       bool_and(c_acctbal > -1000) AS all_above_floor,
+       bool_or(c_acctbal < 0) AS any_negative,
+       CAST(COUNT(CASE WHEN c_acctbal > 9000 THEN 1 END) AS BIGINT) AS n_rich
+FROM customer
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
 def q_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GROUPING()/GROUPING_ID semantics over CUBE: distinguishes a NULL
     that came from the DATA from a NULL synthesized by the rollup — the
@@ -1189,6 +1216,7 @@ SPECS = [
     QuerySpec("q_map_functions", q_map_functions, Q_MAP_FUNCS_SQL, "map-type zoo: row-local map build + scalar lookups"),
     QuerySpec("q_argmax_agg", q_argmax_agg, Q_ARGMAX_SQL, "arg-max aggregation (max_by/min_by) with deterministic tiebreak"),
     QuerySpec("q_grouping_id", q_grouping_id, Q_GROUPING_ID_SQL, "GROUPING()/GROUPING_ID over CUBE with data-vs-rollup NULLs"),
+    QuerySpec("q_bool_aggs", q_bool_aggs, Q_BOOL_AGGS_SQL, "bool_and / bool_or / count_if predicate-summary aggregates"),
     QuerySpec("q_skew_two_phase_agg", q_skew_two_phase_agg, Q_SKEW_AGG_SQL, "salted two-phase agg == plain GROUP BY (skew operator equivalence)"),
     QuerySpec("q_percentiles", q_percentiles, Q_PERCENTILES_SQL, "exact interpolated percentiles / median per group (quantized grid)"),
     QuerySpec("q_pivot", q_pivot, Q_PIVOT_SQL, "pivot / wide CASE aggregation"),
