@@ -89,6 +89,7 @@ _VERIFY_FIRST = [
     "q_argmax_agg",  # new in r6: max_by/min_by arg-max aggregation
     "q_grouping_id",  # new in r6: GROUPING()/GROUPING_ID over CUBE
     "q_bool_aggs",  # new in r6: bool_and/bool_or/count_if
+    "q_bitwise",  # new in r6: bitwise aggregates + shifts
     "dedup_lsh_verified",  # new in r6: LSH->verify chain, oracle-checked
     "dedup_resolve",  # new in r6: components -> keep/drop decisions
     "q_stream_window_counts",  # new in r6: streaming==batch oracle proof

@@ -399,6 +399,54 @@ ORDER BY n_name, c_custkey
 """
 
 
+def q_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise surface: bit_and / bit_or / bit_xor aggregates plus
+    scalar shifts and bit_count — flag-mask analytics (permission
+    fields, feature bitmaps) in one pass."""
+    e = _t(spark, sf_dir, "events")
+    flags = (F.col("event_id") % 256).cast("long")
+    base = e.select(
+        "event_type",
+        flags.alias("flags"),
+        F.bit_count(flags).alias("n_bits"),
+        F.shiftleft(flags, 2).alias("shl2"),
+        F.shiftright(flags, 3).alias("shr3"),
+    )
+    return (
+        base.groupBy("event_type")
+        .agg(
+            F.bit_and("flags").alias("mask_and"),
+            F.bit_or("flags").alias("mask_or"),
+            F.bit_xor("flags").alias("mask_xor"),
+            F.sum("n_bits").alias("total_bits"),
+            F.max("shl2").alias("max_shl2"),
+            F.min("shr3").alias("min_shr3"),
+        )
+        .orderBy("event_type")
+    )
+
+
+Q_BITWISE_SQL = """
+WITH base AS (
+  SELECT event_type,
+         CAST(event_id % 256 AS BIGINT) AS flags,
+         bit_count(CAST(event_id % 256 AS BIGINT)) AS n_bits,
+         CAST(event_id % 256 AS BIGINT) << 2 AS shl2,
+         CAST(event_id % 256 AS BIGINT) >> 3 AS shr3
+  FROM events)
+SELECT event_type,
+       bit_and(flags) AS mask_and,
+       bit_or(flags) AS mask_or,
+       bit_xor(flags) AS mask_xor,
+       CAST(SUM(n_bits) AS BIGINT) AS total_bits,
+       MAX(shl2) AS max_shl2,
+       MIN(shr3) AS min_shr3
+FROM base
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 def q_bool_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Boolean/conditional aggregates: bool_and / bool_or / count_if —
     the predicate-summary class (ALL rows satisfy / ANY row satisfies /
@@ -1217,6 +1265,7 @@ SPECS = [
     QuerySpec("q_argmax_agg", q_argmax_agg, Q_ARGMAX_SQL, "arg-max aggregation (max_by/min_by) with deterministic tiebreak"),
     QuerySpec("q_grouping_id", q_grouping_id, Q_GROUPING_ID_SQL, "GROUPING()/GROUPING_ID over CUBE with data-vs-rollup NULLs"),
     QuerySpec("q_bool_aggs", q_bool_aggs, Q_BOOL_AGGS_SQL, "bool_and / bool_or / count_if predicate-summary aggregates"),
+    QuerySpec("q_bitwise", q_bitwise, Q_BITWISE_SQL, "bit_and/or/xor aggregates + shifts + bit_count"),
     QuerySpec("q_skew_two_phase_agg", q_skew_two_phase_agg, Q_SKEW_AGG_SQL, "salted two-phase agg == plain GROUP BY (skew operator equivalence)"),
     QuerySpec("q_percentiles", q_percentiles, Q_PERCENTILES_SQL, "exact interpolated percentiles / median per group (quantized grid)"),
     QuerySpec("q_pivot", q_pivot, Q_PIVOT_SQL, "pivot / wide CASE aggregation"),
