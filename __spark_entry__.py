@@ -22,14 +22,70 @@ from tailpipe_spark.queries import build_registry
 # NOT in the product registry, whose order stays stable for real
 # consumers) puts the entries the driver has not yet hash-verified this
 # cycle at the front so every query gets the hard signal across rounds.
-# Round 6: never-driver-verified entries first — the 19 adapted TPC-H
-# queries (queries/tpch.py, new this round; each already hash-green in
-# the local tools/check_correctness.py replica at sf0.01) and the other
-# r6 additions — then the two whose plan changed in d873dcf without a
-# same-round oracle re-check, then the entries the r5 sample skipped.
-# Rule (adopted per r5 verdict): any entry whose plan code changes goes
-# to the front of this list the same round.
+# Round 7 (the r6 verdict's explicit ask): positions 1-12 are exactly
+# the 12 oracle-bearing entries that have NEVER received the driver's
+# hash signal in any CORRECTNESS_rN (registry growth outpaced the
+# 50-entry sample); after this round every oracle entry has had the
+# hard signal at least once. Positions 13-20 are the rows-only /
+# early-round entries that likewise never appeared in r1-r6 artifacts.
+# Then: entries whose plan code changed in r7 (adopted rule: any
+# changed plan goes to the front the same round), then the
+# oldest-verified entries (r4 cohort) to refresh their signal.
 _VERIFY_FIRST = [
+    # --- the 12 never-driver-verified oracle entries (r6 verdict #1) ---
+    "dedup_lsh_verified",
+    "dedup_resolve",
+    "q_argmax_agg",
+    "q_array_functions",
+    "q_bitwise",
+    "q_bool_aggs",
+    "q_grouping_id",
+    "q_map_functions",
+    "q_stream_sessionize",
+    "q_stream_window_counts",
+    "q_try_semantics",
+    "text_tfidf_topterms",
+    # --- remaining entries with no r1-r6 driver appearance at all ---
+    "q01_fast",
+    "dedup_minhash_fast",
+    "sim_lsh_topk",
+    "sim_ivf_topk",
+    "q_approx_distinct",  # rows-only by design
+    "q_ewma_last",  # rows-only (oracle conversion planned this round)
+    "q_sketch_rollup",  # rows-only by design
+    "dedup_simhash",  # rows-only by design
+    # --- r7 plan-code changes (sampling clamp, rollup update-mode) ---
+    "data_sample_fraction",
+    "data_split_counts",
+    "data_stratified_sample",
+    "data_mixture_rates",
+    "pipeline_quality_dedup_split",
+    "q_rollup_continuous",
+    "q_stream_budget_alerts",
+    # --- oldest driver signal (r4 cohort) ---
+    "q_asof_join",
+    "text_language_id",
+    "text_quality",
+    "text_token_stats",
+    "text_doc_tokens",
+    "text_fingerprint",
+    "sim_cosine_topk",
+    "dedup_embedding_cosine",
+    "emb_norm_stats",
+    "q_array_explode",
+    "q_window_frames",
+    "text_pii_redact",
+    "text_bpe_tokens",
+    "text_chunk",
+    "text_pack",
+    "emb_kmeans_assign",
+    "text_repetition",
+    "text_url_domains",
+    "text_decontaminate",
+    "dedup_components",
+]
+
+_VERIFY_FIRST_R6 = [
     # the r5 verdict's explicit ask — plan changed in d873dcf (and again
     # in the r6 expr-string rework): pinned first so the ~50-entry
     # sample always covers them no matter how many new entries land

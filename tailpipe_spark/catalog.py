@@ -298,8 +298,18 @@ class Catalog:
         Conservative by construction: files without stats for a tested
         column and files containing null timestamps are always kept
         (the query layer's lower bound keeps NULL rows, query_cli.py)."""
-        from datetime import datetime
+        from datetime import datetime, timezone
 
+        def _naive_utc(t):
+            # Index timestamps are naive UTC; relative CLI bounds
+            # (``T-7d``) arrive tz-aware — normalize or the < compare
+            # raises TypeError (r6 ADVICE).
+            if t is not None and t.tzinfo is not None:
+                t = t.astimezone(timezone.utc).replace(tzinfo=None)
+            return t
+
+        time_from = _naive_utc(time_from)
+        time_to = _naive_utc(time_to)
         entry = self._load()["tables"].get(table, {})
         index = entry.get("file_index")
         if index is None:

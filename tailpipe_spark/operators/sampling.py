@@ -52,7 +52,10 @@ def split_boundaries(weights: dict[str, float]) -> list[tuple[str, str]]:
     names = list(weights)
     for name in names[:-1]:
         acc += weights[name] / total
-        out.append((name, _hex4(int(acc * _SPACE))))
+        # clamp: a cumulative weight reaching 1.0 would format as
+        # 5-char '10000', which string-compares BELOW 4-char hex
+        n = min(int(acc * _SPACE), _SPACE - 1)
+        out.append((name, _hex4(n)))
     out.append((names[-1], _hex4(_SPACE - 1) + "g"))  # > any hex char
     return out
 
@@ -89,9 +92,12 @@ def sample_fraction(
     Unlike ``df.sample``, membership is a pure function of the id, so
     it is reproducible across runs, partitionings, and engines.
     """
-    return df.filter(
-        _bucket_hex(F.col(id_col), salt) < _hex4(int(fraction * _SPACE))
-    )
+    n = int(fraction * _SPACE)
+    if n >= _SPACE:
+        # fraction >= 1.0: format(65536,'04x') is 5 chars and string-
+        # compares BELOW most 4-char buckets (r6 ADVICE) — keep all.
+        return df
+    return df.filter(_bucket_hex(F.col(id_col), salt) < _hex4(n))
 
 
 def stratified_sample(

@@ -60,7 +60,11 @@ def _orderable(df: DataFrame, name: str) -> Column:
     col = F.col(name)
     if dtype.startswith("timestamp"):
         return col.cast("long")
-    if dtype in ("tinyint", "smallint", "int", "bigint", "float", "double", "date"):
+    if dtype == "date":
+        # CAST(DATE AS BIGINT) is an AnalysisException on Spark 4.x —
+        # days-since-epoch preserves order (r6 ADVICE)
+        return F.unix_date(col).cast("long")
+    if dtype in ("tinyint", "smallint", "int", "bigint", "float", "double"):
         return col.cast("long")
     return F.abs(F.xxhash64(col)).bitwiseAND(F.lit((1 << 31) - 1))
 

@@ -72,22 +72,43 @@ def maintain_rollup(
     checkpoint: str,
     watermark: str = "1 hour",
 ):
-    """Streaming maintenance: each micro-batch re-aggregates the
-    buckets it touches and overwrites exactly those bucket partitions
-    (dynamic partition overwrite → idempotent under replay).
+    """Streaming maintenance: each micro-batch emits only the buckets
+    it UPDATED (``update`` output mode, so watermark eviction bounds
+    the agg state — r6 ADVICE: ``complete`` mode never evicts and
+    re-emits all history every batch), merges them against the
+    already-materialized rows of the touched bucket dates, and
+    overwrites exactly those date partitions (dynamic partition
+    overwrite → idempotent under replay).
 
-    Complete-mode bucket state stays in the agg operator (bounded by
-    watermark); the sink holds one directory per bucket date.
+    State is O(open buckets within the watermark); each batch's sink
+    work is O(touched bucket dates), not O(history).
     """
 
     def upsert(batch_df: DataFrame, _batch_id: int) -> None:
-        if not batch_df.take(1):
+        import os
+
+        rows = batch_df.withColumn("bucket_date", F.to_date(F.col(BUCKET_COL)))
+        if not rows.take(1):
             return
-        spark = batch_df.sparkSession
+        spark = rows.sparkSession
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        out = rows
+        if os.path.isdir(rollup_path) and any(
+            n.startswith("bucket_date=") for n in os.listdir(rollup_path)
+        ):
+            # update mode emits only changed buckets; the overwritten
+            # date partitions must keep their untouched sibling buckets
+            touched = rows.select("bucket_date").distinct()
+            keys = [BUCKET_COL] + list(group_cols)
+            existing = (
+                spark.read.parquet(rollup_path)
+                .join(F.broadcast(touched), "bucket_date", "semi")
+                .join(rows.select(*keys).distinct(), keys, "left_anti")
+            )
+            # materialize before overwriting the path we just read
+            out = existing.unionByName(rows).localCheckpoint()
         (
-            batch_df.withColumn("bucket_date", F.to_date(F.col(BUCKET_COL)))
-            .write.mode("overwrite")
+            out.write.mode("overwrite")
             .partitionBy("bucket_date")
             .parquet(rollup_path)
         )
@@ -97,7 +118,7 @@ def maintain_rollup(
     )
     return (
         agg.writeStream.foreachBatch(upsert)
-        .outputMode("complete")
+        .outputMode("update")
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)
         .start()

@@ -116,9 +116,11 @@ def budget_alerts_stream(
     """
     import pandas as pd
 
+    # key field keeps the input column's type — hardcoding LongType
+    # breaks string keys with schema-mismatch nulls (r6 ADVICE)
     out_schema = T.StructType(
         [
-            T.StructField(key_col, T.LongType()),
+            T.StructField(key_col, events.schema[key_col].dataType),
             T.StructField("cross_n", T.LongType()),
             T.StructField("ts", T.TimestampType()),
         ]

@@ -91,3 +91,22 @@ def test_mixture_rates_cap_and_identity(spark):
     }
     assert rates["tiny"] == 1.0
     assert rates["big"] < 1.0
+
+
+def test_sample_fraction_one_keeps_everything(spark):
+    """fraction=1.0 must be the identity — the 5-char hex threshold
+    '10000' string-compares below most buckets (r6 ADVICE)."""
+    df = _docs(spark, 500)
+    assert sampling.sample_fraction(df, 1.0).count() == 500
+    assert sampling.sample_fraction(df, 1.5).count() == 500
+
+
+def test_split_boundaries_clamp_full_weight(spark):
+    """A non-last cumulative weight reaching 1.0 must clamp to 4-char
+    hex, not overflow to '10000' (r6 ADVICE)."""
+    bounds = dict(sampling.split_boundaries({"a": 1.0, "b": 0.0}))
+    assert len(bounds["a"]) == 4
+    out = sampling.assign_split(_docs(spark, 300), weights={"a": 1.0, "b": 0.0})
+    counts = {r["split"]: r["count"] for r in out.groupBy("split").count().collect()}
+    assert sum(counts.values()) == 300
+    assert counts.get("a", 0) >= 299  # at most 1/65536 leaks to the last split

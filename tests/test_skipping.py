@@ -155,3 +155,20 @@ def test_multi_column_index_prunes_on_companion_column(spark, tmp_path, workspac
     full = spark.read.parquet(tdir).where(F.col("cpu") <= 2000)
     assert kept.count() == full.count()
     assert kept.agg(F.sum("k")).collect()[0][0] == full.agg(F.sum("k")).collect()[0][0]
+
+
+def test_pruned_files_accepts_tz_aware_bounds(monthly_workspace):
+    """Relative CLI bounds (--from T-7d) arrive tz-aware; pruning must
+    normalize instead of raising TypeError (r6 ADVICE, high)."""
+    cat = monthly_workspace
+    naive = cat.pruned_files(
+        "metrics",
+        time_from=datetime.datetime(2024, 4, 1),
+        time_to=datetime.datetime(2024, 5, 1),
+    )
+    aware = cat.pruned_files(
+        "metrics",
+        time_from=datetime.datetime(2024, 4, 1, tzinfo=datetime.timezone.utc),
+        time_to=datetime.datetime(2024, 5, 1, tzinfo=datetime.timezone.utc),
+    )
+    assert aware == naive

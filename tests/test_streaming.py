@@ -214,3 +214,88 @@ def test_rollup_rejects_unaligned_boundary(spark):
     with _pytest.raises(ValueError, match="aligned"):
         _check_aligned("2024-01-02 00:30:00", "1 hour")
     _check_aligned("2024-01-02 07:00:00", "1 hour")
+
+
+def test_rollup_update_mode_preserves_untouched_buckets(spark, tmp_path):
+    """A second batch touching only one bucket date must not clobber
+    the other dates' buckets (update-mode merge, r6 ADVICE: complete
+    mode re-emitted all history and never evicted state)."""
+    import pyspark.sql.functions as F
+
+    from tailpipe_spark.streaming.rollup import BUCKET_COL, maintain_rollup
+
+    src_dir = tmp_path / "src"
+    src_dir.mkdir()
+    schema = "event_id long, ts timestamp, event_type string, value double"
+
+    def write_batch(name, rows):
+        spark.createDataFrame(
+            rows, "event_id long, ts_s string, event_type string, value double"
+        ).withColumn("ts", F.col("ts_s").cast("timestamp")).drop("ts_s").select(
+            "event_id", "ts", "event_type", "value"
+        ).write.parquet(str(src_dir / name))
+
+    aggs = [
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.round(F.col("value") * 1000).cast("long")).alias("value_milli"),
+    ]
+    rollup_path = str(tmp_path / "rollup")
+    ck = str(tmp_path / "ck")
+
+    def run():
+        stream = spark.readStream.schema(schema).parquet(str(src_dir / "*"))
+        q = maintain_rollup(
+            stream, rollup_path, "ts", "1 hour", ["event_type"], aggs,
+            checkpoint=ck,
+        )
+        q.awaitTermination()
+
+    write_batch("b1", [
+        (1, "2024-01-01T03:15:00", "a", 1.0),
+        (2, "2024-01-01T03:45:00", "a", 2.0),
+        (3, "2024-01-02T05:15:00", "b", 3.0),
+    ])
+    run()
+    # second batch touches ONLY 2024-01-02 (and a new bucket there)
+    write_batch("b2", [
+        (4, "2024-01-02T05:30:00", "b", 4.0),
+        (5, "2024-01-02T06:10:00", "a", 5.0),
+    ])
+    run()
+    got = sorted(
+        (str(r[BUCKET_COL]), r["event_type"], r["n_events"], r["value_milli"])
+        for r in spark.read.parquet(rollup_path).collect()
+    )
+    assert got == [
+        ("2024-01-01 03:00:00", "a", 2, 3000),   # untouched date survives
+        ("2024-01-02 05:00:00", "b", 2, 7000),   # updated bucket merged
+        ("2024-01-02 06:00:00", "a", 1, 5000),   # new bucket added
+    ]
+
+
+def test_budget_alerts_string_key(spark, tmp_path):
+    """Key output field derives its type from the input column — a
+    string key must round-trip, not null out (r6 ADVICE)."""
+    import pyspark.sql.functions as F
+
+    from tailpipe_spark.streaming.stateful import budget_alerts_stream
+
+    src = tmp_path / "events"
+    spark.createDataFrame(
+        [("alice", "2024-01-01T00:00:00", 0.6), ("alice", "2024-01-01T01:00:00", 0.7),
+         ("bob", "2024-01-01T02:00:00", 2.5)],
+        "user string, ts_s string, value double",
+    ).withColumn("ts", F.col("ts_s").cast("timestamp")).drop("ts_s").write.parquet(
+        str(src)
+    )
+    stream = spark.readStream.schema("user string, value double, ts timestamp").parquet(
+        str(src)
+    )
+    alerts = budget_alerts_stream(stream, "user", "value", "ts", budget_milli=1000)
+    q = (
+        alerts.writeStream.format("memory").queryName("budget_str_key")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    got = sorted((r["user"], r["cross_n"]) for r in spark.table("budget_str_key").collect())
+    assert got == [("alice", 1), ("bob", 1), ("bob", 2)]

@@ -102,3 +102,20 @@ def test_compact_zorder_by_roundtrip(spark, tmp_path):
     assert back.count() == 5000
     assert back.agg(F.sum("v")).collect()[0][0] == df.agg(F.sum("v")).collect()[0][0]
     assert set(back.columns) == {"ts", "user_id", "v"}  # __z dropped
+
+
+def test_zvalue_accepts_date_column(spark):
+    """DATE columns go through unix_date — CAST(DATE AS BIGINT) is an
+    AnalysisException on Spark 4.x (r6 ADVICE)."""
+    from pyspark.sql import functions as F
+
+    from tailpipe_spark.plans.zorder import with_zvalue
+
+    df = spark.range(10).select(
+        F.expr("date_add(date'2024-01-01', cast(id as int))").alias("d"),
+        (F.col("id") % 3).alias("k"),
+    )
+    out = with_zvalue(df, ["d", "k"]).collect()
+    assert len(out) == 10
+    zs = [r["__z"] for r in out]
+    assert len(set(zs)) > 1
