@@ -28,6 +28,50 @@ from pyspark.sql import DataFrame, SparkSession
 PARTITION_COLS = ("tp_partition", "tp_index", "tp_year", "tp_month")
 
 
+def _footer_jsonable(v):
+    import datetime as _dt
+    from datetime import timezone
+
+    if isinstance(v, _dt.datetime):
+        if v.tzinfo is not None:
+            v = v.astimezone(timezone.utc).replace(tzinfo=None)
+        return v.isoformat()
+    if isinstance(v, (bytes, bytearray)):
+        return bytes(v).decode("utf-8", "replace")
+    if isinstance(v, (int, float, str, bool)):
+        return v
+    return None  # unindexable type -> treated as no-stats
+
+
+def _footer_col_stats(md, name):
+    """min/max/null_count for one column across a footer's row groups,
+    or None when any row group lacks usable stats."""
+    lo = hi = None
+    nulls = 0
+    for rg in range(md.num_row_groups):
+        group = md.row_group(rg)
+        col = next(
+            (
+                group.column(i)
+                for i in range(group.num_columns)
+                if group.column(i).path_in_schema == name
+            ),
+            None,
+        )
+        stats = col.statistics if col is not None else None
+        if stats is None or not stats.has_min_max:
+            return None  # any stat-less row group poisons the file
+        nulls += stats.null_count or 0
+        mn, mx = stats.min, stats.max
+        lo = mn if lo is None else min(lo, mn)
+        hi = mx if hi is None else max(hi, mx)
+    jlo, jhi = _footer_jsonable(lo), _footer_jsonable(hi)
+    if jlo is None or jhi is None:
+        return None
+    return {"min": jlo, "max": jhi, "nulls": int(nulls)}
+
+
+
 @dataclass
 class TableEntry:
     name: str
@@ -206,84 +250,123 @@ class Catalog:
     # record per-file tp_timestamp min/max + null_count at write time
     # and intersect the predicate against the index instead.
 
+    def _index_entry(self, tdir: str, relpath: str, columns) -> dict:
+        """One file-index entry from a single footer read."""
+        import pyarrow.parquet as pq
+
+        p = os.path.join(tdir, relpath)
+        md = pq.read_metadata(p)
+        ts = _footer_col_stats(md, "tp_timestamp")
+        entry = {
+            "path": relpath,
+            "bytes": os.path.getsize(p),
+            "rows": md.num_rows,
+            "min_ts": ts["min"] if ts else None,
+            "max_ts": ts["max"] if ts else None,
+            "null_ts": ts["nulls"] if ts else None,
+        }
+        if columns:
+            entry["cols"] = {c: _footer_col_stats(md, c) for c in columns}
+        return entry
+
     def refresh_file_index(self, table: str, columns: list[str] | None = None) -> int:
         """Record per-file footer stats in the manifest: always
         ``tp_timestamp``, plus any extra ``columns`` (the z-order
         companion: a layout clustered on (tp_timestamp, user_id) makes a
         user_id index selective, so `compact --zorder` passes its
-        columns here). Returns the number of files indexed. Called
-        after collect/compact; cheap (one footer read per file)."""
-        import datetime as _dt
+        columns here). Returns the number of files indexed.
 
-        import pyarrow.parquet as pq
-
-        def _naive_utc(ts):
-            from datetime import timezone
-
-            if ts.tzinfo is not None:
-                ts = ts.astimezone(timezone.utc).replace(tzinfo=None)
-            return ts
-
-        def _jsonable(v):
-            if isinstance(v, _dt.datetime):
-                return _naive_utc(v).isoformat()
-            if isinstance(v, (bytes, bytearray)):
-                return bytes(v).decode("utf-8", "replace")
-            if isinstance(v, (int, float, str, bool)):
-                return v
-            return None  # unindexable type → treated as no-stats
-
-        def _col_stats(md, name):
-            lo = hi = None
-            nulls = 0
-            for rg in range(md.num_row_groups):
-                group = md.row_group(rg)
-                col = next(
-                    (
-                        group.column(i)
-                        for i in range(group.num_columns)
-                        if group.column(i).path_in_schema == name
-                    ),
-                    None,
-                )
-                stats = col.statistics if col is not None else None
-                if stats is None or not stats.has_min_max:
-                    return None  # any stat-less row group poisons the file
-                nulls += stats.null_count or 0
-                mn, mx = stats.min, stats.max
-                lo = mn if lo is None else min(lo, mn)
-                hi = mx if hi is None else max(hi, mx)
-            jlo, jhi = _jsonable(lo), _jsonable(hi)
-            if jlo is None or jhi is None:
-                return None
-            return {"min": jlo, "max": jhi, "nulls": int(nulls)}
-
+        This is the FULL rebuild — O(all files) footer reads. The
+        incremental paths (collect append -> ``merge_file_index``;
+        compact/delete -> ``refresh_partition_index``) keep the index
+        maintained at O(files touched); use this only for initial
+        builds, whole-table rewrites, or repair."""
         tdir = self.table_dir(table)
         index = []
         for root, _dirs, names in os.walk(tdir):
             for n in sorted(names):
-                if not n.endswith(".parquet"):
-                    continue
-                p = os.path.join(root, n)
-                md = pq.read_metadata(p)
-                ts = _col_stats(md, "tp_timestamp")
-                entry = {
-                    "path": os.path.relpath(p, tdir),
-                    "bytes": os.path.getsize(p),
-                    "rows": md.num_rows,
-                    "min_ts": ts["min"] if ts else None,
-                    "max_ts": ts["max"] if ts else None,
-                    "null_ts": ts["nulls"] if ts else None,
-                }
-                if columns:
-                    entry["cols"] = {c: _col_stats(md, c) for c in columns}
-                index.append(entry)
+                if n.endswith(".parquet"):
+                    rel = os.path.relpath(os.path.join(root, n), tdir)
+                    index.append(self._index_entry(tdir, rel, columns))
         manifest = self._load()
         manifest["tables"][table]["file_index"] = index
         if columns:
             manifest["tables"][table]["indexed_columns"] = list(columns)
         self._store(manifest)
         return len(index)
+
+    def has_file_index(self, table: str) -> bool:
+        return (
+            self._load()["tables"].get(table, {}).get("file_index") is not None
+        )
+
+    def merge_file_index(self, table: str, added: list[str]) -> int:
+        """Merge newly written files into the existing index, reading
+        ONLY their footers — the append path knows exactly which files
+        it wrote, so a collect into a table with a million existing
+        files must not pay a million footer reads (the reference
+        updates file metadata transactionally per insert: reference
+        internal/database/file_metadata.go:42-52).
+
+        ``added``: file paths absolute or relative to the table dir.
+        Falls back to a full rebuild when no index exists yet. New
+        entries carry the same companion-column stats as the existing
+        index (``indexed_columns``) so pruning stays uniform."""
+        manifest = self._load()
+        entry = manifest["tables"].get(table, {})
+        if entry.get("file_index") is None:
+            return self.refresh_file_index(table)
+        tdir = self.table_dir(table)
+        columns = entry.get("indexed_columns")
+        rels = [
+            os.path.relpath(p, tdir) if os.path.isabs(p) else p for p in added
+        ]
+        by_path = {e["path"]: e for e in entry["file_index"]}
+        for rel in sorted(rels):
+            by_path[rel] = self._index_entry(tdir, rel, columns)
+        entry["file_index"] = list(by_path.values())
+        self._store(manifest)
+        return len(entry["file_index"])
+
+    def refresh_partition_index(
+        self,
+        table: str,
+        key_relpaths: list[str],
+        columns: list[str] | None = None,
+    ) -> int:
+        """Re-index only the given partition subdirectories (relative
+        to the table dir): drop their old index rows, footer-read just
+        the files now under them. Compact and delete rewrite whole
+        partition keys, so their index maintenance is O(files in the
+        rewritten keys), not O(table).
+
+        ``columns`` switches the companion-column set (z-order compact
+        passes its cluster columns); when that changes the WHOLE index
+        is rebuilt so stats stay uniform across files."""
+        manifest = self._load()
+        entry = manifest["tables"].get(table, {})
+        if entry.get("file_index") is None or (
+            columns and list(columns) != entry.get("indexed_columns")
+        ):
+            return self.refresh_file_index(table, columns)
+        tdir = self.table_dir(table)
+        prefixes = tuple(k.rstrip(os.sep) + os.sep for k in key_relpaths)
+        kept = [
+            e for e in entry["file_index"] if not e["path"].startswith(prefixes)
+        ]
+        cols = entry.get("indexed_columns")
+        for key in key_relpaths:
+            kdir = os.path.join(tdir, key)
+            if not os.path.isdir(kdir):
+                continue  # partition fully deleted
+            for root, _dirs, names in os.walk(kdir):
+                for n in sorted(names):
+                    if n.endswith(".parquet"):
+                        rel = os.path.relpath(os.path.join(root, n), tdir)
+                        kept.append(self._index_entry(tdir, rel, cols))
+        entry["file_index"] = kept
+        self._store(manifest)
+        return len(kept)
 
     def pruned_files(self, table, time_from=None, time_to=None, predicates=None):
         """File subset that can satisfy the given bounds per the

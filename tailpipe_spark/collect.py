@@ -236,7 +236,7 @@ def collect(
         F.max("tp_timestamp").alias("mx"),
         F.min("tp_timestamp").alias("mn"),
     )
-    writer.append(catalog, table.name, observed)
+    new_files = writer.append(catalog, table.name, observed)
     metrics = obs.get
     written = metrics["n"]
 
@@ -256,8 +256,10 @@ def collect(
         "collect",
         {"table": table.name, "partition": partition.name, "rows": written},
     )
-    # manifest file index for query-time data skipping (catalog.py)
-    catalog.refresh_file_index(table.name)
+    # manifest file index for query-time data skipping: merge only the
+    # files this append wrote — O(new files) footer reads, never a
+    # rescan of the whole table (catalog.merge_file_index)
+    catalog.merge_file_index(table.name, new_files)
     return CollectResult(
         table=table.name,
         partition=partition.name,

@@ -190,6 +190,7 @@ def compact_table(
 
     keys = enumerate_partition_keys(catalog, table)
     rewritten, merged_files, rows_total, chunk_jobs = 0, 0, 0, 0
+    rewritten_keys: list[str] = []
 
     if reindex_expr is not None:
         df = catalog.read_table(spark, table)
@@ -243,6 +244,7 @@ def compact_table(
         shutil.rmtree(part_dir)
         os.replace(staged, part_dir)
         rewritten += 1
+        rewritten_keys.append(key.relpath)
         merged_files += len(stats)
         rows_total += rows
 
@@ -251,9 +253,15 @@ def compact_table(
     )
     if rewritten:
         # a z-ordered layout makes its companion columns selective per
-        # file — index them so pruned_files() can skip on them too
-        catalog.refresh_file_index(
-            table, columns=[c for c in (zorder_by or []) if c != "tp_timestamp"] or None
+        # file — index them so pruned_files() can skip on them too.
+        # Only the rewritten partition keys are re-footer-read; the
+        # rest of the index is untouched (O(files touched), not
+        # O(table)). A changed companion-column set triggers the full
+        # rebuild inside refresh_partition_index.
+        catalog.refresh_partition_index(
+            table,
+            rewritten_keys,
+            columns=[c for c in (zorder_by or []) if c != "tp_timestamp"] or None,
         )
     return {
         "keys_rewritten": rewritten,

@@ -48,14 +48,34 @@ def _partition_leaf_dirs(base: str, prefix: str = ""):
             yield rel, tuple(vals[c] for c in PARTITION_COLS)
 
 
-def append(catalog: Catalog, table: str, df: DataFrame) -> None:
-    """Append enriched rows (must carry tp_* columns) to the table."""
+def append(catalog: Catalog, table: str, df: DataFrame) -> list[str]:
+    """Append enriched rows (must carry tp_* columns) to the table.
+
+    Writes to a staging dir, then moves each file into its partition
+    dir — so the exact new-file list is known and returned (paths
+    relative to the table dir) for O(new files) index maintenance
+    (catalog.merge_file_index), mirroring the reference's per-insert
+    transactional file metadata (internal/database/file_metadata.go:
+    42-52). Spark part-file names embed a job UUID, so moves never
+    collide with existing files."""
+    import shutil
+
     out = with_partition_columns(df)
-    (
-        out.write.partitionBy(*PARTITION_COLS)
-        .mode("append")
-        .parquet(catalog.table_dir(table))
-    )
+    staged = catalog.new_staging_dir(f"{table}.append")
+    out.write.partitionBy(*PARTITION_COLS).mode("overwrite").parquet(staged)
+    base = catalog.table_dir(table)
+    moved: list[str] = []
+    for root, _dirs, names in _os.walk(staged):
+        for n in names:
+            if not n.endswith(".parquet"):
+                continue
+            rel = _os.path.relpath(_os.path.join(root, n), staged)
+            dst = _os.path.join(base, rel)
+            _os.makedirs(_os.path.dirname(dst), exist_ok=True)
+            _os.replace(_os.path.join(root, n), dst)
+            moved.append(rel)
+    shutil.rmtree(staged, ignore_errors=True)
+    return moved
 
 
 def delete_range(
@@ -125,6 +145,7 @@ def delete_range(
     # tp_index=a%3Ab), so dir paths must never be rebuilt from raw
     # values — match existing dirs by their UNESCAPED key tuple instead.
     affected_vals = {tuple(str(v) for v in key) for key in affected}
+    touched_rels: set[str] = set()
     base = catalog.table_dir(table)
     # only the target tp_partition's subtree needs walking — a delete on
     # one partition must not list every leaf dir of a huge table
@@ -138,11 +159,17 @@ def delete_range(
         for rel, key in _partition_leaf_dirs(sub, prefix=os.path.basename(sub)):
             if key in affected_vals:
                 shutil.rmtree(os.path.join(base, rel))
+                touched_rels.add(rel)
     for rel, _key in _partition_leaf_dirs(staged):
         dst = os.path.join(base, rel)
         os.makedirs(os.path.dirname(dst), exist_ok=True)
         os.replace(os.path.join(staged, rel), dst)
+        touched_rels.add(rel)
     shutil.rmtree(staged, ignore_errors=True)
+    # keep the skipping index live: re-footer-read only the rewritten
+    # partition keys (emptied keys just drop their index rows)
+    if catalog.has_file_index(table):
+        catalog.refresh_partition_index(table, sorted(touched_rels))
     catalog.record_snapshot(
         "delete", {"table": table, "partition": partition, "rows": n}
     )

@@ -172,3 +172,125 @@ def test_pruned_files_accepts_tz_aware_bounds(monthly_workspace):
         time_to=datetime.datetime(2024, 5, 1, tzinfo=datetime.timezone.utc),
     )
     assert aware == naive
+
+
+def _index_by_path(cat, table="metrics"):
+    return {
+        e["path"]: e
+        for e in cat._load()["tables"][table]["file_index"]
+    }
+
+
+def test_incremental_append_reads_only_new_footers(
+    monthly_workspace, spark, tmp_path, monkeypatch
+):
+    """A collect into a table with N existing files must footer-read
+    ONLY the files it wrote (r6 verdict: the full O(files) driver
+    rescan per append was the one scale-killer-adjacent pattern), and
+    the merged index must equal a full rebuild."""
+    import pyarrow.parquet as pq
+
+    from tailpipe_spark.collect import collect
+    from tailpipe_spark.config import ColumnConfig, PartitionConfig, TableConfig
+    from tailpipe_spark.sources.formats import read_jsonl
+
+    cat = monthly_workspace
+    n_existing = len(_index_by_path(cat))
+    assert n_existing >= 3
+
+    rows = [
+        {"server_id": "srv-9", "cpu": 1.0, "time": "2024-06-05T12:00:00"},
+        {"server_id": "srv-9", "cpu": 2.0, "time": "2024-06-15T12:00:00"},
+    ]
+    p = tmp_path / "new.jsonl"
+    p.write_text("\n".join(json.dumps(r) for r in rows))
+    table = TableConfig(
+        name="metrics",
+        columns=[
+            ColumnConfig(name="server_id", type="varchar"),
+            ColumnConfig(name="cpu", type="double"),
+            ColumnConfig(name="tp_timestamp", type="timestamp", source="time"),
+        ],
+        map_fields=[],
+    )
+
+    reads = []
+    real = pq.read_metadata
+    monkeypatch.setattr(pq, "read_metadata", lambda f, **kw: (reads.append(str(f)), real(f, **kw))[1])
+    collect(spark, cat, table, PartitionConfig("metrics", "default"),
+            source_df=read_jsonl(spark, [str(p)]))
+
+    merged = _index_by_path(cat)
+    n_new = len(merged) - n_existing
+    assert n_new >= 1
+    footer_reads = [f for f in reads if f.endswith(".parquet")]
+    assert len(footer_reads) <= n_new  # never rescans existing files
+
+    # merged index == full rebuild
+    cat.refresh_file_index("metrics")
+    rebuilt = _index_by_path(cat)
+    assert merged == rebuilt
+
+
+def test_compact_refreshes_only_rewritten_keys(
+    monthly_workspace, spark, tmp_path, monkeypatch
+):
+    """compact re-footer-reads only the partition keys it rewrote."""
+    import pyarrow.parquet as pq
+
+    from tailpipe_spark.collect import collect
+    from tailpipe_spark.compact import compact_table
+    from tailpipe_spark.config import ColumnConfig, PartitionConfig, TableConfig
+    from tailpipe_spark.sources.formats import read_jsonl
+
+    cat = monthly_workspace
+    # second batch into the same months → ≥2 small files per key, so
+    # the small-file merge actually rewrites
+    rows = [
+        {"server_id": "srv-8", "cpu": 9.0, "time": f"2024-{m:02d}-25T12:00:00"}
+        for m in (3, 4, 5)
+    ]
+    p = tmp_path / "second.jsonl"
+    p.write_text("\n".join(json.dumps(r) for r in rows))
+    table = TableConfig(
+        name="metrics",
+        columns=[
+            ColumnConfig(name="server_id", type="varchar"),
+            ColumnConfig(name="cpu", type="double"),
+            ColumnConfig(name="tp_timestamp", type="timestamp", source="time"),
+        ],
+        map_fields=[],
+    )
+    collect(spark, cat, table, PartitionConfig("metrics", "default"),
+            source_df=read_jsonl(spark, [str(p)]))
+    before = _index_by_path(cat)
+    reads = []
+    real = pq.read_metadata
+    monkeypatch.setattr(pq, "read_metadata", lambda f, **kw: (reads.append(str(f)), real(f, **kw))[1])
+    # force rewrite of every key by treating all files as small; the
+    # point is that the index refresh is scoped to REWRITTEN keys
+    res = compact_table(spark, cat, "metrics", small_file_bytes=1 << 30)
+    assert res["keys_rewritten"] >= 1
+    after = _index_by_path(cat)
+    # index matches a from-scratch rebuild
+    cat.refresh_file_index("metrics")
+    assert after == _index_by_path(cat)
+    assert set(after) != set(before)  # files actually changed
+
+
+def test_delete_keeps_index_fresh(monthly_workspace, spark):
+    """delete_range maintains the index for the keys it rewrote; the
+    index stays usable (not stale) and matches a full rebuild."""
+    from tailpipe_spark import writer
+
+    cat = monthly_workspace
+    n = writer.delete_range(
+        cat, spark, "metrics", "default",
+        time_from=datetime.datetime(2024, 4, 1),
+        time_to=datetime.datetime(2024, 4, 30),
+    )
+    assert n > 0
+    assert cat.pruned_files("metrics") is not None  # index not stale
+    live = _index_by_path(cat)
+    cat.refresh_file_index("metrics")
+    assert live == _index_by_path(cat)
