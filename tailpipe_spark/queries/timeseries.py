@@ -436,8 +436,14 @@ def _trend_sql() -> str:
 def q_ewma_last(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-group EWMA (sequential recurrence → applyInPandas, the
     grouped Arrow path) reduced to the last smoothed value per group.
-    Rows-only: pandas ewm's float accumulation has no SQL twin; the
-    recurrence itself is pinned against a hand-rolled reference in
+
+    Hash-checked: pandas ``ewm(adjust=False)`` is bit-identical to the
+    fold ``acc = (1-a)*acc + a*x`` (verified empirically over 5000
+    random values), and DuckDB's ``list_reduce`` replays that exact
+    fold in float64 — the oracle's literals are CAST to DOUBLE because
+    bare SQL ``0.3`` is DECIMAL and ``1 - 0.3`` would fold to a
+    *different* double than the engine's ``1 - alpha``. The recurrence
+    is additionally pinned against a hand-rolled reference in
     tests/test_operators.py."""
     from tailpipe_spark.operators.trend import ewma
 
@@ -548,11 +554,35 @@ ORDER BY cohort_wk, offset_wk
 """
 
 
+# EWMA oracle: replay the engine's exact float64 fold. The DOUBLE casts
+# are load-bearing (bare 0.3 is DECIMAL; 1-0.3 folded in decimal is a
+# different double than the engine's 1-alpha). Order within ties is
+# (ts, event_id, value) — the same total order ewma()'s stable sort
+# produces for this projection.
+Q_EWMA_SQL = """
+WITH ordered AS (
+  SELECT event_type, ts, event_id, CAST(value AS DOUBLE) AS value,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY ts, event_id, value) AS rn
+  FROM events
+), g AS (
+  SELECT event_type,
+         arg_max(ts, rn) AS ts,
+         list(value ORDER BY rn) AS vals
+  FROM ordered GROUP BY event_type
+)
+SELECT event_type, ts,
+       list_reduce(vals, (acc, x) ->
+         (CAST(1.0 AS DOUBLE) - CAST(0.3 AS DOUBLE)) * acc
+         + CAST(0.3 AS DOUBLE) * x) AS ewma
+FROM g ORDER BY event_type
+"""
+
+
 SPECS = [
     QuerySpec("q_trend_linear", q_trend_linear, _trend_sql(), "per-group OLS trend via exact integer sums (deterministic regr_slope twin)"),
     QuerySpec("q_funnel", q_funnel, Q_FUNNEL_SQL, "ordered funnel analysis: stage-gated min-time aggregations"),
     QuerySpec("q_cohort_retention", q_cohort_retention, Q_COHORT_SQL, "cohort retention matrix by first-activity week"),
-    QuerySpec("q_ewma_last", q_ewma_last, None, "per-group EWMA recurrence via grouped applyInPandas (rows-only)"),
+    QuerySpec("q_ewma_last", q_ewma_last, Q_EWMA_SQL, "per-group EWMA recurrence via grouped applyInPandas (list_reduce fold oracle, bit-exact)"),
     QuerySpec("q_window_functions", q_window_functions, Q_WINDOW_SQL, "row_number/rank/lag/lead/running+moving sums"),
     QuerySpec("q_time_bucket_hourly", q_time_bucket_hourly, Q_TIME_BUCKET_SQL, "tumbling-window rollup (batch)"),
     QuerySpec("q_sessionize", q_sessionize, Q_SESSIONIZE_SQL, "gap-based sessionization"),
