@@ -54,6 +54,9 @@ _VERIFY_FIRST = [
     "q_ewma_last",  # rows-only (oracle conversion planned this round)
     "q_sketch_rollup",  # rows-only by design
     "dedup_simhash",  # rows-only by design
+    # --- new in r7 (q_ewma_last above is also now hash-checked: its
+    # rows-only slot converted to a bit-exact list_reduce oracle) ---
+    "mm_video_frames",  # real GIF LZW kernel vs arithmetic oracle
     # --- r7 plan-code changes (sampling clamp, rollup update-mode) ---
     "data_sample_fraction",
     "data_split_counts",

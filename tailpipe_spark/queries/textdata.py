@@ -979,9 +979,88 @@ FROM documents ORDER BY asset_id
 """
 
 
+def mm_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end proof of the REAL GIF video kernel: synthesize a
+    2-frame GIF per doc (stdlib LZW encoder; frame 0 a two-color
+    checkerboard, frame 1 solid — palette derived from doc_id), then
+    decode with operators.multimodal.decode_video (stdlib LZW decoder,
+    one row per frame). Channel means are exact integer sums divided
+    once in float64, so the oracle recomputes every column
+    arithmetically — a wrong bit anywhere in either LZW direction
+    breaks the hash."""
+    from tailpipe_spark.operators.multimodal import decode_video, encode_gif
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+
+    def synth(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w = 4 + did % 5
+                h = 3 + did % 4
+                p0 = ((did * 7) % 256, (did * 11) % 256, (did * 13) % 256)
+                p1 = ((did * 17) % 256, (did * 19) % 256, (did * 23) % 256)
+                checker = bytes(i % 2 for i in range(w * h))
+                solid = bytes([1]) * (w * h)
+                rows.append(
+                    {
+                        "asset_id": did,
+                        "modality": "video",
+                        "payload": encode_gif(w, h, [p0, p1], [checker, solid]),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    assets = docs.mapInPandas(
+        synth, schema="asset_id long, modality string, payload binary"
+    )
+    return (
+        decode_video(assets)
+        .select(
+            "asset_id", "frame_no", "width", "height",
+            "mean_r", "mean_g", "mean_b",
+        )
+        .orderBy("asset_id", "frame_no")
+    )
+
+
+# the oracle replays the synth parameters and the decoder's exact
+# arithmetic: integer channel sums, ONE float64 division by npx
+MM_VIDEO_SQL = """
+WITH d AS (
+  SELECT doc_id,
+         4 + doc_id % 5 AS w,
+         3 + doc_id % 4 AS h,
+         (doc_id * 7) % 256 AS p0r, (doc_id * 11) % 256 AS p0g, (doc_id * 13) % 256 AS p0b,
+         (doc_id * 17) % 256 AS p1r, (doc_id * 19) % 256 AS p1g, (doc_id * 23) % 256 AS p1b
+  FROM documents
+), e AS (
+  SELECT *, w * h AS npx, (w * h + 1) // 2 AS c0 FROM d
+)
+SELECT doc_id AS asset_id, 0 AS frame_no,
+       CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+       CAST(c0 * p0r + (npx - c0) * p1r AS DOUBLE) / npx AS mean_r,
+       CAST(c0 * p0g + (npx - c0) * p1g AS DOUBLE) / npx AS mean_g,
+       CAST(c0 * p0b + (npx - c0) * p1b AS DOUBLE) / npx AS mean_b
+FROM e
+UNION ALL
+SELECT doc_id AS asset_id, 1 AS frame_no,
+       CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+       CAST(p1r AS DOUBLE) AS mean_r,
+       CAST(p1g AS DOUBLE) AS mean_g,
+       CAST(p1b AS DOUBLE) AS mean_b
+FROM e
+ORDER BY asset_id, frame_no
+"""
+
+
 SPECS = [
     QuerySpec("mm_checksums", mm_checksums, MM_CHECKSUMS_SQL, "multimodal binary payloads through Arrow mapInPandas (checksum parity)"),
     QuerySpec("mm_audio_stats", mm_audio_stats, MM_AUDIO_SQL, "real WAV encode->decode roundtrip vs arithmetic oracle (square-wave RMS exactness)"),
+    QuerySpec("mm_video_frames", mm_video_frames, MM_VIDEO_SQL, "real GIF LZW encode->decode roundtrip, one row per frame vs arithmetic oracle"),
     QuerySpec("dedup_exact", dedup_exact, DEDUP_EXACT_SQL, "exact dedup via md5 hash-groupBy"),
     QuerySpec("dedup_ngram_jaccard", dedup_ngram_jaccard, DEDUP_JACCARD_SQL, "word-3-gram Jaccard near-dup pairs"),
     QuerySpec("dedup_minhash_lsh", dedup_minhash_lsh, _minhash_sql(), "MinHash(12) + 4-band LSH candidate pairs (portable md5 twin)"),

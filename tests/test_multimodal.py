@@ -214,3 +214,65 @@ def test_decode_wav_8bit_centered():
     assert d["duration_ms"] == 100
     assert d["rms"] == [100.0]
     assert d["peak"] == [100.0]
+
+
+def test_gif_lzw_roundtrip_property():
+    """Encoder/decoder pair roundtrips random index streams at every
+    code width, including dictionary growth and the 12-bit reset."""
+    import random
+
+    from tailpipe_spark.operators.multimodal import (
+        _gif_lzw_decode,
+        _gif_lzw_encode,
+    )
+
+    random.seed(42)
+    for _ in range(60):
+        mc = random.choice([2, 3, 4, 8])
+        n = random.randint(1, 9000)
+        data = bytes(random.randrange(1 << mc) for _ in range(n))
+        enc = _gif_lzw_encode(data, mc)
+        assert bytes(_gif_lzw_decode(enc, mc, n)) == data
+
+
+def test_gif_decode_exact_frames_and_means():
+    """Frame count and per-channel means are exact (integer sums, one
+    float64 division)."""
+    from tailpipe_spark.operators.multimodal import encode_gif, gif_decode_frames
+
+    w, h = 7, 5
+    pal = [(255, 0, 0), (0, 128, 255), (10, 20, 30)]
+    checker = bytes(i % 2 for i in range(w * h))
+    gif = encode_gif(w, h, pal, [checker, bytes([2]) * (w * h)])
+    info = gif_decode_frames(gif)
+    assert (info["width"], info["height"], info["n_frames"]) == (7, 5, 2)
+    npx = w * h
+    c0 = (npx + 1) // 2
+    assert info["frames"][0]["mean"] == [
+        c0 * 255 / npx, (npx - c0) * 128 / npx, (npx - c0) * 255 / npx
+    ]
+    assert info["frames"][1]["mean"] == [10.0, 20.0, 30.0]
+
+
+def test_decode_video_rows_and_containment(spark):
+    """decode_video yields one row per frame for GIFs and an error row
+    (no exception, no lost asset) for ffmpeg-class payloads."""
+    from tailpipe_spark.operators.multimodal import decode_video, encode_gif
+
+    gif = encode_gif(3, 2, [(9, 9, 9)], [bytes(6), bytes(6), bytes(6)])
+    rows = [
+        (1, "video", "image/gif", bytearray(gif)),
+        (2, "video", "video/mp4", bytearray(b"\x00\x00\x00 ftypisom fake")),
+        (3, "image", "image/png", bytearray(b"notvideo")),  # filtered out
+    ]
+    df = spark.createDataFrame(
+        rows, "asset_id long, modality string, mime_type string, payload binary"
+    )
+    out = decode_video(df).collect()
+    by_id = {}
+    for r in out:
+        by_id.setdefault(r["asset_id"], []).append(r)
+    assert len(by_id[1]) == 3  # one row per frame
+    assert all(r["error"] is None and r["mean_r"] == 9.0 for r in by_id[1])
+    assert len(by_id[2]) == 1 and by_id[2][0]["error"] is not None
+    assert 3 not in by_id
