@@ -54,12 +54,17 @@ _MAX_GRAM_DF = 1000  # hot-gram cap, mirrored in the oracle below
 
 
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from tailpipe_spark.session import parquet_row_count
+    from tailpipe_spark.session import parquet_column_range, parquet_row_count
 
+    # footer-PROVED 32-bit ids enable the packed pair key (identical
+    # results; the proof, not an assumption, gates the plan variant)
+    rng = parquet_column_range(f"{sf_dir}/documents.parquet", "doc_id")
+    packable = rng is not None and 0 <= rng[0] and rng[1] < (1 << 31)
     return dd.ngram_jaccard_pairs(
         _docs(spark, sf_dir, parallel=True), n=3, threshold=0.2,
         max_gram_df=_MAX_GRAM_DF,
         corpus_size=parquet_row_count(f"{sf_dir}/documents.parquet"),
+        packable_ids=packable,
     ).orderBy("id_a", "id_b")
 
 

@@ -198,6 +198,48 @@ def parquet_row_count(path: str) -> int | None:
         return None
 
 
+@functools.lru_cache(maxsize=256)
+def parquet_column_range(path: str, col: str) -> tuple | None:
+    """(min, max) of a column across a parquet file/dir from footer
+    stats — driver-side I/O only, no Spark job. None when any row
+    group lacks stats for the column (callers must then assume the
+    full domain). Used to PROVE properties like 'all ids fit in 32
+    bits' before enabling packed-key plan variants."""
+    import glob as _glob
+    import os as _os
+
+    import pyarrow.parquet as pq
+
+    files = (
+        sorted(_glob.glob(_os.path.join(path, "**", "*.parquet"), recursive=True))
+        if _os.path.isdir(path)
+        else [path]
+    )
+    if not files:
+        return None
+    lo = hi = None
+    try:
+        for f in files:
+            md = pq.ParquetFile(f).metadata
+            for rg in range(md.num_row_groups):
+                group = md.row_group(rg)
+                st = next(
+                    (
+                        group.column(i).statistics
+                        for i in range(group.num_columns)
+                        if group.column(i).path_in_schema == col
+                    ),
+                    None,
+                )
+                if st is None or not st.has_min_max:
+                    return None
+                lo = st.min if lo is None else min(lo, st.min)
+                hi = st.max if hi is None else max(hi, st.max)
+    except Exception:  # noqa: BLE001 — unreadable/non-parquet: no proof
+        return None
+    return (lo, hi) if lo is not None else None
+
+
 #: (applicationId, path) → DataFrame. The driver's testdata is
 #: immutable, so the logical plan (file listing + schema) is reusable;
 #: without this every query pays a driver-side directory listing,
@@ -269,10 +311,13 @@ def read_table(
     # groups at any real scale) never take this path even when asked.
     if parallelize:
         groups, nbytes = _split_profile(path)
-        par = min(
-            spark.sparkContext.defaultParallelism,
-            int(spark.conf.get("spark.sql.shuffle.partitions")),
-        )
+        # full core count, NOT capped by shuffle.partitions: the
+        # consumers that opt in are CPU-heavy map pipelines (gram
+        # explode, signature folds) whose input bytes say nothing
+        # about their map cost — an input-sized shuffle setting would
+        # serialize them on a few cores (measured 7.4→4.8 s at 10×
+        # bench scale from this cap alone)
+        par = spark.sparkContext.defaultParallelism
         if groups < par and nbytes <= _REPARTITION_MAX_BYTES:
             df = df.repartition(par)
     if cache:
