@@ -294,3 +294,83 @@ def test_delete_keeps_index_fresh(monthly_workspace, spark):
     live = _index_by_path(cat)
     cat.refresh_file_index("metrics")
     assert live == _index_by_path(cat)
+
+
+def test_connect_duckdb_views_use_pruned_file_list(monthly_workspace):
+    """A time-bounded connect bakes the manifest index's pruned file
+    list into the DuckDB views — external tools get the same skipping
+    as our query path — and the view still returns exactly the rows
+    the filter admits."""
+    import re
+
+    import duckdb
+
+    from tailpipe_spark.connect import write_init_script
+
+    cat = monthly_workspace
+    tf, tt = "2024-04-01T00:00:00", "2024-05-01T00:00:00"
+    path = write_init_script(
+        cat, str(cat.workspace) + "/conn", dialect="duckdb",
+        time_from=tf, time_to=tt,
+    )
+    script = open(path).read()
+    listed = sorted(re.findall(r"'(/[^']+\.parquet)'", script))
+    expected = sorted(
+        cat.pruned_files(
+            "metrics",
+            time_from=datetime.datetime(2024, 4, 1),
+            time_to=datetime.datetime(2024, 5, 1),
+        )
+    )
+    assert listed == expected
+    assert "read_parquet([" in script  # explicit list, not the glob
+    con = duckdb.connect()
+    con.execute(script)
+    n = con.execute('SELECT COUNT(*) FROM "metrics"').fetchone()[0]
+    assert n == 3  # the April rows
+
+
+def test_connect_sql_dialect_emits_pruned_hint(monthly_workspace):
+    """The spark-sql dialect (no multi-file syntax) carries the pruned
+    list as a hint comment; unbounded connects carry neither."""
+    from tailpipe_spark.connect import write_init_script
+
+    cat = monthly_workspace
+    bounded = open(
+        write_init_script(
+            cat, str(cat.workspace) + "/conn", dialect="sql",
+            time_from="2024-04-01T00:00:00", time_to="2024-05-01T00:00:00",
+        )
+    ).read()
+    assert "-- pruned-files: " in bounded
+    unbounded = open(
+        write_init_script(cat, str(cat.workspace) + "/conn", dialect="sql")
+    ).read()
+    assert "pruned-files" not in unbounded
+
+
+def test_connect_stale_index_falls_back_to_glob(monthly_workspace):
+    """A stale index must never bake a wrong file list — the view
+    falls back to the directory glob."""
+    from tailpipe_spark.connect import write_init_script
+
+    cat = monthly_workspace
+    tdir = cat.table_dir("metrics")
+    victim = next(
+        os.path.join(r, n)
+        for r, _d, ns in os.walk(tdir)
+        for n in ns
+        if n.endswith(".parquet")
+    )
+    os.rename(victim, victim + ".moved")
+    try:
+        script = open(
+            write_init_script(
+                cat, str(cat.workspace) + "/conn", dialect="duckdb",
+                time_from="2024-04-01T00:00:00",
+            )
+        ).read()
+        assert "read_parquet([" not in script
+        assert "**" in script  # glob fallback
+    finally:
+        os.rename(victim + ".moved", victim)
