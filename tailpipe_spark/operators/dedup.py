@@ -707,27 +707,49 @@ def minhash_lsh_pairs(
     return bucket_pairs(buckets, ["band", "sig"]).distinct()
 
 
-def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """64-bit SimHash per document from xxhash64 token hashes.
+#: portable SimHash width: 15 hex chars of md5 = 60 bits keeps the
+#: token hash inside a signed BIGINT on every engine
+_SIMHASH_PORTABLE_BITS = 60
+
+
+def simhash(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    portable: bool = False,
+) -> DataFrame:
+    """SimHash per document: 64-bit from xxhash64 token hashes, or — in
+    ``portable`` mode — 60-bit from md5-prefix token hashes.
 
     For each bit position, sum +1/−1 over tokens by whether the token
     hash has that bit set; fingerprint bit = sign of the sum. Pure
     JVM-side bit arithmetic (explode + bitwise ops + groupBy).
-    """
+
+    ``portable``: token hash = conv(first 15 hex chars of md5, 16, 10)
+    — the same cross-engine trick as the md5 MinHash twin, so any SQL
+    engine with md5() replays the fingerprint bit-identically (DuckDB:
+    ``('0x' || substring(md5(tok),1,15))::BIGINT``). xxhash64 stays the
+    fast default; the portable mode exists so the whole SimHash chain
+    is oracle-checkable."""
+    bits = _SIMHASH_PORTABLE_BITS if portable else 64
     toks = docs.select(
         F.col(id_col),
         F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("tok"),
     )
-    hashed = toks.select(id_col, F.xxhash64("tok").alias("h"))
+    if portable:
+        h = F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long")
+    else:
+        h = F.xxhash64("tok")
+    hashed = toks.select(id_col, h.alias("h"))
     bit_votes = [
         F.sum(
             F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
         ).alias(f"b{i}")
-        for i in range(64)
+        for i in range(bits)
     ]
     votes = hashed.groupBy(id_col).agg(*bit_votes)
     fp = F.lit(0).cast("long")
-    for i in range(64):
+    for i in range(bits):
         fp = fp.bitwiseOR(
             F.when(F.col(f"b{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(0)
         )
@@ -741,9 +763,11 @@ def simhash_candidates(
     chunks: int = 4,
     max_chunk_df: int | None = 1_000_000,
     corpus_size: int | None = None,
+    portable: bool = False,
 ) -> DataFrame:
     """Near-dup candidates: pairs sharing any 16-bit simhash chunk
-    (catches all pairs within Hamming distance chunks−1).
+    (15-bit in ``portable`` mode — see :func:`simhash`; catches all
+    pairs within Hamming distance chunks−1).
 
     Chunk values live in a 2^(64/chunks) space, so bucket sizes grow
     linearly with the corpus — chunk-LSH is a small-to-mid-corpus tool
@@ -752,8 +776,8 @@ def simhash_candidates(
     guard as minhash_lsh_pairs: memberships of a chunk value shared by
     more than the cap are dropped before the collect so one boilerplate
     corpus can't funnel into a single aggregation buffer."""
-    fp = simhash(docs, text_col, id_col)
-    width = 64 // chunks
+    fp = simhash(docs, text_col, id_col, portable=portable)
+    width = (_SIMHASH_PORTABLE_BITS if portable else 64) // chunks
     mask = (1 << width) - 1
     chunk_cols = [
         F.struct(

@@ -209,6 +209,59 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fp.crossJoin(F.broadcast(cands)).orderBy("doc_id")
 
 
+def dedup_simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SimHash chain in PORTABLE mode, oracle-checked end to end:
+    60-bit fingerprints from md5-prefix token hashes (the same
+    cross-engine trick as the md5 MinHash twin) plus the corpus-wide
+    15-bit-chunk candidate-pair count. DuckDB replays every step —
+    tokenization, per-bit votes, sign fold, chunk bucketing, distinct
+    pairs — bit-identically, so a wrong bit anywhere in the chain
+    breaks the hash. The xxhash64 sibling (dedup_simhash) stays the
+    fast engine default."""
+    from tailpipe_spark.session import parquet_row_count
+
+    docs = _docs(spark, sf_dir, parallel=True)
+    fp = dd.simhash(docs, portable=True)
+    cands = dd.simhash_candidates(
+        docs,
+        corpus_size=parquet_row_count(f"{sf_dir}/documents.parquet"),
+        portable=True,
+    ).groupBy().agg(F.count(F.lit(1)).alias("n_candidate_pairs"))
+    return fp.crossJoin(F.broadcast(cands)).orderBy("doc_id")
+
+
+def _simhash_md5_sql() -> str:
+    bits = 60
+    votes = ",\n         ".join(
+        f"SUM(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}"
+        for i in range(bits)
+    )
+    fold = " + ".join(
+        f"(CASE WHEN b{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(bits)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS tok FROM documents
+), hashed AS (
+  SELECT doc_id, ('0x' || substring(md5(tok), 1, 15))::BIGINT AS h FROM toks
+), votes AS (
+  SELECT doc_id,
+         {votes}
+  FROM hashed GROUP BY doc_id
+), fp AS (
+  SELECT doc_id, CAST({fold} AS BIGINT) AS simhash FROM votes
+), memb AS (
+  SELECT doc_id, u.ci, (simhash >> (u.ci * 15)) & 32767 AS cv
+  FROM fp, (SELECT unnest([0, 1, 2, 3]) AS ci) u
+), pairs AS (
+  SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib
+  FROM memb a JOIN memb b ON a.ci = b.ci AND a.cv = b.cv AND a.doc_id < b.doc_id
+), n AS (SELECT COUNT(*) AS n_candidate_pairs FROM pairs)
+SELECT f.doc_id, f.simhash, CAST(n.n_candidate_pairs AS BIGINT) AS n_candidate_pairs
+FROM fp f, n ORDER BY doc_id
+"""
+
+
 # --- language ID heuristic ---
 
 def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1066,6 +1119,7 @@ SPECS = [
     QuerySpec("mm_checksums", mm_checksums, MM_CHECKSUMS_SQL, "multimodal binary payloads through Arrow mapInPandas (checksum parity)"),
     QuerySpec("mm_audio_stats", mm_audio_stats, MM_AUDIO_SQL, "real WAV encode->decode roundtrip vs arithmetic oracle (square-wave RMS exactness)"),
     QuerySpec("mm_video_frames", mm_video_frames, MM_VIDEO_SQL, "real GIF LZW encode->decode roundtrip, one row per frame vs arithmetic oracle"),
+    QuerySpec("dedup_simhash_md5", dedup_simhash_md5, _simhash_md5_sql(), "portable 60-bit md5 SimHash chain + chunk-LSH candidate count, bit-exact oracle"),
     QuerySpec("dedup_exact", dedup_exact, DEDUP_EXACT_SQL, "exact dedup via md5 hash-groupBy"),
     QuerySpec("dedup_ngram_jaccard", dedup_ngram_jaccard, DEDUP_JACCARD_SQL, "word-3-gram Jaccard near-dup pairs"),
     QuerySpec("dedup_minhash_lsh", dedup_minhash_lsh, _minhash_sql(), "MinHash(12) + 4-band LSH candidate pairs (portable md5 twin)"),

@@ -871,3 +871,43 @@ def test_arrow_pair_kernel_bit_identical_to_sql_fold(spark):
     )
     assert sql_scored.exceptAll(arrow_scored).count() == 0
     assert arrow_scored.exceptAll(sql_scored).count() == 0
+
+
+def test_simhash_portable_matches_duckdb_replay(spark):
+    """The portable (md5-prefix) SimHash is bit-identical when replayed
+    in DuckDB — the property the dedup_simhash_md5 oracle relies on —
+    and near-identical texts land within small Hamming distance."""
+    import duckdb
+
+    from tailpipe_spark.operators.dedup import simhash
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy cat"),
+        (3, "completely different content about spark engines"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["simhash"] for r in simhash(df, portable=True).collect()}
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+    votes = ", ".join(
+        f"SUM(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}"
+        for i in range(60)
+    )
+    fold = " + ".join(f"(CASE WHEN b{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(60))
+    want = dict(con.execute(f"""
+        WITH toks AS (
+          SELECT doc_id,
+                 unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS tok
+          FROM documents),
+        hashed AS (SELECT doc_id, ('0x' || substring(md5(tok),1,15))::BIGINT AS h FROM toks),
+        votes AS (SELECT doc_id, {votes} FROM hashed GROUP BY doc_id)
+        SELECT doc_id, CAST({fold} AS BIGINT) FROM votes
+    """).fetchall())
+    assert got == want
+    # near-dup texts: small Hamming distance; unrelated: large
+    ham = lambda a, b: bin(a ^ b).count("1")
+    assert ham(got[1], got[2]) <= 12
+    assert ham(got[1], got[3]) > 12
