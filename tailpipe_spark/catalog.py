@@ -250,6 +250,52 @@ class Catalog:
     # record per-file tp_timestamp min/max + null_count at write time
     # and intersect the predicate against the index instead.
 
+    # The index lives in a per-table JSONL sidecar
+    # (metadata/file_index/<table>.jsonl), NOT inside manifest.json: a
+    # manifest-embedded index would make every incremental append pay
+    # an O(index) JSON rewrite — at 1M files that is a ~100 MB driver
+    # serialization per collect. JSONL appends keep the merge path
+    # O(new entries); reads dedupe last-wins by path, and the full
+    # rewrites (refresh/compact) naturally compact the file.
+
+    def _index_path(self, table: str) -> str:
+        return os.path.join(self.metadata_dir, "file_index", f"{table}.jsonl")
+
+    def load_file_index(self, table: str) -> list | None:
+        """Current file index, or None when never built. Reads the
+        JSONL sidecar (last-wins per path); falls back to a legacy
+        manifest-embedded index (pre-sidecar workspaces) which the
+        next store migrates out."""
+        p = self._index_path(table)
+        if os.path.exists(p):
+            by_path = {}
+            with open(p) as f:
+                for line in f:
+                    line = line.strip()
+                    if line:
+                        e = json.loads(line)
+                        by_path[e["path"]] = e
+            return list(by_path.values())
+        return self._load()["tables"].get(table, {}).get("file_index")
+
+    def _store_index(self, table: str, entries: list) -> None:
+        """Atomic full rewrite of the sidecar; drops any legacy
+        manifest-embedded copy so there is one source of truth."""
+        p = self._index_path(table)
+        os.makedirs(os.path.dirname(p), exist_ok=True)
+        tmp = p + ".tmp"
+        with open(tmp, "w") as f:
+            f.writelines(json.dumps(e) + "\n" for e in entries)
+        os.replace(tmp, p)
+        manifest = self._load()
+        if "file_index" in manifest["tables"].get(table, {}):
+            del manifest["tables"][table]["file_index"]
+            self._store(manifest)
+
+    def _append_index(self, table: str, entries: list) -> None:
+        with open(self._index_path(table), "a") as f:
+            f.writelines(json.dumps(e) + "\n" for e in entries)
+
     def _index_entry(self, tdir: str, relpath: str, columns) -> dict:
         """One file-index entry from a single footer read."""
         import pyarrow.parquet as pq
@@ -288,17 +334,15 @@ class Catalog:
                 if n.endswith(".parquet"):
                     rel = os.path.relpath(os.path.join(root, n), tdir)
                     index.append(self._index_entry(tdir, rel, columns))
-        manifest = self._load()
-        manifest["tables"][table]["file_index"] = index
+        self._store_index(table, index)
         if columns:
+            manifest = self._load()
             manifest["tables"][table]["indexed_columns"] = list(columns)
-        self._store(manifest)
+            self._store(manifest)
         return len(index)
 
     def has_file_index(self, table: str) -> bool:
-        return (
-            self._load()["tables"].get(table, {}).get("file_index") is not None
-        )
+        return self.load_file_index(table) is not None
 
     def merge_file_index(self, table: str, added: list[str]) -> int:
         """Merge newly written files into the existing index, reading
@@ -312,21 +356,22 @@ class Catalog:
         Falls back to a full rebuild when no index exists yet. New
         entries carry the same companion-column stats as the existing
         index (``indexed_columns``) so pruning stays uniform."""
-        manifest = self._load()
-        entry = manifest["tables"].get(table, {})
-        if entry.get("file_index") is None:
+        existing = self.load_file_index(table)
+        if existing is None:
             return self.refresh_file_index(table)
+        if not os.path.exists(self._index_path(table)):
+            # one-time migration of a legacy manifest-embedded index
+            self._store_index(table, existing)
         tdir = self.table_dir(table)
-        columns = entry.get("indexed_columns")
+        columns = self._load()["tables"].get(table, {}).get("indexed_columns")
         rels = [
             os.path.relpath(p, tdir) if os.path.isabs(p) else p for p in added
         ]
-        by_path = {e["path"]: e for e in entry["file_index"]}
-        for rel in sorted(rels):
-            by_path[rel] = self._index_entry(tdir, rel, columns)
-        entry["file_index"] = list(by_path.values())
-        self._store(manifest)
-        return len(entry["file_index"])
+        fresh = [self._index_entry(tdir, rel, columns) for rel in sorted(rels)]
+        # O(new entries) appended lines; reads dedupe last-wins by path
+        self._append_index(table, fresh)
+        known = {e["path"] for e in existing}
+        return len(known | {e["path"] for e in fresh})
 
     def refresh_partition_index(
         self,
@@ -343,18 +388,14 @@ class Catalog:
         ``columns`` switches the companion-column set (z-order compact
         passes its cluster columns); when that changes the WHOLE index
         is rebuilt so stats stay uniform across files."""
-        manifest = self._load()
-        entry = manifest["tables"].get(table, {})
-        if entry.get("file_index") is None or (
-            columns and list(columns) != entry.get("indexed_columns")
-        ):
+        existing = self.load_file_index(table)
+        cols_now = self._load()["tables"].get(table, {}).get("indexed_columns")
+        if existing is None or (columns and list(columns) != cols_now):
             return self.refresh_file_index(table, columns)
         tdir = self.table_dir(table)
         prefixes = tuple(k.rstrip(os.sep) + os.sep for k in key_relpaths)
-        kept = [
-            e for e in entry["file_index"] if not e["path"].startswith(prefixes)
-        ]
-        cols = entry.get("indexed_columns")
+        kept = [e for e in existing if not e["path"].startswith(prefixes)]
+        cols = cols_now
         for key in key_relpaths:
             kdir = os.path.join(tdir, key)
             if not os.path.isdir(kdir):
@@ -364,8 +405,7 @@ class Catalog:
                     if n.endswith(".parquet"):
                         rel = os.path.relpath(os.path.join(root, n), tdir)
                         kept.append(self._index_entry(tdir, rel, cols))
-        entry["file_index"] = kept
-        self._store(manifest)
+        self._store_index(table, kept)
         return len(kept)
 
     def pruned_files(self, table, time_from=None, time_to=None, predicates=None):
@@ -393,8 +433,7 @@ class Catalog:
 
         time_from = _naive_utc(time_from)
         time_to = _naive_utc(time_to)
-        entry = self._load()["tables"].get(table, {})
-        index = entry.get("file_index")
+        index = self.load_file_index(table)
         if index is None:
             return None
         tdir = self.table_dir(table)
@@ -491,7 +530,7 @@ class Catalog:
             # cols intact) with a false predicate — cheapest empty scan
             any_file = os.path.join(
                 self.table_dir(table),
-                self._load()["tables"][table]["file_index"][0]["path"],
+                self.load_file_index(table)[0]["path"],
             )
             df = reader.parquet(any_file).filter(F.lit(False))
         # partition type inference is off (tp_index stays varchar);

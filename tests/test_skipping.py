@@ -42,7 +42,7 @@ def monthly_workspace(spark, workspace, tmp_path):
 
 
 def test_collect_builds_file_index(monthly_workspace):
-    idx = monthly_workspace._load()["tables"]["metrics"].get("file_index")
+    idx = monthly_workspace.load_file_index("metrics")
     assert idx, "collect must refresh the file index"
     assert all(e["min_ts"] is not None for e in idx)
     assert {e["path"] for e in idx} == {
@@ -115,16 +115,14 @@ def test_cli_query_uses_index_and_matches(monthly_workspace, capsys):
 
 def test_null_stat_files_always_kept(monthly_workspace):
     cat = monthly_workspace
-    m = cat._load()
+    idx = cat.load_file_index("metrics")
     # simulate a file whose footer had no usable stats (null_ts=None)
-    m["tables"]["metrics"]["file_index"][0]["min_ts"] = None
-    m["tables"]["metrics"]["file_index"][0]["max_ts"] = None
-    m["tables"]["metrics"]["file_index"][0]["null_ts"] = None
-    cat._store(m)
+    idx[0]["min_ts"] = None
+    idx[0]["max_ts"] = None
+    idx[0]["null_ts"] = None
+    cat._store_index("metrics", idx)
     kept = cat.pruned_files("metrics", time_from=datetime.datetime(2030, 1, 1))
-    stats_less = os.path.join(
-        cat.table_dir("metrics"), m["tables"]["metrics"]["file_index"][0]["path"]
-    )
+    stats_less = os.path.join(cat.table_dir("metrics"), idx[0]["path"])
     assert stats_less in kept
 
 
@@ -175,10 +173,7 @@ def test_pruned_files_accepts_tz_aware_bounds(monthly_workspace):
 
 
 def _index_by_path(cat, table="metrics"):
-    return {
-        e["path"]: e
-        for e in cat._load()["tables"][table]["file_index"]
-    }
+    return {e["path"]: e for e in cat.load_file_index(table)}
 
 
 def test_incremental_append_reads_only_new_footers(
@@ -374,3 +369,60 @@ def test_connect_stale_index_falls_back_to_glob(monthly_workspace):
         assert "**" in script  # glob fallback
     finally:
         os.rename(victim + ".moved", victim)
+
+
+def test_merge_appends_constant_lines_not_index_rewrite(monthly_workspace, tmp_path, spark):
+    """The JSONL sidecar grows by exactly the merged entries — the
+    merge path must never rewrite the whole index (an O(index) JSON
+    serialization per append is the driver bottleneck the sidecar
+    exists to remove)."""
+    import json as _json
+
+    from tailpipe_spark.collect import collect
+    from tailpipe_spark.config import ColumnConfig, PartitionConfig, TableConfig
+    from tailpipe_spark.sources.formats import read_jsonl
+
+    cat = monthly_workspace
+    p = cat._index_path("metrics")
+    before_lines = sum(1 for _ in open(p))
+    before_mtime_manifest = os.path.getmtime(cat.manifest_path)
+
+    rows = [{"server_id": "srv-7", "cpu": 3.0, "time": "2024-07-01T12:00:00"}]
+    src = tmp_path / "one.jsonl"
+    src.write_text(_json.dumps(rows[0]))
+    table = TableConfig(
+        name="metrics",
+        columns=[
+            ColumnConfig(name="server_id", type="varchar"),
+            ColumnConfig(name="cpu", type="double"),
+            ColumnConfig(name="tp_timestamp", type="timestamp", source="time"),
+        ],
+        map_fields=[],
+    )
+    collect(spark, cat, table, PartitionConfig("metrics", "default"),
+            source_df=read_jsonl(spark, [str(src)]))
+    after_lines = sum(1 for _ in open(p))
+    new_files = len(cat.load_file_index("metrics")) - before_lines
+    assert new_files >= 1
+    assert after_lines == before_lines + new_files  # append, not rewrite
+
+
+def test_legacy_manifest_index_migrates_to_sidecar(monthly_workspace):
+    """Pre-sidecar workspaces (index embedded in manifest.json) keep
+    working: reads fall back, and the first merge migrates."""
+    cat = monthly_workspace
+    idx = cat.load_file_index("metrics")
+    # simulate a legacy workspace: index in manifest, no sidecar
+    m = cat._load()
+    m["tables"]["metrics"]["file_index"] = idx
+    cat._store(m)
+    os.unlink(cat._index_path("metrics"))
+    assert cat.load_file_index("metrics") == idx  # legacy fallback read
+    assert cat.pruned_files("metrics") is not None
+    n = cat.merge_file_index("metrics", [])  # no new files; migrates
+    assert n == len(idx)
+    assert os.path.exists(cat._index_path("metrics"))
+    assert "file_index" not in cat._load()["tables"]["metrics"]
+    assert {e["path"] for e in cat.load_file_index("metrics")} == {
+        e["path"] for e in idx
+    }
