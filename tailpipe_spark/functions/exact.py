@@ -54,9 +54,29 @@ def dwindow_sum(col: Column | str, window) -> Column:
     return F.sum(u).over(window).cast("double") / F.lit(1e6)
 
 
+def dsum_dec(col: Column | str, alias: str | None = None) -> Column:
+    """Exact sum SURFACED AS DECIMAL(38,6) — no double conversion.
+
+    The double-returning :func:`dsum` is correct until the sum needs
+    >16 significant digits; beyond that, engines differ in the
+    decimal→double conversion itself (Spark's BigDecimal.doubleValue is
+    correctly rounded; DuckDB converts via int128→double / 10^scale,
+    which double-rounds) — observed at 10× bench scale as a last-ulp
+    sum_charge divergence. Keeping the DECIMAL type end-to-end makes
+    the comparison exact at ANY scale."""
+    c = F.col(col) if isinstance(col, str) else col
+    out = F.sum(c.cast(_DEC)).cast("decimal(38,6)")
+    return out.alias(alias) if alias else out
+
+
 def oracle_dsum(expr: str) -> str:
     """DuckDB SQL equivalent of :func:`dsum` for oracle parity."""
     return f"CAST(SUM(CAST(({expr}) AS DECIMAL(27,6))) AS DOUBLE)"
+
+
+def oracle_dsum_dec(expr: str) -> str:
+    """DuckDB SQL equivalent of :func:`dsum_dec`."""
+    return f"CAST(SUM(CAST(({expr}) AS DECIMAL(27,6))) AS DECIMAL(38,6))"
 
 
 def oracle_davg(expr: str) -> str:

@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from tailpipe_spark.functions.exact import davg, dsum, oracle_davg, oracle_dsum
+from tailpipe_spark.functions.exact import davg, dsum, oracle_davg, oracle_dsum, dsum_dec, oracle_dsum_dec
 from tailpipe_spark.queries import QuerySpec
 from tailpipe_spark.session import load_tables
 
@@ -36,10 +36,10 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            dsum("l_quantity", "sum_qty"),
-            dsum("l_extendedprice", "sum_base_price"),
-            dsum(disc_price, "sum_disc_price"),
-            dsum(charge, "sum_charge"),
+            dsum_dec("l_quantity", "sum_qty"),
+            dsum_dec("l_extendedprice", "sum_base_price"),
+            dsum_dec(disc_price, "sum_disc_price"),
+            dsum_dec(charge, "sum_charge"),
             davg("l_quantity", "avg_qty"),
             davg("l_extendedprice", "avg_price"),
             davg("l_discount", "avg_disc"),
@@ -82,10 +82,10 @@ def q01_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q01_SQL = f"""
 SELECT l_returnflag, l_linestatus,
-       {oracle_dsum('l_quantity')} AS sum_qty,
-       {oracle_dsum('l_extendedprice')} AS sum_base_price,
-       {oracle_dsum('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
-       {oracle_dsum('l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge,
+       {oracle_dsum_dec('l_quantity')} AS sum_qty,
+       {oracle_dsum_dec('l_extendedprice')} AS sum_base_price,
+       {oracle_dsum_dec('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+       {oracle_dsum_dec('l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge,
        {oracle_davg('l_quantity')} AS avg_qty,
        {oracle_davg('l_extendedprice')} AS avg_price,
        {oracle_davg('l_discount')} AS avg_disc,

@@ -21,6 +21,7 @@ from __future__ import annotations
 import datetime
 import decimal
 import math
+import os
 import sys
 import time
 
@@ -90,7 +91,9 @@ def main() -> int:
     con = duckdb.connect()
     for t in TEST_TABLES:
         con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+            # generated bench sets (tools/gen_sf.py) are directories
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet"
+            + ("/*.parquet')" if os.path.isdir(f"{sf_dir}/{t}.parquet") else "')")
         )
 
     queries = entry_mod.queries()

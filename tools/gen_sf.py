@@ -67,6 +67,13 @@ def main() -> int:
         return read_table(spark, f"{SRC}/{t}.parquet")
 
     def write(df, t, parts=8):
+        # timestamps as NTZ like the driver's testdata: Spark writes
+        # TimestampType as isAdjustedToUTC=true, which DuckDB then
+        # surfaces as TIMESTAMPTZ and tz-aware values break typed
+        # oracle comparison against Spark's naive timestamps
+        for f_ in df.schema.fields:
+            if f_.dataType.typeName() == "timestamp":
+                df = df.withColumn(f_.name, F.col(f_.name).cast("timestamp_ntz"))
         df.repartition(parts).write.mode("overwrite").parquet(f"{out}/{t}.parquet")
         print("wrote", t)
 
