@@ -911,3 +911,27 @@ def test_simhash_portable_matches_duckdb_replay(spark):
     ham = lambda a, b: bin(a ^ b).count("1")
     assert ham(got[1], got[2]) <= 12
     assert ham(got[1], got[3]) > 12
+
+
+def test_dsum_dec_is_decimal_and_engine_exact(spark):
+    """dsum_dec keeps DECIMAL end-to-end: the value equals the exact
+    decimal sum with scale 6 — no double conversion anywhere (the
+    conversion itself diverges across engines past 16 significant
+    digits)."""
+    import decimal
+
+    import pyspark.sql.functions as F
+
+    from tailpipe_spark.functions.exact import dsum_dec
+
+    # values whose exact sum needs 17 significant digits
+    df = spark.range(4).select(
+        (F.lit(9876543210.123456) + F.col("id")).alias("v")
+    )
+    row = df.agg(dsum_dec("v", "s")).collect()[0]
+    assert isinstance(row["s"], decimal.Decimal)
+    expect = sum(
+        decimal.Decimal(9876543210.123456 + i).quantize(decimal.Decimal("0.000001"))
+        for i in range(4)
+    )
+    assert row["s"] == expect
