@@ -54,8 +54,22 @@ def linear_trend(
         F.sum(x * x).alias("__sxx"),
     )
     n = F.col("n")
-    det = (n * F.col("__sxx") - F.col("__sx") * F.col("__sx")).cast("double")
-    slope_u = (n * F.col("__sxy") - F.col("__sx") * F.col("__sy")).cast("double")
+    # the combination step multiplies two ~1e18 longs — at 10× bench
+    # scale (1M rows/group, micro-unit y) n·Σxy crossed 2^63 and threw
+    # ARITHMETIC_OVERFLOW under ANSI. The per-row sums stay long (fast
+    # map-side combine); only these four products widen to
+    # DECIMAL(38,0) (values ≤ ~1e36, exact), then one double cast —
+    # the oracle widens identically via HUGEINT.
+    d38 = "decimal(38,0)"
+    nD, sx, sy, sxy, sxx = (
+        n.cast(d38),
+        F.col("__sx").cast(d38),
+        F.col("__sy").cast(d38),
+        F.col("__sxy").cast(d38),
+        F.col("__sxx").cast(d38),
+    )
+    det = (nD * sxx - sx * sx).cast("double")
+    slope_u = (nD * sxy - sx * sy).cast("double")
     slope = F.when(det == 0, F.lit(None)).otherwise(slope_u / det) / _Y_SCALE
     intercept = (
         F.col("__sy").cast("double") / _Y_SCALE
@@ -85,15 +99,18 @@ WITH sums AS (
         FROM {table})
   GROUP BY {g})
 SELECT {g}, n,
-       CASE WHEN n * sxx - sx * sx = 0 THEN NULL
-            ELSE CAST(n * sxy - sx * sy AS DOUBLE)
-                 / CAST(n * sxx - sx * sx AS DOUBLE) END / {_Y_SCALE} AS slope,
+       CASE WHEN nH * sxxH - sxH * sxH = 0 THEN NULL
+            ELSE CAST(nH * sxyH - sxH * syH AS DOUBLE)
+                 / CAST(nH * sxxH - sxH * sxH AS DOUBLE) END / {_Y_SCALE} AS slope,
        (CAST(sy AS DOUBLE) / {_Y_SCALE}
-        - (CASE WHEN n * sxx - sx * sx = 0 THEN NULL
-                ELSE CAST(n * sxy - sx * sy AS DOUBLE)
-                     / CAST(n * sxx - sx * sx AS DOUBLE) END / {_Y_SCALE}) * CAST(sx AS DOUBLE))
+        - (CASE WHEN nH * sxxH - sxH * sxH = 0 THEN NULL
+                ELSE CAST(nH * sxyH - sxH * syH AS DOUBLE)
+                     / CAST(nH * sxxH - sxH * sxH AS DOUBLE) END / {_Y_SCALE}) * CAST(sx AS DOUBLE))
        / CAST(n AS DOUBLE) AS intercept
-FROM sums
+FROM (SELECT *, CAST(n AS HUGEINT) AS nH, CAST(sx AS HUGEINT) AS sxH,
+             CAST(sy AS HUGEINT) AS syH, CAST(sxy AS HUGEINT) AS sxyH,
+             CAST(sxx AS HUGEINT) AS sxxH
+      FROM sums)
 """
 
 

@@ -20,17 +20,42 @@ from pyspark.sql import functions as F
 from tailpipe_spark.queries import QuerySpec
 
 
+def _read_stream(spark, path: str):
+    """readStream over a parquet table with NTZ timestamps normalized
+    to TIMESTAMP: watermarks/event time REQUIRE TimestampType, so a
+    table written as TIMESTAMP_NTZ (Spark's own NTZ writes, pandas
+    ``timestamp[us]``) would otherwise fail with
+    EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE — the streaming twin of
+    read_table's batch-side safety net. Session tz is pinned UTC, so
+    the cast is value-identical."""
+    from pyspark.sql.types import TimestampNTZType
+
+    schema = spark.read.parquet(path).schema
+    src = spark.readStream.schema(schema).parquet(_stream_dir(path))
+    for f in schema.fields:
+        if isinstance(f.dataType, TimestampNTZType):
+            src = src.withColumn(f.name, F.col(f.name).cast("timestamp"))
+    return src
+
+
 @functools.lru_cache(maxsize=64)
 def _stream_dir(path: str) -> str:
-    """The file streaming source requires a DIRECTORY (it forces
-    basePath to the stream path); testdata tables are single parquet
-    files. Expose the file through a temp dir holding a symlink — no
-    data copy, cached per source path."""
+    """The file streaming source requires a DIRECTORY of data files (it
+    forces basePath to the stream path and does not recurse into
+    nested table dirs); testdata tables are single parquet files,
+    generated bench sets are directories of part files. Expose either
+    through a temp dir of flat symlinks — no data copy, cached per
+    source path."""
     import os
     import tempfile
 
     d = tempfile.mkdtemp(prefix="tp_stream_src_")
-    os.symlink(path, os.path.join(d, os.path.basename(path)))
+    if os.path.isdir(path):
+        for n in sorted(os.listdir(path)):
+            if n.endswith(".parquet"):
+                os.symlink(os.path.join(path, n), os.path.join(d, n))
+    else:
+        os.symlink(path, os.path.join(d, os.path.basename(path)))
     return d
 
 
@@ -45,8 +70,7 @@ def q_stream_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     configure_runtime(spark)
     path = f"{sf_dir}/events.parquet"
-    schema = spark.read.parquet(path).schema
-    src = spark.readStream.schema(schema).parquet(_stream_dir(path))
+    src = _read_stream(spark, path)
     out = windowed_counts(
         src, ts_col="ts", window="1 hour", watermark="1 hour",
         group_cols=["event_type"],
@@ -89,8 +113,7 @@ def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     configure_runtime(spark)
     path = f"{sf_dir}/events.parquet"
-    schema = spark.read.parquet(path).schema
-    src = spark.readStream.schema(schema).parquet(_stream_dir(path))
+    src = _read_stream(spark, path)
     sessions = session_windows(
         src, key="user_id", ts_col="ts", gap="30 minutes", watermark="1 hour"
     )
@@ -148,8 +171,7 @@ def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     configure_runtime(spark)
     path = f"{sf_dir}/events.parquet"
-    schema = spark.read.parquet(path).schema
-    src = spark.readStream.schema(schema).parquet(_stream_dir(path))
+    src = _read_stream(spark, path)
     dim = read_table(spark, f"{sf_dir}/customer.parquet").select(
         "c_custkey", "c_mktsegment"
     )
@@ -194,8 +216,7 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     configure_runtime(spark)
     path = f"{sf_dir}/events.parquet"
-    schema = spark.read.parquet(path).schema
-    src = spark.readStream.schema(schema).parquet(_stream_dir(path))
+    src = _read_stream(spark, path)
     agg = (
         src.select("user_id", "event_type")
         .dropDuplicates(["user_id", "event_type"])
@@ -233,10 +254,8 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     configure_runtime(spark)
     path = f"{sf_dir}/events.parquet"
-    schema = spark.read.parquet(path).schema
     clicks = (
-        spark.readStream.schema(schema)
-        .parquet(_stream_dir(path))
+        _read_stream(spark, path)
         .where(F.col("event_type") == "click")
         .select(
             F.col("user_id"), F.col("ts").alias("click_ts"),
@@ -245,8 +264,7 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withWatermark("click_ts", "2 hours")
     )
     purchases = (
-        spark.readStream.schema(schema)
-        .parquet(_stream_dir(path))
+        _read_stream(spark, path)
         .where(F.col("event_type") == "purchase")
         .select(
             F.col("user_id"), F.col("ts").alias("buy_ts"),
@@ -341,8 +359,7 @@ def q_stream_budget_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     configure_runtime(spark)
     path = f"{sf_dir}/events.parquet"
-    schema = spark.read.parquet(path).schema
-    src = spark.readStream.schema(schema).parquet(_stream_dir(path))
+    src = _read_stream(spark, path)
     alerts = budget_alerts_stream(
         src, "user_id", "value", "ts", budget_milli=1_000_000
     )
