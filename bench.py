@@ -107,6 +107,35 @@ def main() -> int:
     timings: dict[str, float] = {}
     detail: dict[str, dict] = {}
     errors: dict[str, str] = {}
+    duck: dict[str, float] = {}
+
+    # In-artifact baseline setup: DuckDB running the IDENTICAL oracle
+    # SQL over the same parquet, same process. Each query's Spark and
+    # DuckDB reps run ADJACENT IN TIME (interleaved per query, not two
+    # separated phases): the shared box's background load drifts on a
+    # minutes scale, and a phase-separated protocol let one engine
+    # absorb a load spike the other never saw — observed as a 2x swing
+    # in the headline ratio between otherwise identical runs.
+    con = None
+    oracle_twin = {"q01_fast": "q01_pricing_summary",
+                   "dedup_minhash_fast": "dedup_minhash_lsh"}
+    try:
+        import duckdb
+
+        con = duckdb.connect()
+        con.execute(f"SET threads TO {os.cpu_count() or 8}")
+        for t in TEST_TABLES:
+            # generated bench sets (tools/gen_sf.py) are directories of
+            # part files; DuckDB needs the glob form for those
+            path = f"{sf_dir}/{t}.parquet"
+            src = f"{path}/*.parquet" if os.path.isdir(path) else path
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{src}')"
+            )
+    except Exception as e:  # noqa: BLE001 — baseline is best-effort
+        errors["duckdb"] = f"{type(e).__name__}: {e}"[:200]
+        con = None
+
     for name in HEADLINE:
         fn = registry[name].fn
         times: list[float] = []
@@ -127,44 +156,19 @@ def main() -> int:
             "min": round(min(times), 3),
             "reps": [round(t, 3) for t in times],
         }
-
-    # In-artifact baseline: DuckDB running the IDENTICAL oracle SQL over
-    # the same parquet, min-of-reps, same process. Makes the 2× bar
-    # self-contained instead of a judge-session side measurement.
-    # Headline entries without an oracle use their value-checked twin's
-    # SQL (same semantics, decimal-exact flavor).
-    duck: dict[str, float] = {}
-    try:
-        import duckdb
-
-        oracle_twin = {"q01_fast": "q01_pricing_summary",
-                       "dedup_minhash_fast": "dedup_minhash_lsh"}
-        con = duckdb.connect()
-        con.execute(f"SET threads TO {os.cpu_count() or 8}")
-        for t in TEST_TABLES:
-            # generated bench sets (tools/gen_sf.py) are directories of
-            # part files; DuckDB needs the glob form for those
-            path = f"{sf_dir}/{t}.parquet"
-            src = f"{path}/*.parquet" if os.path.isdir(path) else path
-            con.execute(
-                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{src}')"
-            )
-        for name in HEADLINE:
-            spec = registry.get(oracle_twin.get(name, name))
-            if spec is None or spec.oracle is None:
-                continue
-            best = None
-            try:
-                for _ in range(max(1, reps)):
-                    t0 = time.time()
-                    con.execute(spec.oracle).fetchall()
-                    dt = time.time() - t0
-                    best = dt if best is None else min(best, dt)
-                duck[name] = round(best, 3)
-            except Exception as e:  # noqa: BLE001
-                errors[f"duckdb:{name}"] = f"{type(e).__name__}: {e}"[:200]
-    except Exception as e:  # noqa: BLE001 — baseline is best-effort
-        errors["duckdb"] = f"{type(e).__name__}: {e}"[:200]
+        spec = registry.get(oracle_twin.get(name, name))
+        if con is None or spec is None or spec.oracle is None:
+            continue
+        best = None
+        try:
+            for _ in range(max(1, reps)):
+                t0 = time.time()
+                con.execute(spec.oracle).fetchall()
+                dt = time.time() - t0
+                best = dt if best is None else min(best, dt)
+            duck[name] = round(best, 3)
+        except Exception as e:  # noqa: BLE001
+            errors[f"duckdb:{name}"] = f"{type(e).__name__}: {e}"[:200]
 
     common = [n for n in timings if n in duck]
     spark_common = sum(timings[n] for n in common)
