@@ -58,6 +58,7 @@ _VERIFY_FIRST = [
     # rows-only slot converted to a bit-exact list_reduce oracle) ---
     "mm_video_frames",  # real GIF LZW kernel vs arithmetic oracle
     "dedup_simhash_md5",  # portable 60-bit simhash chain, bit-exact oracle
+    "sim_lsh_topk_md5",  # portable LSH ANN chain, bit-exact oracle
     "q_range_join",  # r7 plan change: explode_side=left + extra_on key
     "q_json_extract",  # r7 plan change: variant_get parse
     "q01_pricing_summary",  # r7 plan change: sums surfaced as DECIMAL(38,6)

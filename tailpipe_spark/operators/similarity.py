@@ -278,6 +278,52 @@ def hyperplane_signature(vec_col, num_planes: int = 16, seed: int = 42):
     return sig
 
 
+def hyperplane_signs(num_planes: int, dim: int, seed: int = 42) -> list[list[int]]:
+    """The ±1 hyperplane matrix as plain Python ints — derived from
+    md5 (hashlib, engine-independent), so the SAME literals can be
+    embedded in a Spark plan and in oracle SQL. Data-independent:
+    sign[p][d] = parity of md5("{seed}:{p}:{d}")."""
+    import hashlib
+
+    return [
+        [
+            1 if hashlib.md5(f"{seed}:{p}:{d}".encode()).digest()[-1] & 1 else -1
+            for d in range(dim)
+        ]
+        for p in range(num_planes)
+    ]
+
+
+def hyperplane_signature_portable(
+    vec_col, num_planes: int, dim: int, seed: int = 42
+):
+    """Portable twin of :func:`hyperplane_signature`: literal md5 sign
+    matrix (hyperplane_signs) and FIXED-POINT projections — per plane,
+    Σ_d floor(x_d·s_d·1e12) summed as longs, bit = sum > 0. Integer
+    sums are order-free, so any SQL engine replays the signature
+    bit-identically regardless of its aggregation order (the same
+    trick as operators.similarity._exact_dot)."""
+    signs = hyperplane_signs(num_planes, dim, seed)
+    sig = F.lit(0).cast("long")
+    for p in range(num_planes):
+        lits = F.array(*[F.lit(float(s)) for s in signs[p]])
+        proj_fx = F.aggregate(
+            F.zip_with(
+                vec_col,
+                lits,
+                lambda x, s: F.floor(x.cast("double") * s * F.lit(1e12)).cast(
+                    "long"
+                ),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+        sig = sig.bitwiseOR(
+            F.when(proj_fx > 0, F.shiftleft(F.lit(1).cast("long"), p)).otherwise(0)
+        )
+    return sig
+
+
 def ivf_index(
     vectors: DataFrame,
     nlist: int = 16,
@@ -412,9 +458,16 @@ def lsh_topk(
     vec_col: str = "embedding",
     probe_id_col: str = "probe_id",
     multiprobe: int = 0,
+    portable_dim: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: candidates share >=1 LSH band with the probe,
     then exact cosine re-rank within candidates.
+
+    ``portable_dim``: when set (the vector dimension), signatures use
+    :func:`hyperplane_signature_portable` — literal md5 sign matrix +
+    fixed-point projections — so the WHOLE chain (signature, banding,
+    bucket join, exact re-rank) is replayable bit-identically in any
+    SQL engine; the default xxhash64 signature stays the fast path.
 
     Recall is set by the (num_planes, bands) layout — p_catch =
     1-(1-p^W)^bands with W = num_planes/bands — and by ``multiprobe``:
@@ -428,7 +481,12 @@ def lsh_topk(
     mask = (1 << width) - 1
 
     def banded(df, idc, expand: bool = False):
-        s = df.withColumn("__sig", hyperplane_signature(F.col(vec_col), num_planes))
+        sig_col = (
+            hyperplane_signature_portable(F.col(vec_col), num_planes, portable_dim)
+            if portable_dim is not None
+            else hyperplane_signature(F.col(vec_col), num_planes)
+        )
+        s = df.withColumn("__sig", sig_col)
         chunk_cols = []
         for i in range(bands):
             bv = (

@@ -83,6 +83,68 @@ def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sim_lsh_topk_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LSH ANN chain in PORTABLE mode, oracle-checked end to end:
+    hyperplane signatures from a literal md5 sign matrix with
+    fixed-point projections (integer sums — order-free, so any engine
+    replays them), 4-band bucketing, candidate join, exact
+    fixed-point cosine re-rank. The xxhash64 signature sibling
+    (sim_lsh_topk) stays the fast engine default, recall-pinned by
+    pytest."""
+    emb = _emb(spark, sf_dir)
+    probe = emb.filter(F.col("vec_id") == _PROBE_ID)
+    out = sim.lsh_topk(
+        emb, probe, k=_K, num_planes=16, bands=4, portable_dim=64
+    )
+    return out.select("probe_id", "vec_id", "cosine").orderBy(
+        F.col("cosine").desc(), F.col("vec_id").asc()
+    )
+
+
+def _lsh_md5_sql() -> str:
+    """Oracle generated from the SAME sign matrix as the Spark plan."""
+    signs = sim.hyperplane_signs(16, 64)
+    rows = ", ".join(
+        f"({p}, {d}, {signs[p][d]})" for p in range(16) for d in range(64)
+    )
+    width = 4  # 16 planes / 4 bands
+    return f"""
+WITH signs(p, d, s) AS (VALUES {rows}),
+planes AS (
+  SELECT e.vec_id, s.p,
+         SUM(CAST(FLOOR(CAST(e.embedding[s.d + 1] AS DOUBLE) * s.s * {_F}) AS BIGINT)) AS fx
+  FROM embeddings e CROSS JOIN signs s
+  GROUP BY e.vec_id, s.p),
+sigs AS (
+  SELECT vec_id,
+         CAST(SUM(CASE WHEN fx > 0 THEN (CAST(1 AS BIGINT) << p) ELSE 0 END) AS BIGINT) AS sig
+  FROM planes GROUP BY vec_id),
+bandsx AS (
+  SELECT vec_id, b.b AS band, (sig >> (b.b * {width})) & {(1 << width) - 1} AS bv
+  FROM sigs CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS b) b),
+cand AS (
+  SELECT DISTINCT p.vec_id AS probe_id, c.vec_id AS cand_id
+  FROM bandsx c JOIN bandsx p ON c.band = p.band AND c.bv = p.bv
+  WHERE p.vec_id = {_PROBE_ID} AND c.vec_id <> {_PROBE_ID}),
+pairs AS (
+  SELECT cand.probe_id, cand.cand_id,
+         unnest(e.embedding) AS x, unnest(pe.embedding) AS y
+  FROM cand
+  JOIN embeddings e ON e.vec_id = cand.cand_id
+  JOIN embeddings pe ON pe.vec_id = cand.probe_id),
+stats AS (
+  SELECT probe_id, cand_id AS vec_id,
+         {_DOT} AS dotp, {_SQX} AS nx, {_SQY} AS ny
+  FROM pairs GROUP BY probe_id, vec_id),
+scored AS (
+  SELECT probe_id, vec_id, {_q12("dotp / (SQRT(nx) * SQRT(ny))")} AS cosine
+  FROM stats)
+SELECT probe_id, vec_id, cosine FROM scored
+ORDER BY cosine DESC, vec_id ASC
+LIMIT {_K}
+"""
+
+
 def emb_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
     norm = sim.quantize12(F.sqrt(sim._exact_sq_norm(F.col("embedding"))))
@@ -220,7 +282,8 @@ GROUP BY cluster_id ORDER BY cluster_id
 SPECS = [
     QuerySpec("emb_kmeans_assign", emb_kmeans_assign, KMEANS_SQL, "k-means assignment step over seed centroids (broadcast, fixed-point exact)"),
     QuerySpec("sim_cosine_topk", sim_cosine_topk, SIM_TOPK_SQL, "exact brute-force cosine top-k (fixed-point exact)"),
-    QuerySpec("sim_lsh_topk", sim_lsh_topk, None, "hyperplane-LSH bucketed ANN + exact re-rank (rows-only)"),
+    QuerySpec("sim_lsh_topk", sim_lsh_topk, None, "hyperplane-LSH bucketed ANN + exact re-rank (rows-only; md5 twin carries the value check)"),
+    QuerySpec("sim_lsh_topk_md5", sim_lsh_topk_md5, _lsh_md5_sql(), "portable LSH ANN chain: literal md5 sign matrix + fixed-point projections, bit-exact oracle"),
     QuerySpec("sim_ivf_topk", sim_ivf_topk, None, "IVF coarse-quantizer ANN + exact re-rank (rows-only)"),
     QuerySpec("dedup_embedding_cosine", dedup_embedding_cosine, DEDUP_EMB_SQL, "embedding-cosine near-dup pairs (exact, fixed-point stable)"),
     QuerySpec("emb_norm_stats", emb_norm_stats, EMB_NORM_SQL, "per-label embedding norm statistics"),
