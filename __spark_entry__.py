@@ -49,16 +49,15 @@ _VERIFY_FIRST = [
     "q01_fast",
     "dedup_minhash_fast",
     "sim_lsh_topk",
-    "sim_ivf_topk",
     "q_approx_distinct",  # rows-only by design
-    "q_ewma_last",  # rows-only (oracle conversion planned this round)
+    "q_ewma_last",  # converted r7: bit-exact list_reduce oracle
     "q_sketch_rollup",  # rows-only by design
     "dedup_simhash",  # rows-only by design
-    # --- new in r7 (q_ewma_last above is also now hash-checked: its
-    # rows-only slot converted to a bit-exact list_reduce oracle) ---
+    # --- new in r7 ---
     "mm_video_frames",  # real GIF LZW kernel vs arithmetic oracle
     "dedup_simhash_md5",  # portable 60-bit simhash chain, bit-exact oracle
     "sim_lsh_topk_md5",  # portable LSH ANN chain, bit-exact oracle
+    "sim_ivf_topk",  # r7: fixed-point Lloyd means -> whole chain hash-checked
     "q_range_join",  # r7 plan change: explode_side=left + extra_on key
     "q_json_extract",  # r7 plan change: variant_get parse
     "q01_pricing_summary",  # r7 plan change: sums surfaced as DECIMAL(38,6)
@@ -93,101 +92,6 @@ _VERIFY_FIRST = [
     "dedup_components",
 ]
 
-_VERIFY_FIRST_R6 = [
-    # the r5 verdict's explicit ask — plan changed in d873dcf (and again
-    # in the r6 expr-string rework): pinned first so the ~50-entry
-    # sample always covers them no matter how many new entries land
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "q02_min_cost_supplier",
-    "q04_order_priority",
-    "q06_revenue_forecast",
-    "q07_volume_shipping",
-    "q08_market_share",
-    "q09_product_profit",
-    "q10_returned_items",
-    "q11_important_value",
-    "q12_priority_shipping",
-    "q13_customer_distribution",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q16_supplier_count",
-    "q17_small_qty_revenue",
-    "q18_large_orders",
-    "q19_disjunctive",
-    "q20_promotion_suppliers",
-    "q21_late_suppliers",
-    "q22_global_sales",
-    "mm_audio_stats",  # new in r6: real WAV kernel vs arithmetic oracle
-    "data_split_counts",  # new in r6: deterministic hash split
-    "data_stratified_sample",
-    "data_sample_fraction",
-    "data_mixture_rates",
-    "pipeline_quality_dedup_split",  # new in r6: full-chain composition
-    "q_stream_static_join",  # new in r6: stream-static broadcast join
-    "q_stream_dedup",  # new in r6: streaming dropDuplicates == batch
-    "q_unpivot",  # new in r6: unpivot/melt
-    "q_lateral_topk",  # new in r6: LATERAL decorrelation
-    "q_rollup_continuous",  # new in r6: continuous aggregate union
-    "q_sketch_rollup",  # new in r6: mergeable HLL rollup (rows-only)
-    "q_trend_linear",  # new in r6: exact OLS trend
-    "q_ewma_last",  # new in r6: grouped applyInPandas EWMA (rows-only)
-    "q_recursive_cte",  # new in r6: WITH RECURSIVE gap-fill
-    "q_variant_json",  # new in r6: VARIANT parse-once navigation
-    "q_collation",  # new in r6: COLLATE UTF8_LCASE predicate
-    "q_funnel",  # new in r6: ordered funnel stages
-    "q_cohort_retention",  # new in r6: cohort retention matrix
-    "text_hash_embedding",  # new in r6: feature-hashing embedding
-    "dedup_incremental",  # new in r6: batch-vs-index incremental dedup
-    "q_upsert_latest",  # new in r6: CDC latest-state compaction
-    "q_histogram",  # new in r6: equi-width histogram
-    "q_string_agg",  # new in r6: LISTAGG WITHIN GROUP
-    "q_stream_stream_join",  # new in r6: watermarked interval join
-    "q_stream_budget_alerts",  # new in r6: arbitrary-state crossings
-    "sec_zscore_outliers",  # new in r6: exact z-score anomalies
-    "q_null_semantics",  # new in r6: null-safe equality join
-    "q_window_ranks",  # new in r6: rank-family window zoo
-    "q_try_semantics",  # new in r6: TRY_CAST/try_divide
-    "q_array_functions",  # new in r6: array algebra zoo
-    "q_map_functions",  # new in r6: map-type zoo
-    "q_argmax_agg",  # new in r6: max_by/min_by arg-max aggregation
-    "q_grouping_id",  # new in r6: GROUPING()/GROUPING_ID over CUBE
-    "q_bool_aggs",  # new in r6: bool_and/bool_or/count_if
-    "q_bitwise",  # new in r6: bitwise aggregates + shifts
-    "dedup_lsh_verified",  # new in r6: LSH->verify chain, oracle-checked
-    "dedup_resolve",  # new in r6: components -> keep/drop decisions
-    "q_stream_window_counts",  # new in r6: streaming==batch oracle proof
-    "q_stream_sessionize",  # new in r6: streaming session windows
-    "text_tfidf_topterms",  # new in r6: rational-idf tf-idf top terms
-    "q_asof_join",
-    "q_window_frames",
-    "q_array_explode",
-    "text_language_id",
-    "text_quality",
-    "text_token_stats",
-    "text_doc_tokens",
-    "text_fingerprint",
-    "text_pii_redact",
-    "text_bpe_tokens",
-    "text_chunk",
-    "text_pack",
-    "text_repetition",
-    "text_url_domains",
-    "text_decontaminate",
-    "dedup_components",
-    "emb_kmeans_assign",
-    "sim_cosine_topk",
-    "sim_lsh_topk",
-    "sim_ivf_topk",
-    "dedup_embedding_cosine",
-    "emb_norm_stats",
-    # r6 plan-affecting work below is fronted as it lands:
-    "dedup_ngram_jaccard",
-    "dedup_minhash_fast",
-    "q01_pricing_summary",
-    "q03_shipping_priority",
-    "q05_local_supplier",
-]
 
 
 def _rotated() -> dict:

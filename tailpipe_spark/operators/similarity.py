@@ -352,12 +352,26 @@ def ivf_index(
     centroids = seeds
     for _ in range(refine_iters):
         assigned = assign_clusters(vectors, centroids, id_col, vec_col)
+        # fixed-point mean (Σ floor(x·1e12) as longs, two double
+        # divisions): integer sums are order-free, so the refined
+        # centroids are deterministic AND replayable bit-identically by
+        # any SQL engine — a plain AVG(double) is partition-order-
+        # dependent in the last ulps, which made the whole IVF chain
+        # uncheckable (the r7 change that converted sim_ivf_topk from
+        # rows-only to hash-verified)
+        mean_fx = (
+            F.sum(
+                F.floor(F.col("val").cast("double") * F.lit(1e12)).cast("long")
+            ).cast("double")
+            / F.count(F.lit(1))
+            / F.lit(1e12)
+        )
         means = (
             assigned.select(
                 "cluster_id", F.posexplode(vec_col).alias("pos", "val")
             )
             .groupBy("cluster_id", "pos")
-            .agg(F.avg(F.col("val").cast("double")).alias("m"))
+            .agg(mean_fx.alias("m"))
             .groupBy("cluster_id")
             .agg(
                 F.transform(

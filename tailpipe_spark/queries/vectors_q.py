@@ -211,8 +211,12 @@ ORDER BY id_a, id_b
 
 
 def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN: coarse-quantized cluster shortlist + exact re-rank
-    (rows-only: centroid refinement averages are engine-specific)."""
+    """IVF ANN: coarse-quantized cluster shortlist + exact re-rank.
+    Hash-checked end to end: seeds are the 8 lowest ids, the one Lloyd
+    refinement uses FIXED-POINT means (order-free integer sums — see
+    ivf_index), assignments/shortlist/re-rank use the fixed-point
+    cosine — so the oracle replays the entire chain bit-identically:
+    an approximate ALGORITHM is still a deterministic one."""
     from tailpipe_spark.operators.similarity import ivf_topk
 
     emb = _emb(spark, sf_dir)
@@ -279,12 +283,82 @@ GROUP BY cluster_id ORDER BY cluster_id
 """
 
 
+def _ivf_sql() -> str:
+    """Oracle for the full IVF chain (nlist=8, 1 Lloyd step, nprobe=3,
+    k=10), generated from the same parameters as the Spark plan."""
+    nlist, nprobe, dim = 8, 3, 64
+    cos = _q12("dotp / (SQRT(nx) * SQRT(ny))")
+    return f"""
+WITH seeds AS (
+  SELECT (ROW_NUMBER() OVER (ORDER BY vec_id)) - 1 AS cluster_id,
+         embedding AS centroid
+  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT {nlist})),
+a1p AS (
+  SELECT e.vec_id, s.cluster_id,
+         unnest(e.embedding) AS x, unnest(s.centroid) AS y
+  FROM embeddings e CROSS JOIN seeds s),
+a1s AS (
+  SELECT vec_id, cluster_id, {_DOT} AS dotp, {_SQX} AS nx, {_SQY} AS ny
+  FROM a1p GROUP BY vec_id, cluster_id),
+a1 AS (
+  SELECT vec_id, cluster_id FROM (
+    SELECT vec_id, cluster_id,
+           ROW_NUMBER() OVER (PARTITION BY vec_id
+                              ORDER BY {cos} DESC, cluster_id) AS rk
+    FROM a1s) WHERE rk = 1),
+mean_src AS (
+  SELECT a1.cluster_id, d.pos, e.embedding[d.pos] AS val
+  FROM a1 JOIN embeddings e USING (vec_id)
+  CROSS JOIN (SELECT unnest(range(1, {dim + 1})) AS pos) d),
+means AS (
+  SELECT cluster_id, pos,
+         CAST(CAST(SUM(CAST(FLOOR(CAST(val AS DOUBLE) * {_F}) AS BIGINT)) AS DOUBLE)
+              / COUNT(*) / {_F} AS REAL) AS m
+  FROM mean_src GROUP BY cluster_id, pos),
+cents AS (
+  SELECT cluster_id, list(m ORDER BY pos) AS centroid FROM means
+  GROUP BY cluster_id),
+a2p AS (
+  SELECT e.vec_id, c.cluster_id,
+         unnest(e.embedding) AS x, unnest(c.centroid) AS y
+  FROM embeddings e CROSS JOIN cents c),
+a2s AS (
+  SELECT vec_id, cluster_id, {_DOT} AS dotp, {_SQX} AS nx, {_SQY} AS ny
+  FROM a2p GROUP BY vec_id, cluster_id),
+assigned AS (
+  SELECT vec_id, cluster_id FROM (
+    SELECT vec_id, cluster_id,
+           ROW_NUMBER() OVER (PARTITION BY vec_id
+                              ORDER BY {cos} DESC, cluster_id) AS rk
+    FROM a2s) WHERE rk = 1),
+shortlist AS (
+  SELECT cluster_id FROM (
+    SELECT cluster_id,
+           ROW_NUMBER() OVER (ORDER BY {cos} DESC, cluster_id) AS rk
+    FROM a2s WHERE vec_id = {_PROBE_ID}) WHERE rk <= {nprobe}),
+cand AS (
+  SELECT a.vec_id FROM assigned a JOIN shortlist USING (cluster_id)
+  WHERE a.vec_id <> {_PROBE_ID}),
+pairs AS (
+  SELECT e.vec_id, unnest(e.embedding) AS x, unnest(p.embedding) AS y
+  FROM cand JOIN embeddings e USING (vec_id)
+  CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = {_PROBE_ID}) p),
+stats AS (
+  SELECT vec_id, {_DOT} AS dotp, {_SQX} AS nx, {_SQY} AS ny
+  FROM pairs GROUP BY vec_id)
+SELECT {_PROBE_ID} AS probe_id, vec_id, {cos} AS cosine
+FROM stats
+ORDER BY cosine DESC, vec_id ASC
+LIMIT {_K}
+"""
+
+
 SPECS = [
     QuerySpec("emb_kmeans_assign", emb_kmeans_assign, KMEANS_SQL, "k-means assignment step over seed centroids (broadcast, fixed-point exact)"),
     QuerySpec("sim_cosine_topk", sim_cosine_topk, SIM_TOPK_SQL, "exact brute-force cosine top-k (fixed-point exact)"),
     QuerySpec("sim_lsh_topk", sim_lsh_topk, None, "hyperplane-LSH bucketed ANN + exact re-rank (rows-only; md5 twin carries the value check)"),
     QuerySpec("sim_lsh_topk_md5", sim_lsh_topk_md5, _lsh_md5_sql(), "portable LSH ANN chain: literal md5 sign matrix + fixed-point projections, bit-exact oracle"),
-    QuerySpec("sim_ivf_topk", sim_ivf_topk, None, "IVF coarse-quantizer ANN + exact re-rank (rows-only)"),
+    QuerySpec("sim_ivf_topk", sim_ivf_topk, _ivf_sql(), "IVF ANN chain: seeds + fixed-point Lloyd step + shortlist + exact re-rank, bit-exact oracle"),
     QuerySpec("dedup_embedding_cosine", dedup_embedding_cosine, DEDUP_EMB_SQL, "embedding-cosine near-dup pairs (exact, fixed-point stable)"),
     QuerySpec("emb_norm_stats", emb_norm_stats, EMB_NORM_SQL, "per-label embedding norm statistics"),
 ]
