@@ -353,25 +353,28 @@ class Catalog:
         internal/database/file_metadata.go:42-52).
 
         ``added``: file paths absolute or relative to the table dir.
-        Falls back to a full rebuild when no index exists yet. New
-        entries carry the same companion-column stats as the existing
-        index (``indexed_columns``) so pruning stays uniform."""
-        existing = self.load_file_index(table)
-        if existing is None:
-            return self.refresh_file_index(table)
+        Falls back to a full rebuild when no index exists yet
+        (returning the full count); otherwise returns the number of
+        entries appended. New entries carry the same companion-column
+        stats as the existing index (``indexed_columns``) so pruning
+        stays uniform."""
         if not os.path.exists(self._index_path(table)):
+            legacy = self.load_file_index(table)
+            if legacy is None:
+                return self.refresh_file_index(table)
             # one-time migration of a legacy manifest-embedded index
-            self._store_index(table, existing)
+            self._store_index(table, legacy)
         tdir = self.table_dir(table)
         columns = self._load()["tables"].get(table, {}).get("indexed_columns")
         rels = [
             os.path.relpath(p, tdir) if os.path.isabs(p) else p for p in added
         ]
         fresh = [self._index_entry(tdir, rel, columns) for rel in sorted(rels)]
-        # O(new entries) appended lines; reads dedupe last-wins by path
+        # O(new entries) appended lines; reads dedupe last-wins by
+        # path. The existing index is deliberately NOT loaded here —
+        # that read alone is O(table) and was measurable at 4k files.
         self._append_index(table, fresh)
-        known = {e["path"] for e in existing}
-        return len(known | {e["path"] for e in fresh})
+        return len(fresh)
 
     def refresh_partition_index(
         self,

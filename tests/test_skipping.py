@@ -420,7 +420,7 @@ def test_legacy_manifest_index_migrates_to_sidecar(monthly_workspace):
     assert cat.load_file_index("metrics") == idx  # legacy fallback read
     assert cat.pruned_files("metrics") is not None
     n = cat.merge_file_index("metrics", [])  # no new files; migrates
-    assert n == len(idx)
+    assert n == 0  # nothing appended; migration is a side effect
     assert os.path.exists(cat._index_path("metrics"))
     assert "file_index" not in cat._load()["tables"]["metrics"]
     assert {e["path"] for e in cat.load_file_index("metrics")} == {
