@@ -55,6 +55,18 @@ def _input_bytes(sf_dir: str) -> int:
     return total
 
 
+def _auto_max_partition_bytes(total_bytes: int) -> int:
+    """Scan-split size targeting ~2 splits per core for the ACTIVE
+    dataset. The 128 MB default packs a small benchmark's files into a
+    handful of scan tasks (and never splits a single-file table at
+    all), so the whole scan+map pipeline ran on 1-2 cores of 32 —
+    measured 30-40% off q01/q03 at both sf0.1 and sf1 from this alone.
+    Clamped to [4 MB, 128 MB]: at cluster scale total_bytes/(2·cores)
+    crosses the cap and the standard default applies."""
+    cores = os.cpu_count() or 8
+    return max(4 << 20, min(128 << 20, total_bytes // (cores * 2)))
+
+
 def _auto_shuffle_partitions(total_bytes: int) -> int:
     """Size shuffle parallelism to the data, not the core count: one
     partition per ~64 MB of input, floor 8, cap 2000. At sf0.1 (~60 MB)
@@ -78,6 +90,10 @@ def main() -> int:
     spark.conf.set(
         "spark.sql.adaptive.enabled",
         "false" if total_bytes < (1 << 30) else "true",
+    )
+    spark.conf.set(
+        "spark.sql.files.maxPartitionBytes",
+        str(_auto_max_partition_bytes(total_bytes)),
     )
     registry = build_registry()
 
