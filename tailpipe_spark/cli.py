@@ -140,9 +140,28 @@ def _jsonable(v):
     return v
 
 
+def _workspace_bytes(cat) -> int | None:
+    """Total data bytes across the workspace (plain size listing, no
+    footer parses) — the split-sizing hint for interactive sessions."""
+    import os as _os
+
+    total = 0
+    try:
+        for root, _dirs, names in _os.walk(cat.data_dir):
+            for n in names:
+                if n.endswith(".parquet"):
+                    total += _os.path.getsize(_os.path.join(root, n))
+    except OSError:
+        return None
+    return total
+
+
 def cmd_query(args) -> int:
+    from tailpipe_spark.session import tune_scan_splits
+
     spark = _build_spark(args)
     cat = _catalog(args)
+    tune_scan_splits(spark, _workspace_bytes(cat))
     if args.sql is None:
         # reference: `tailpipe query` with no argument opens the
         # interactive shell (cmd/query.go:100-104)

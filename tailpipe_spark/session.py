@@ -248,6 +248,23 @@ def parquet_column_range(path: str, col: str) -> tuple | None:
 _DF_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
+def tune_scan_splits(spark: SparkSession, total_bytes: int | None) -> None:
+    """Size ``spark.sql.files.maxPartitionBytes`` to ~2 scan splits per
+    core for the ACTIVE dataset, clamped to [4 MB, 128 MB].
+
+    The 128 MB default never splits a single-file table and packs a
+    small workspace's files into a handful of scan tasks, so local
+    interactive queries ran their scan+map pipelines on 1-2 cores of 32
+    (measured 30-40% of q01/q03-shaped wall). Past the clamp — any real
+    cluster-scale dataset — the standard default applies unchanged.
+    ``None`` (unknown size) keeps the session default."""
+    if total_bytes is None:
+        return
+    cores = spark.sparkContext.defaultParallelism or 8
+    mpb = max(4 << 20, min(128 << 20, total_bytes // (cores * 2)))
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(mpb))
+
+
 def read_table(
     spark: SparkSession,
     path: str,

@@ -106,3 +106,18 @@ def test_wildcard_to_like_escapes_literals():
     assert wildcard_to_like("a_b") == "a\\_b"
     assert wildcard_to_like("50%*") == "50\\%%"
     assert wildcard_to_like("x*y") == "x%y"
+
+
+def test_query_session_sizes_scan_splits(spark):
+    """tune_scan_splits sizes maxPartitionBytes to ~2 splits/core of
+    the active dataset, clamped [4MB, 128MB]; unknown keeps default."""
+    from tailpipe_spark.session import tune_scan_splits
+
+    cores = spark.sparkContext.defaultParallelism
+    tune_scan_splits(spark, 60 * 1024 * 1024)  # small workspace
+    assert int(spark.conf.get("spark.sql.files.maxPartitionBytes")) == max(
+        4 << 20, min(128 << 20, (60 << 20) // (cores * 2))
+    )
+    tune_scan_splits(spark, 10 << 40)  # 10 TB: clamp to the default
+    assert int(spark.conf.get("spark.sql.files.maxPartitionBytes")) == 128 << 20
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "134217728")
