@@ -22,80 +22,81 @@ from tailpipe_spark.queries import build_registry
 # NOT in the product registry, whose order stays stable for real
 # consumers) puts the entries the driver has not yet hash-verified this
 # cycle at the front so every query gets the hard signal across rounds.
-# Round 7 (the r6 verdict's explicit ask): positions 1-12 are exactly
-# the 12 oracle-bearing entries that have NEVER received the driver's
-# hash signal in any CORRECTNESS_rN (registry growth outpaced the
-# 50-entry sample); after this round every oracle entry has had the
-# hard signal at least once. Positions 13-20 are the rows-only /
-# early-round entries that likewise never appeared in r1-r6 artifacts.
-# Then: entries whose plan code changed in r7 (adopted rule: any
-# changed plan goes to the front the same round), then the
-# oldest-verified entries (r4 cohort) to refresh their signal.
+# Round 8 (r7 verdict #7): position 1 is q01_pricing_summary — its
+# driver-facing surface reverted to DOUBLE this round after the r7
+# DECIMAL-surface hash failure (CORRECTNESS_r07) — followed by every
+# plan changed in r8, then the hash twins of the rows-only-by-design
+# entries (so the twins get periodic driver signal), the rows-only
+# entries themselves, and finally the oldest-driver-signal cohort
+# (r4 then r5) to refresh their signal.
 _VERIFY_FIRST = [
-    # --- the 12 never-driver-verified oracle entries (r6 verdict #1) ---
-    "dedup_lsh_verified",
-    "dedup_resolve",
-    "q_argmax_agg",
-    "q_array_functions",
-    "q_bitwise",
-    "q_bool_aggs",
-    "q_grouping_id",
-    "q_map_functions",
-    "q_stream_sessionize",
-    "q_stream_window_counts",
-    "q_try_semantics",
-    "text_tfidf_topterms",
-    # --- remaining entries with no r1-r6 driver appearance at all ---
+    # --- the r7 driver-red fix: double surface restored ---
+    "q01_pricing_summary",
+    # --- plans changed in r8 (adopted rule: changed plan -> front same round) ---
+    "q_range_join",
+    "q_json_extract",
+    "dedup_ngram_jaccard",
+    "q_rollup_continuous",
+    "data_split_counts",
+    "pipeline_quality_dedup_split",
+    # --- hash twins of the rows-only entries (rotation per r7 verdict) ---
+    "dedup_minhash_lsh",
+    "dedup_simhash_md5",
+    "sim_lsh_topk_md5",
+    "sim_ivf_topk",
+    # --- the rows-only-by-design entries (driver records rows-only) ---
     "q01_fast",
     "dedup_minhash_fast",
     "sim_lsh_topk",
-    "q_approx_distinct",  # rows-only by design
-    "q_ewma_last",  # converted r7: bit-exact list_reduce oracle
-    "q_sketch_rollup",  # rows-only by design
-    "dedup_simhash",  # rows-only by design
-    # --- new in r7 ---
-    "mm_video_frames",  # real GIF LZW kernel vs arithmetic oracle
-    "dedup_simhash_md5",  # portable 60-bit simhash chain, bit-exact oracle
-    "sim_lsh_topk_md5",  # portable LSH ANN chain, bit-exact oracle
-    "sim_ivf_topk",  # r7: fixed-point Lloyd means -> whole chain hash-checked
-    "q_range_join",  # r7 plan change: explode_side=left + extra_on key
-    "q_json_extract",  # r7 plan change: variant_get parse
-    "q01_pricing_summary",  # r7 plan change: sums surfaced as DECIMAL(38,6)
-    # --- r7 plan-code changes (sampling clamp, rollup update-mode) ---
-    "data_sample_fraction",
-    "data_split_counts",
-    "data_stratified_sample",
-    "data_mixture_rates",
-    "pipeline_quality_dedup_split",
-    "q_rollup_continuous",
-    "q_stream_budget_alerts",
-    # --- oldest driver signal (r4 cohort) ---
-    "q_asof_join",
-    "text_language_id",
-    "text_quality",
-    "text_token_stats",
-    "text_doc_tokens",
-    "text_fingerprint",
-    "sim_cosine_topk",
-    "dedup_embedding_cosine",
-    "emb_norm_stats",
-    "q_array_explode",
-    "q_window_frames",
-    "text_pii_redact",
-    "text_bpe_tokens",
-    "text_chunk",
-    "text_pack",
-    "emb_kmeans_assign",
-    "text_repetition",
-    "text_url_domains",
-    "text_decontaminate",
+    "dedup_simhash",
+    "q_approx_distinct",
+    "q_sketch_rollup",
+    # --- oldest driver signal: r4 cohort ---
     "dedup_components",
+    "text_decontaminate",
+    "text_url_domains",
+    # --- then the r5 cohort (oldest large cohort; fills the ~50 sample) ---
+    "dedup_exact",
+    "mm_checksums",
+    "q03_shipping_priority",
+    "q05_local_supplier",
+    "q_case_like",
+    "q_cli_filters",
+    "q_correlated_subquery",
+    "q_cte_subquery",
+    "q_cube",
+    "q_date_functions",
+    "q_describe_query",
+    "q_distinct_agg",
+    "q_exists_in",
+    "q_grouping_sets",
+    "q_having_conditional",
+    "q_ilike",
+    "q_ingest_filter",
+    "q_join_anti",
+    "q_join_cross",
+    "q_join_full",
+    "q_join_inner",
+    "q_join_left",
+    "q_join_right",
+    "q_join_semi",
+    "q_percentiles",
+    "q_pivot",
+    "q_rollup",
+    "q_row_numbering",
+    "q_scalar_functions",
+    "q_sessionize",
+    "q_set_ops",
 ]
 
 
 
 def _rotated() -> dict:
-    registry = build_registry()
+    # local_only specs (DECIMAL-surfaced exactness twins) never reach the
+    # driver: its hasher fetches the DuckDB oracle pandas-style, turning
+    # DECIMAL(38,6) into float64 while Spark collects Decimal — the
+    # type-tagged hashes diverge on identical values (round-7 incident).
+    registry = {n: s for n, s in build_registry().items() if not s.local_only}
     front = {n: registry[n] for n in _VERIFY_FIRST if n in registry}
     rest = {n: s for n, s in registry.items() if n not in front}
     return {**front, **rest}

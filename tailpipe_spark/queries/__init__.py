@@ -21,6 +21,15 @@ class QuerySpec:
     fn: Callable[[SparkSession, str], DataFrame]
     oracle: str | None
     description: str
+    # local_only entries run in the builder's typed local harness
+    # (tools/check_correctness.py, Arrow fetch → exact Decimal compare)
+    # but are EXCLUDED from the driver-facing queries()/oracle_sql()
+    # surface. Used for DECIMAL-surfaced exactness twins: the driver's
+    # hasher fetches the DuckDB oracle pandas-style, which converts
+    # DECIMAL(38,6) to float64, so a DECIMAL output column hash-diverges
+    # from Spark's Decimal collect even when every value is identical
+    # (the round-7 q01 incident, CORRECTNESS_r07).
+    local_only: bool = False
 
 
 def build_registry() -> dict[str, QuerySpec]:

@@ -13,7 +13,21 @@ the driver on a typing divergence. DuckDB results are fetched through
 Arrow (HUGEINT -> decimal128, DATE -> date32) to surface the same typed
 values the driver sees.
 
-    python tools/check_correctness.py [sf_dir] [query ...]
+Round-7 lesson (``--driver-canon``): the driver's hasher fetches the
+DuckDB oracle pandas-style, which converts DECIMAL(38,6) to float64,
+while Spark collects ``Decimal`` — so a DECIMAL-typed output column
+hash-diverges at the driver even when every value matches under the
+typed Arrow fetch (q01's CORRECTNESS_r07 ``hash_match: false``).
+``--driver-canon`` replays that behavior (oracle decimals -> float64)
+so the gate fails exactly what the driver fails. Independently, any
+driver-facing (non-local_only) entry whose Spark schema contains a
+DecimalType output column is linted as a failure in BOTH modes —
+DECIMAL surfaces belong only to ``local_only`` exactness twins.
+
+Run both modes each round; an entry whose greenness depends on the
+mode is a bug in the entry, not the gate.
+
+    python tools/check_correctness.py [sf_dir] [query ...] [--driver-canon] [--json=FILE]
 """
 
 from __future__ import annotations
@@ -62,8 +76,23 @@ def _norm_cell(v):
     return "str:" + str(v)
 
 
-def _normalize(rows, cols):
+def _canon_dec(v):
+    """Driver-canon cell rewrite: Decimal -> float64, as a pandas-style
+    DuckDB fetch does (decimal128 column -> float64 ndarray). Recurses
+    into containers so nested decimals canonicalize too."""
+    if isinstance(v, decimal.Decimal):
+        return float(v)
+    if isinstance(v, (list, tuple)):
+        return [_canon_dec(x) for x in v]
+    if isinstance(v, dict):
+        return {k: _canon_dec(x) for k, x in v.items()}
+    return v
+
+
+def _normalize(rows, cols, driver_canon=False):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
+    if driver_canon:
+        rows = [tuple(_canon_dec(c) for c in r) for r in rows]
     out = [tuple(_norm_cell(r[i]) for i in order) for r in rows]
     out.sort()
     return sorted(c for c in cols), out
@@ -78,11 +107,31 @@ def _duck_rows(con, sql):
     return rows, cols
 
 
+def _decimal_cols(schema) -> list[str]:
+    """Names of top-level output columns whose type contains a DecimalType
+    anywhere (struct/array/map elements included)."""
+    from pyspark.sql import types as T
+
+    def has_dec(dt) -> bool:
+        if isinstance(dt, T.DecimalType):
+            return True
+        if isinstance(dt, T.StructType):
+            return any(has_dec(f.dataType) for f in dt.fields)
+        if isinstance(dt, T.ArrayType):
+            return has_dec(dt.elementType)
+        if isinstance(dt, T.MapType):
+            return has_dec(dt.keyType) or has_dec(dt.valueType)
+        return False
+
+    return [f.name for f in schema.fields if has_dec(f.dataType)]
+
+
 def main() -> int:
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     json_out = next(
         (a.split("=", 1)[1] for a in sys.argv[1:] if a.startswith("--json=")), None
     )
+    driver_canon = "--driver-canon" in sys.argv[1:]
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
     only = set(args[1:])
     results: dict[str, dict] = {}
@@ -96,8 +145,17 @@ def main() -> int:
             + ("/*.parquet')" if os.path.isdir(f"{sf_dir}/{t}.parquet") else "')")
         )
 
-    queries = entry_mod.queries()
-    oracles = entry_mod.oracle_sql()
+    # The full registry INCLUDING local_only exactness twins — the
+    # driver-facing entry module filters those out, but the local gate
+    # still value-checks them (typed mode); under --driver-canon their
+    # expected failure is recorded as the r7 regression proof without
+    # failing the run.
+    from tailpipe_spark.queries import build_registry
+
+    registry = build_registry()
+    queries = {n: s.fn for n, s in registry.items()}
+    oracles = {n: s.oracle for n, s in registry.items() if s.oracle is not None}
+    local_only = {n for n, s in registry.items() if s.local_only}
     failures = []
     for name, fn in queries.items():
         if only and name not in only:
@@ -112,6 +170,17 @@ def main() -> int:
             results[name] = {"status": "fail", "err": f"spark: {e}"[:200]}
             print(f"FAIL {name}: spark error: {e}")
             continue
+        dec_cols = _decimal_cols(sdf.schema)
+        if dec_cols and name not in local_only:
+            # Lint (both modes): DECIMAL output columns are
+            # driver-hash-unsafe; only local_only twins may surface them.
+            failures.append(name)
+            results[name] = {
+                "status": "fail",
+                "err": f"driver-unsafe DECIMAL surface: {dec_cols}",
+            }
+            print(f"FAIL {name}: driver-unsafe DECIMAL output columns {dec_cols}")
+            continue
         if name not in oracles:
             results[name] = {"status": "rows_only", "rows": len(srows)}
             print(f"ok   {name}: rows-only ({len(srows)} rows, {time.time()-t0:.1f}s)")
@@ -123,8 +192,11 @@ def main() -> int:
             results[name] = {"status": "fail", "err": f"duckdb: {e}"[:200]}
             print(f"FAIL {name}: duckdb error: {e}")
             continue
+        # Driver-canon rewrites the ORACLE side only (the driver's
+        # pandas-style fetch converts DuckDB decimals to float64; Spark's
+        # collect keeps Decimal) — reproducing the asymmetry exactly.
         sc, sv = _normalize([tuple(r) for r in srows], scols)
-        oc, ov = _normalize(orows, ocols)
+        oc, ov = _normalize(orows, ocols, driver_canon=driver_canon)
         if len(sv) != len(ov):
             failures.append(name)
             results[name] = {
@@ -142,7 +214,17 @@ def main() -> int:
             if a != b:
                 bad = (i, a, b)
                 break
-        if bad:
+        if bad and driver_canon and name in local_only:
+            # The r7 regression proof: a DECIMAL-surfaced twin diverging
+            # under the driver's canonicalization is EXPECTED — it is why
+            # the twin is local_only. Recorded, not a run failure.
+            results[name] = {
+                "status": "driver_unsafe_expected",
+                "err": f"value diff at row {bad[0]} under driver canon",
+            }
+            print(f"note {name}: local_only twin diverges under --driver-canon "
+                  f"(expected; row {bad[0]})")
+        elif bad:
             failures.append(name)
             results[name] = {"status": "fail", "err": f"value diff at row {bad[0]}"}
             print(f"FAIL {name}: first diff at sorted row {bad[0]}")
@@ -159,6 +241,7 @@ def main() -> int:
 
         summary = {
             "sf_dir": sf_dir,
+            "mode": "driver_canon" if driver_canon else "typed",
             "entries": len(results),
             "hash_match": sum(
                 1 for r in results.values() if r["status"] == "hash_match"
