@@ -265,16 +265,31 @@ class Catalog:
         """Current file index, or None when never built. Reads the
         JSONL sidecar (last-wins per path); falls back to a legacy
         manifest-embedded index (pre-sidecar workspaces) which the
-        next store migrates out."""
+        next store migrates out.
+
+        A torn FINAL line (crash mid-_append_index) is tolerated: the
+        parsed prefix is returned, so the index degrades to "missing
+        the interrupted append's entries" — pruning then admits those
+        files via the directory scan, same as any stale index. A torn
+        line anywhere BUT the end means real corruption; that returns
+        None so every consumer falls back to a full scan (the contract
+        elsewhere: stale/missing index -> degrade, never raise)."""
         p = self._index_path(table)
         if os.path.exists(p):
             by_path = {}
             with open(p) as f:
-                for line in f:
-                    line = line.strip()
-                    if line:
-                        e = json.loads(line)
-                        by_path[e["path"]] = e
+                lines = f.readlines()
+            for i, line in enumerate(lines):
+                line = line.strip()
+                if not line:
+                    continue
+                try:
+                    e = json.loads(line)
+                except json.JSONDecodeError:
+                    if i == len(lines) - 1:
+                        break  # torn trailing append; keep parsed prefix
+                    return None  # mid-file corruption: index unusable
+                by_path[e["path"]] = e
             return list(by_path.values())
         return self._load()["tables"].get(table, {}).get("file_index")
 

@@ -50,13 +50,20 @@ def split_boundaries(weights: dict[str, float]) -> list[tuple[str, str]]:
     total = sum(weights.values())
     out, acc = [], 0.0
     names = list(weights)
+    sentinel = _hex4(_SPACE - 1) + "g"  # > any 4-char hex bucket
     for name in names[:-1]:
         acc += weights[name] / total
-        # clamp: a cumulative weight reaching 1.0 would format as
-        # 5-char '10000', which string-compares BELOW 4-char hex
-        n = min(int(acc * _SPACE), _SPACE - 1)
-        out.append((name, _hex4(n)))
-    out.append((names[-1], _hex4(_SPACE - 1) + "g"))  # > any hex char
+        n = int(acc * _SPACE)
+        if n >= _SPACE:
+            # cumulative weight hit 1.0 on a NON-final split: clamping
+            # to 'ffff' would leak bucket ffff (~1/65536 of ids) into
+            # the next split (r7 ADVICE); the catch-all sentinel makes
+            # this split absorb every remaining id exactly, and the
+            # later zero-weight splits match nothing.
+            out.append((name, sentinel))
+        else:
+            out.append((name, _hex4(n)))
+    out.append((names[-1], sentinel))
     return out
 
 

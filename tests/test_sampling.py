@@ -101,12 +101,19 @@ def test_sample_fraction_one_keeps_everything(spark):
     assert sampling.sample_fraction(df, 1.5).count() == 500
 
 
-def test_split_boundaries_clamp_full_weight(spark):
-    """A non-last cumulative weight reaching 1.0 must clamp to 4-char
-    hex, not overflow to '10000' (r6 ADVICE)."""
+def test_split_boundaries_full_weight_absorbs_all(spark):
+    """A non-last cumulative weight reaching 1.0 gets the catch-all
+    sentinel boundary, so even ids hashing to bucket 'ffff' stay in the
+    weight-1.0 split — nothing leaks to the zero-weight tail (r7 ADVICE
+    tightened the r6 clamp, which leaked ~1/65536 of ids)."""
     bounds = dict(sampling.split_boundaries({"a": 1.0, "b": 0.0}))
-    assert len(bounds["a"]) == 4
+    assert bounds["a"] == bounds["b"]  # both carry the sentinel
+    assert bounds["a"] > "ffff"  # string-compares above every hex bucket
     out = sampling.assign_split(_docs(spark, 300), weights={"a": 1.0, "b": 0.0})
     counts = {r["split"]: r["count"] for r in out.groupBy("split").count().collect()}
-    assert sum(counts.values()) == 300
-    assert counts.get("a", 0) >= 299  # at most 1/65536 leaks to the last split
+    assert counts == {"a": 300}  # exact: no leak to the zero-weight split
+
+    # the ordinary case is unchanged by the sentinel logic
+    bounds = dict(sampling.split_boundaries({"train": 0.9, "val": 0.05, "test": 0.05}))
+    assert bounds["train"] == "e666" and bounds["val"] == "f333"
+    assert bounds["test"] > "ffff"

@@ -53,6 +53,31 @@ def test_collect_builds_file_index(monthly_workspace):
     }
 
 
+def test_torn_trailing_index_line_degrades_not_raises(monthly_workspace):
+    """A crash mid-_append_index leaves a torn final JSONL line; the
+    loader returns the parsed prefix (r7 ADVICE — it used to raise
+    JSONDecodeError, taking down every query path instead of degrading
+    to a full scan). pruned_files then sees a file-set mismatch and
+    falls back to None. Mid-file corruption returns None outright."""
+    cat = monthly_workspace
+    full = cat.load_file_index("metrics")
+    p = cat._index_path("metrics")
+    with open(p, "a") as f:
+        f.write('{"path": "torn/partial')  # no newline, no close brace
+    torn = cat.load_file_index("metrics")
+    assert torn is not None
+    assert {e["path"] for e in torn} == {e["path"] for e in full}
+    # the prefix is self-consistent with disk, so pruning still works
+    assert cat.pruned_files("metrics") is not None
+
+    with open(p) as f:
+        lines = f.read().splitlines()
+    with open(p, "w") as f:
+        f.write(lines[0][: len(lines[0]) // 2] + "\n")  # corrupt line 1
+        f.write("\n".join(lines[1:]) + "\n")
+    assert cat.load_file_index("metrics") is None  # mid-file corruption
+
+
 def test_pruned_files_subset_and_correct(monthly_workspace, spark):
     cat = monthly_workspace
     all_files = cat.pruned_files("metrics")
@@ -291,11 +316,14 @@ def test_delete_keeps_index_fresh(monthly_workspace, spark):
     assert live == _index_by_path(cat)
 
 
-def test_connect_duckdb_views_use_pruned_file_list(monthly_workspace):
-    """A time-bounded connect bakes the manifest index's pruned file
-    list into the DuckDB views — external tools get the same skipping
-    as our query path — and the view still returns exactly the rows
-    the filter admits."""
+def test_connect_duckdb_views_glob_source_with_pruned_hint(monthly_workspace):
+    """A time-bounded connect keeps the GLOB as the view source —
+    resolved at query time, so files appended after connect stay
+    visible to a long-lived session (the reference's catalog views
+    behave this way) — and carries the manifest index's pruned file
+    list only as a hint comment. Baking the list into the view (round
+    7) froze the file set at connect time: the r7 advisor flagged that
+    post-connect appends became silently invisible."""
     import re
 
     import duckdb
@@ -309,7 +337,11 @@ def test_connect_duckdb_views_use_pruned_file_list(monthly_workspace):
         time_from=tf, time_to=tt,
     )
     script = open(path).read()
-    listed = sorted(re.findall(r"'(/[^']+\.parquet)'", script))
+    assert "read_parquet([" not in script  # glob source, never a frozen list
+    assert "**" in script
+    hinted = sorted(
+        re.findall(r"-- pruned-files: (.+)", script)[0].split()
+    )
     expected = sorted(
         cat.pruned_files(
             "metrics",
@@ -317,12 +349,29 @@ def test_connect_duckdb_views_use_pruned_file_list(monthly_workspace):
             time_to=datetime.datetime(2024, 5, 1),
         )
     )
-    assert listed == expected
-    assert "read_parquet([" in script  # explicit list, not the glob
+    assert hinted == expected
     con = duckdb.connect()
     con.execute(script)
     n = con.execute('SELECT COUNT(*) FROM "metrics"').fetchone()[0]
     assert n == 3  # the April rows
+
+    # query-time resolution: a file landing AFTER connect is visible
+    # through the already-created view (within the baked time bound)
+    import shutil
+
+    april_file = next(
+        os.path.join(r, n)
+        for r, _d, ns in os.walk(cat.table_dir("metrics"))
+        if "tp_month=4" in r
+        for n in ns
+        if n.endswith(".parquet")
+    )
+    shutil.copy(
+        april_file, os.path.join(os.path.dirname(april_file), "late_append.parquet")
+    )
+    n2 = con.execute('SELECT COUNT(*) FROM "metrics"').fetchone()[0]
+    assert n2 == 6  # the late append (a copy of the 3 April rows) is
+    # visible without re-connecting — a frozen file list would still say 3
 
 
 def test_connect_sql_dialect_emits_pruned_hint(monthly_workspace):
@@ -344,9 +393,9 @@ def test_connect_sql_dialect_emits_pruned_hint(monthly_workspace):
     assert "pruned-files" not in unbounded
 
 
-def test_connect_stale_index_falls_back_to_glob(monthly_workspace):
-    """A stale index must never bake a wrong file list — the view
-    falls back to the directory glob."""
+def test_connect_stale_index_emits_no_pruned_hint(monthly_workspace):
+    """A stale index must never advertise a wrong file list — the hint
+    comment is dropped (the glob view source is unconditional)."""
     from tailpipe_spark.connect import write_init_script
 
     cat = monthly_workspace
@@ -366,7 +415,8 @@ def test_connect_stale_index_falls_back_to_glob(monthly_workspace):
             )
         ).read()
         assert "read_parquet([" not in script
-        assert "**" in script  # glob fallback
+        assert "pruned-files" not in script  # stale index -> no hint
+        assert "**" in script
     finally:
         os.rename(victim + ".moved", victim)
 
