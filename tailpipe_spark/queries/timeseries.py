@@ -214,9 +214,16 @@ ORDER BY err_id
 
 def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "events")
-    # VARIANT parse (Spark 4's binary JSON): measured 15% faster than
-    # get_json_object's per-call string parse at 1M rows
-    k = F.expr("variant_get(parse_json(props), '$.k', 'int')")
+    # Tiered extraction (functions/json_fast.py): validating-regex fast
+    # path for flat documents, try_variant_get fallback for everything
+    # else. r8 measurement at the 10x bench set (1M events): variant
+    # 0.41-0.56 s vs hybrid 0.32-0.35 s; above the 0.23 s parse-free
+    # scan floor that halves the extraction cost. The fallback's try_*
+    # forms keep malformed input null-tolerant (r7 ADVICE) where r7's
+    # plain parse_json threw.
+    from tailpipe_spark.functions.json_fast import json_get_int
+
+    k = json_get_int("props", "k")
     return (
         e.select("event_type", k.alias("k"))
         .groupBy("event_type")

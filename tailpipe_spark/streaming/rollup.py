@@ -84,34 +84,76 @@ def maintain_rollup(
     work is O(touched bucket dates), not O(history).
     """
 
-    def upsert(batch_df: DataFrame, _batch_id: int) -> None:
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
         import os
+        import shutil
 
         rows = batch_df.withColumn("bucket_date", F.to_date(F.col(BUCKET_COL)))
         if not rows.take(1):
             return
         spark = rows.sparkSession
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        out = rows
-        if os.path.isdir(rollup_path) and any(
-            n.startswith("bucket_date=") for n in os.listdir(rollup_path)
+        if not (
+            os.path.isdir(rollup_path)
+            and any(n.startswith("bucket_date=") for n in os.listdir(rollup_path))
         ):
-            # update mode emits only changed buckets; the overwritten
-            # date partitions must keep their untouched sibling buckets
-            touched = rows.select("bucket_date").distinct()
-            keys = [BUCKET_COL] + list(group_cols)
-            existing = (
-                spark.read.parquet(rollup_path)
-                .join(F.broadcast(touched), "bucket_date", "semi")
-                .join(rows.select(*keys).distinct(), keys, "left_anti")
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+            (
+                rows.write.mode("overwrite")
+                .partitionBy("bucket_date")
+                .parquet(rollup_path)
             )
-            # materialize before overwriting the path we just read
-            out = existing.unionByName(rows).localCheckpoint()
-        (
-            out.write.mode("overwrite")
-            .partitionBy("bucket_date")
-            .parquet(rollup_path)
+            return
+        # Merge path: update mode emits only changed buckets; the
+        # rewritten date partitions must keep their untouched sibling
+        # buckets. The merged output goes to a STAGING directory and the
+        # touched partitions are then swapped in with directory renames
+        # — the sink is never a source and a sink of the same job, so a
+        # task retry or executor loss during the write recomputes from a
+        # still-intact rollup (r7 ADVICE: the previous
+        # read-localCheckpoint-overwrite relied on executor-held blocks;
+        # losing one mid-overwrite re-read a half-rewritten sink).
+        # Replays stay idempotent: re-merging the same micro-batch swaps
+        # in identical partitions.
+        # Crash recovery from an interrupted previous swap: a lone
+        # ``*.__old`` whose live partition is missing is restored (the
+        # crash fell between the two renames); one whose live partition
+        # exists is debris from after the second rename — dropped.
+        for name in os.listdir(rollup_path):
+            if not name.endswith(".__old"):
+                continue
+            live = os.path.join(rollup_path, name[: -len(".__old")])
+            if os.path.isdir(live):
+                shutil.rmtree(os.path.join(rollup_path, name), ignore_errors=True)
+            else:
+                os.rename(os.path.join(rollup_path, name), live)
+        touched = rows.select("bucket_date").distinct()
+        keys = [BUCKET_COL] + list(group_cols)
+        existing = (
+            spark.read.parquet(rollup_path)
+            .join(F.broadcast(touched), "bucket_date", "semi")
+            .join(rows.select(*keys).distinct(), keys, "left_anti")
         )
+        staging = f"{rollup_path.rstrip('/')}.__staging-{batch_id}"
+        shutil.rmtree(staging, ignore_errors=True)  # stale retry leftovers
+        (
+            existing.unionByName(rows)
+            .write.mode("overwrite")
+            .partitionBy("bucket_date")
+            .parquet(staging)
+        )
+        try:
+            for name in os.listdir(staging):
+                if not name.startswith("bucket_date="):
+                    continue
+                target = os.path.join(rollup_path, name)
+                retired = target + ".__old"
+                shutil.rmtree(retired, ignore_errors=True)
+                if os.path.isdir(target):
+                    os.rename(target, retired)
+                os.rename(os.path.join(staging, name), target)
+                shutil.rmtree(retired, ignore_errors=True)
+        finally:
+            shutil.rmtree(staging, ignore_errors=True)
 
     agg = bucketize(
         stream.withWatermark(ts_col, watermark), ts_col, window, group_cols, aggs
