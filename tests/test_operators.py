@@ -92,6 +92,50 @@ def test_range_join_matches_naive(spark):
     assert got == want
 
 
+def test_following_window_agg_matches_self_range_join(spark):
+    """The window-frame rewrite must equal the generic bucketed
+    self-join + per-driver aggregation on randomized data (ties on
+    timestamps included)."""
+    import random
+    from datetime import datetime, timedelta
+
+    from tailpipe_spark.operators.range_join import (
+        following_window_agg,
+        range_join_time,
+    )
+
+    rnd = random.Random(11)
+    base = datetime(2024, 1, 1)
+    rows = [
+        (i, rnd.randrange(0, 4), base + timedelta(seconds=rnd.randrange(0, 500)))
+        for i in range(120)
+    ]
+    df = spark.createDataFrame(rows, ["eid", "uid", "t"])
+
+    via_window = {
+        (r["eid"], r["n"], r["m"])
+        for r in following_window_agg(
+            df, "t", 60, ["uid"],
+            {"n": F.count(F.lit(1)), "m": F.min("eid")},
+        )
+        .filter(F.col("n") > 0)
+        .collect()
+    }
+    left = df.select(F.col("eid").alias("did"), "uid", F.col("t").alias("dt"))
+    right = df.select(F.col("eid").alias("fid"), "uid", F.col("t").alias("ft"))
+    via_join = {
+        (r["did"], r["n"], r["m"])
+        for r in range_join_time(
+            left, right, "dt", "ft", 60, extra_on=["uid"]
+        )
+        .groupBy("did")
+        .agg(F.count(F.lit(1)).alias("n"), F.min("fid").alias("m"))
+        .collect()
+    }
+    assert via_window == via_join
+    assert via_window  # non-degenerate
+
+
 def test_sessionize_gap(spark):
     df = spark.createDataFrame(
         [(1, ts(0)), (1, ts(10)), (1, ts(60)), (1, ts(65)), (2, ts(0))],

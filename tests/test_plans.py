@@ -39,10 +39,36 @@ def test_asof_join_has_no_join_operator(spark):
     assert plan.count("Exchange hashpartitioning") <= 2  # union+window: one key shuffle (+AQE reuse)
 
 
-def test_range_join_is_equi_join(spark):
+def test_range_join_self_rewrite_is_single_shuffle_window(spark):
+    """q_range_join (self range-join + per-driver agg) takes the
+    window-frame rewrite: no join operator at all, one hash exchange on
+    the user key, a Window node carrying both frame aggregates."""
     from tailpipe_spark.queries.timeseries import q_range_join
 
     plan = _plan(q_range_join(spark, "/root/testdata/sf0.001"))
+    for bad in ("Join", "CartesianProduct"):  # matches *Join variants too
+        assert bad not in plan
+    assert "Window" in plan
+    # one key shuffle (user_id) + the final tiny orderBy's range exchange
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_range_join_time_generic_is_equi_join(spark):
+    """The generic two-table operator stays a bucketed equi-join —
+    never a nested-loop or cartesian fallback."""
+    from tailpipe_spark.operators.range_join import range_join_time
+    from tailpipe_spark.session import read_table
+
+    e = read_table(spark, "/root/testdata/sf0.001/events.parquet")
+    left = e.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("err_id"), "user_id", F.col("ts").alias("lt")
+    )
+    right = e.select(
+        F.col("event_id").alias("next_id"), "user_id", F.col("ts").alias("rt")
+    )
+    plan = _plan(
+        range_join_time(left, right, "lt", "rt", 300, extra_on=["user_id"])
+    )
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
 
