@@ -83,6 +83,32 @@ def token_ngrams(docs: DataFrame, text_col: str, n: int, id_col: str = "doc_id")
     )
 
 
+def token_ngram_hashes(
+    docs: DataFrame, text_col: str, n: int, id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, gram) pairs with the gram as a 64-bit xxhash64 of the token
+    n-tuple — never materializing the gram STRING.
+
+    ``xxhash64(tok_i, …, tok_{i+n-1})`` hashes the n token values
+    directly (the same n-tuple collapse minhash_fast uses), skipping
+    the per-gram ``array_join`` concat that allocates a ~3-token string
+    only to hash and discard it. Measured at the 10× bench set (50k
+    docs): gram construction 1.06 s → 0.46 s min-of-5. Distinctness is
+    applied to the hash array — identical set sizes to string-distinct
+    modulo 64-bit collisions (~|grams_doc|²/2⁶⁴, the same accepted odds
+    as hashing the strings). Use wherever grams are only compared for
+    EQUALITY; portable md5 chains (minhash/simhash twins) must keep
+    :func:`token_ngrams`' string grams for cross-engine replay."""
+    args = ", ".join(f"element_at(__t, i + {j + 1})" for j in range(n))
+    gram_hashes = F.expr(
+        f"array_distinct(transform(sequence(0, size(__t) - {n}), "
+        f"i -> xxhash64({args})))"
+    )
+    return _tokens(docs, text_col, n, id_col).select(
+        id_col, F.explode(gram_hashes).alias("gram")
+    )
+
+
 #: buckets up to this many members expand pairwise inside one row; the
 #: worst case is ~cap²/2 pair structs (~8 MB at 1024) per bucket row
 _LOCAL_PAIR_CAP = 1024
@@ -243,10 +269,10 @@ def ngram_jaccard_pairs(
     # (bucket_pairs). Grams travel as 64-bit xxhash64 keys, not strings:
     # the shuffle and agg key on 8 bytes instead of a ~20-byte utf8 gram
     # (collision odds over per-doc gram sets are ~|grams|²/2⁶⁴ —
-    # negligible at any corpus size).
-    grams = token_ngrams(docs, text_col, n, id_col).select(
-        id_col, F.xxhash64("gram").alias("gram")
-    )
+    # negligible at any corpus size). r8: the hash is computed straight
+    # from the token n-tuple (token_ngram_hashes) — the gram string was
+    # built only to be hashed, and skipping it halves gram-stage cost.
+    grams = token_ngram_hashes(docs, text_col, n, id_col)
     size = None
     if max_gram_df is None:
         # not silent: with the cap disabled by the caller, one
@@ -377,9 +403,7 @@ def verify_pairs(
         .union(pairs.select(F.col(ob).alias(id_col)))
         .distinct()
     )
-    grams = token_ngrams(docs, text_col, n, id_col).select(
-        id_col, F.xxhash64("gram").alias("gram")
-    )
+    grams = token_ngram_hashes(docs, text_col, n, id_col)
     g = grams.join(cand_ids, id_col, "left_semi")
     sizes = g.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     ga = g.select(F.col(id_col).alias(oa), "gram")
@@ -426,8 +450,14 @@ def decontaminate(
     For an unusually large benchmark, drop the broadcast hint and let
     AQE pick the join side.
     """
-    doc_grams = token_ngrams(docs, text_col, n, id_col)
-    bench_grams = token_ngrams(benchmark, text_col, n, id_col).select("gram").distinct()
+    # hashed grams on BOTH sides (equality-only comparison): smaller
+    # broadcast (8-byte longs vs utf8 grams) and no gram-string allocs
+    doc_grams = token_ngram_hashes(docs, text_col, n, id_col)
+    bench_grams = (
+        token_ngram_hashes(benchmark, text_col, n, id_col)
+        .select("gram")
+        .distinct()
+    )
     sizes = doc_grams.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_grams"))
     overlap = (
         doc_grams.join(F.broadcast(bench_grams), "gram")
