@@ -36,6 +36,8 @@ _VERIFY_FIRST = [
     "q_range_join",
     "q_json_extract",
     "dedup_ngram_jaccard",
+    "dedup_lsh_verified",
+    "dedup_resolve",
     "q_rollup_continuous",
     "data_split_counts",
     "pipeline_quality_dedup_split",
