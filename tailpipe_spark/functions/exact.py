@@ -70,8 +70,17 @@ def dsum_dec(col: Column | str, alias: str | None = None) -> Column:
 
 
 def oracle_dsum(expr: str) -> str:
-    """DuckDB SQL equivalent of :func:`dsum` for oracle parity."""
-    return f"CAST(SUM(CAST(({expr}) AS DECIMAL(27,6))) AS DOUBLE)"
+    """DuckDB SQL equivalent of :func:`dsum` for oracle parity.
+
+    The decimal→double conversion is routed through VARCHAR: DuckDB's
+    direct ``CAST(decimal AS DOUBLE)`` computes int128→double ÷ 10^scale,
+    which DOUBLE-ROUNDS once the sum needs >16 significant digits
+    (observed at 10× bench scale: sum_charge …941593 vs the correctly
+    rounded …94159), while its string→double (strtod) is correctly
+    rounded — matching Spark's BigDecimal.doubleValue exactly at ANY
+    magnitude. The decimal→string step is exact, so the round trip adds
+    no error, only removes the double-rounding."""
+    return f"CAST(CAST(SUM(CAST(({expr}) AS DECIMAL(27,6))) AS VARCHAR) AS DOUBLE)"
 
 
 def oracle_dsum_dec(expr: str) -> str:
@@ -80,5 +89,9 @@ def oracle_dsum_dec(expr: str) -> str:
 
 
 def oracle_davg(expr: str) -> str:
-    """DuckDB SQL equivalent of :func:`davg`."""
-    return f"CAST(SUM(CAST(({expr}) AS DECIMAL(27,6))) AS DOUBLE) / COUNT({expr})"
+    """DuckDB SQL equivalent of :func:`davg` (same VARCHAR-routed
+    conversion as :func:`oracle_dsum` — see there)."""
+    return (
+        f"CAST(CAST(SUM(CAST(({expr}) AS DECIMAL(27,6))) AS VARCHAR) AS DOUBLE)"
+        f" / COUNT({expr})"
+    )
