@@ -1,0 +1,61 @@
+"""Pins the cross-engine decimal→double conversion contract behind
+oracle_dsum/oracle_davg (functions/exact.py).
+
+DuckDB's direct ``CAST(decimal AS DOUBLE)`` computes int128→double ÷
+10^scale, which double-rounds once the value needs more than ~16
+significant digits; its string→double (strtod) is correctly rounded.
+Spark's BigDecimal.doubleValue is correctly rounded. The oracle
+therefore routes the final cast through VARCHAR — this test pins both
+that the route is correctly rounded AND that the direct cast still
+misbehaves (if a DuckDB upgrade fixes the direct cast, the second
+assertion fails and the VARCHAR detour can be retired).
+
+No Spark session needed — pure DuckDB + Python decimal.
+"""
+
+from __future__ import annotations
+
+from decimal import Decimal
+
+import duckdb
+
+from tailpipe_spark.functions.exact import oracle_davg, oracle_dsum
+
+# the r8 live repro from the 10x bench set: a DECIMAL(38,6) sum whose
+# double conversion needs 17 significant digits
+_HARD = Decimal("27864155010.941590")
+
+
+def test_varchar_route_is_correctly_rounded():
+    got = duckdb.sql(
+        f"SELECT CAST(CAST(CAST('{_HARD}' AS DECIMAL(38,6)) AS VARCHAR) AS DOUBLE)"
+    ).fetchone()[0]
+    assert got == float(_HARD)  # Python float() of Decimal is correctly rounded
+
+
+def test_direct_cast_still_double_rounds():
+    direct = duckdb.sql(
+        f"SELECT CAST(CAST('{_HARD}' AS DECIMAL(38,6)) AS DOUBLE)"
+    ).fetchone()[0]
+    assert direct != float(_HARD), (
+        "DuckDB's direct decimal->double cast is now correctly rounded; "
+        "the VARCHAR detour in oracle_dsum/oracle_davg can be retired"
+    )
+
+
+def test_oracle_helpers_emit_varchar_route():
+    for sql in (oracle_dsum("x"), oracle_davg("x")):
+        assert "AS VARCHAR" in sql
+        assert "AS DOUBLE" in sql
+
+
+def test_end_to_end_sum_matches_python_decimal():
+    """A 3-row aggregation through the actual helper SQL equals the
+    exact decimal sum converted by Python (the correctly-rounded
+    reference)."""
+    vals = ["9999999999.123456", "8888888888.654321", "8975268123.163813"]
+    rows = ", ".join(f"({v})" for v in vals)
+    sql = oracle_dsum("v") + f" FROM (VALUES {rows}) t(v)"
+    got = duckdb.sql("SELECT " + sql).fetchone()[0]
+    want = float(sum(Decimal(v) for v in vals))
+    assert got == want
