@@ -273,6 +273,74 @@ def test_rollup_update_mode_preserves_untouched_buckets(spark, tmp_path):
     ]
 
 
+def test_rollup_merge_uses_staging_and_repairs_interrupted_swap(spark, tmp_path):
+    """The merge path must never read and overwrite the rollup in one
+    job (r7 ADVICE: the localCheckpoint variant re-read a half-rewritten
+    sink after executor loss). Pinned behaviors: (a) a crash artifact —
+    a partition renamed to ``*.__old`` with the live dir missing — is
+    restored by the next batch; (b) ``*.__old`` debris with a live
+    partition present is dropped; (c) no staging dirs survive a batch."""
+    import os
+    import shutil
+
+    import pyspark.sql.functions as F
+
+    from tailpipe_spark.streaming.rollup import BUCKET_COL, maintain_rollup
+
+    src_dir = tmp_path / "src"
+    src_dir.mkdir()
+    schema = "event_id long, ts timestamp, event_type string, value double"
+
+    def write_batch(name, rows):
+        spark.createDataFrame(
+            rows, "event_id long, ts_s string, event_type string, value double"
+        ).withColumn("ts", F.col("ts_s").cast("timestamp")).drop("ts_s").select(
+            "event_id", "ts", "event_type", "value"
+        ).write.parquet(str(src_dir / name))
+
+    aggs = [F.count(F.lit(1)).alias("n_events")]
+    rollup_path = str(tmp_path / "rollup")
+    ck = str(tmp_path / "ck")
+
+    def run():
+        stream = spark.readStream.schema(schema).parquet(str(src_dir / "*"))
+        q = maintain_rollup(
+            stream, rollup_path, "ts", "1 hour", ["event_type"], aggs,
+            checkpoint=ck,
+        )
+        q.awaitTermination()
+
+    write_batch("b1", [
+        (1, "2024-01-01T03:15:00", "a", 1.0),
+        (2, "2024-01-02T05:15:00", "b", 2.0),
+    ])
+    run()
+
+    # simulate a crash BETWEEN the two swap renames: live partition
+    # gone, only its .__old remains — plus debris next to a live one
+    jan1 = os.path.join(rollup_path, "bucket_date=2024-01-01")
+    jan2 = os.path.join(rollup_path, "bucket_date=2024-01-02")
+    os.rename(jan1, jan1 + ".__old")           # interrupted swap
+    shutil.copytree(jan2, jan2 + ".__old")     # post-swap debris
+
+    write_batch("b2", [(3, "2024-01-02T05:45:00", "b", 3.0)])
+    run()
+
+    names = sorted(os.listdir(rollup_path))
+    assert not any(n.endswith(".__old") for n in names), names
+    assert not any("__staging" in n for n in os.listdir(str(tmp_path))), (
+        "staging dir leaked"
+    )
+    got = sorted(
+        (str(r[BUCKET_COL]), r["event_type"], r["n_events"])
+        for r in spark.read.parquet(rollup_path).collect()
+    )
+    assert got == [
+        ("2024-01-01 03:00:00", "a", 1),  # restored from .__old
+        ("2024-01-02 05:00:00", "b", 2),  # merged, debris not double-counted
+    ]
+
+
 def test_budget_alerts_string_key(spark, tmp_path):
     """Key output field derives its type from the input column — a
     string key must round-trip, not null out (r6 ADVICE)."""
