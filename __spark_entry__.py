@@ -41,6 +41,8 @@ _VERIFY_FIRST = [
     "q_rollup_continuous",
     "data_split_counts",
     "pipeline_quality_dedup_split",
+    # --- new in r8: raw-video container kernels (AVI arithmetic oracle) ---
+    "mm_video_raw",
     # --- hash twins of the rows-only entries (rotation per r7 verdict) ---
     "dedup_minhash_lsh",
     "dedup_simhash_md5",

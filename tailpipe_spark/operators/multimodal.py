@@ -746,11 +746,242 @@ VIDEO_FRAME_SCHEMA = T.StructType(
 )
 
 
+# --- raw-video containers (Y4M, uncompressed AVI) --------------------
+#
+# Two more REAL codec paths a pure-stdlib kernel can own end-to-end:
+# YUV4MPEG2 (the textual-header planar-YUV interchange format every
+# codec toolchain reads/writes) and RIFF AVI carrying uncompressed
+# BI_RGB DIB frames (ffmpeg's ``-c:v rawvideo`` output, the common CV
+# intermediate). Both are raw pixels in a structured container —
+# parsing is struct/slice work, no entropy decoding. With GIF this
+# makes the video family {GIF, Y4M, raw AVI} fully decoded in-engine;
+# only entropy-coded codecs (mp4/webm/mjpeg) remain in the documented
+# error branch, since the container has no codec library to call.
+
+
+def y4m_decode_frames(payload: bytes) -> dict:
+    """Decode a YUV4MPEG2 stream: per-frame dims + per-channel mean.
+
+    Supports C420* (all chroma sitings — siting moves samples, not
+    their values, so means are unaffected) and C444. Means are exact
+    integer plane sums divided once in float64, converted to RGB with
+    BT.601 limited-range (the Y4M convention):
+    R = 1.164(Y−16) + 1.596(V−128), etc. — the conversion is linear,
+    so converting the mean equals the mean of converted pixels."""
+    if not payload.startswith(b"YUV4MPEG2"):
+        raise ValueError("not a YUV4MPEG2 signature")
+    nl = payload.index(b"\n")
+    w = h = None
+    fmt = "420"
+    for p in payload[9:nl].split():
+        tag, val = p[:1], p[1:]
+        if tag == b"W":
+            w = int(val)
+        elif tag == b"H":
+            h = int(val)
+        elif tag == b"C":
+            fmt = val.decode()
+    if not w or not h:
+        raise ValueError("missing W/H in Y4M header")
+    if fmt.startswith("420"):
+        if w % 2 or h % 2:
+            raise ValueError("odd dims with 4:2:0 chroma")
+        cw, ch = w // 2, h // 2
+    elif fmt.startswith("444"):
+        cw, ch = w, h
+    else:
+        raise ValueError(f"unsupported Y4M chroma {fmt!r}")
+    ysz, csz = w * h, cw * ch
+    pos = nl + 1
+    frames = []
+    while pos < len(payload):
+        if not payload.startswith(b"FRAME", pos):
+            raise ValueError("bad FRAME marker")
+        pos = payload.index(b"\n", pos) + 1
+        end = pos + ysz + 2 * csz
+        if end > len(payload):
+            raise ValueError("truncated Y4M frame")
+        import numpy as np
+
+        planes = np.frombuffer(payload, np.uint8, count=end - pos, offset=pos)
+        sy = int(planes[:ysz].sum(dtype=np.int64))
+        su = int(planes[ysz : ysz + csz].sum(dtype=np.int64))
+        sv = int(planes[ysz + csz :].sum(dtype=np.int64))
+        pos = end
+        my, mu, mv = sy / ysz, su / csz, sv / csz
+        r = 1.164 * (my - 16.0) + 1.596 * (mv - 128.0)
+        g = 1.164 * (my - 16.0) - 0.813 * (mv - 128.0) - 0.391 * (mu - 128.0)
+        b = 1.164 * (my - 16.0) + 2.018 * (mu - 128.0)
+        frames.append(
+            {
+                "frame_no": len(frames),
+                "left": 0,
+                "top": 0,
+                "width": w,
+                "height": h,
+                "mean": [r, g, b],
+            }
+        )
+    return {"width": w, "height": h, "n_frames": len(frames), "frames": frames}
+
+
+def encode_y4m(width: int, height: int, frames: list[tuple[bytes, bytes, bytes]],
+               fmt: str = "420jpeg") -> bytes:
+    """Minimal Y4M writer (tests + synthetic registry payloads):
+    ``frames`` is a list of (Y, U, V) planar byte strings."""
+    out = bytearray(f"YUV4MPEG2 W{width} H{height} F25:1 Ip A1:1 C{fmt}\n".encode())
+    for y, u, v in frames:
+        out += b"FRAME\n" + y + u + v
+    return bytes(out)
+
+
+def avi_decode_frames(payload: bytes) -> dict:
+    """Decode an uncompressed-RGB RIFF AVI: per-frame dims + exact
+    per-channel mean (integer sums / npx, like the GIF kernel).
+
+    Real RIFF walk (LIST recursion, 2-byte chunk alignment), dims/depth
+    from the video stream's BITMAPINFOHEADER; only BI_RGB 24bpp is
+    decoded (bottom-up BGR rows, 4-byte row padding). Compressed
+    streams raise — they need entropy decoders this container-level
+    kernel honestly does not have."""
+    import struct
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not a RIFF AVI signature")
+
+    bmih = None
+
+    def walk(start: int, end: int) -> None:
+        nonlocal bmih
+        pos = start
+        while pos + 8 <= end:
+            cid = payload[pos : pos + 4]
+            (sz,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+            body = pos + 8
+            if cid == b"LIST":
+                walk(body + 4, body + sz)
+            elif cid == b"strf" and bmih is None and sz >= 40:
+                cand = struct.unpack("<IiiHHI", payload[body : body + 20])
+                if cand[0] >= 40:  # biSize sanity: this strf is a BITMAPINFOHEADER
+                    bmih = cand
+            pos = body + sz + (sz & 1)  # chunks align to 2 bytes
+
+    walk(12, len(payload))
+    if bmih is None:
+        raise ValueError("no video format header (strf)")
+    _bisize, w, h, _planes, bpp, compression = bmih
+    if compression != 0 or bpp != 24:
+        raise ValueError(f"unsupported AVI codec (bpp={bpp}, fourcc={compression})")
+    top_down = h < 0
+    h = abs(h)
+    stride = (3 * w + 3) & ~3
+    npx = w * h
+
+    frames = []
+
+    def collect(start: int, end: int) -> None:
+        pos = start
+        while pos + 8 <= end:
+            cid = payload[pos : pos + 4]
+            (sz,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+            body = pos + 8
+            if cid == b"LIST":
+                collect(body + 4, body + sz)
+            elif cid[2:4] in (b"db", b"dc") and sz > 0:
+                if sz < stride * h:
+                    raise ValueError("truncated AVI frame")
+                import numpy as np
+
+                arr = (
+                    np.frombuffer(payload, np.uint8, count=stride * h, offset=body)
+                    .reshape(h, stride)[:, : 3 * w]
+                    .reshape(h, w, 3)
+                )
+                sb, sg, sr = (
+                    int(x) for x in arr.reshape(-1, 3).sum(axis=0, dtype=np.int64)
+                )
+                frames.append(
+                    {
+                        "frame_no": len(frames),
+                        "left": 0,
+                        "top": 0,
+                        "width": w,
+                        "height": h,
+                        "mean": [sr / npx, sg / npx, sb / npx],
+                    }
+                )
+            pos = body + sz + (sz & 1)
+
+    collect(12, len(payload))
+    del top_down  # row order does not affect channel means
+    return {"width": w, "height": h, "n_frames": len(frames), "frames": frames}
+
+
+def encode_avi_rgb(width: int, height: int, frames: list[bytes]) -> bytes:
+    """Minimal BI_RGB AVI writer (tests + synthetic registry payloads):
+    each frame is top-down RGB bytes (3·w·h); written bottom-up BGR
+    with standard 4-byte row padding, 'DIB ' fourcc, one video stream."""
+    import struct
+
+    stride = (3 * width + 3) & ~3
+    framesize = stride * height
+
+    def dib(frame: bytes) -> bytes:
+        rows = []
+        for y in range(height - 1, -1, -1):
+            row = bytearray()
+            for x in range(width):
+                r, g, b = frame[3 * (y * width + x) : 3 * (y * width + x) + 3]
+                row += bytes((b, g, r))
+            row += b"\x00" * (stride - 3 * width)
+            rows.append(bytes(row))
+        return b"".join(rows)
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        return cid + struct.pack("<I", len(body)) + body + (b"\x00" * (len(body) & 1))
+
+    def lst(kind: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", kind + body)
+
+    avih = struct.pack(
+        "<IIIIIIIIII4I", 40000, framesize * 25, 0, 0x10, len(frames), 0, 1,
+        framesize, width, height, 0, 0, 0, 0,
+    )
+    strh = (
+        b"vids" + b"DIB " + struct.pack(
+            "<IHHIIIIIIiI4H",
+            0, 0, 0, 0,              # flags, priority, language, initial
+            1, 25, 0, len(frames),   # scale, rate, start, length
+            framesize, -1, 0,        # suggested buffer, quality, sample size
+            0, 0, width, height,     # rcFrame
+        )
+    )
+    strf = struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0, framesize,
+                       0, 0, 0, 0)
+    hdrl = lst(b"hdrl", chunk(b"avih", avih)
+               + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi = lst(b"movi", b"".join(chunk(b"00db", dib(f)) for f in frames))
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def _decode_video_payload(payload: bytes) -> dict:
+    """Signature dispatch across the real container kernels."""
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        return gif_decode_frames(payload)
+    if payload.startswith(b"YUV4MPEG2"):
+        return y4m_decode_frames(payload)
+    if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+        return avi_decode_frames(payload)
+    raise ValueError("unsupported video container (mp4/webm need codec libs)")
+
+
 def decode_video(assets: DataFrame) -> DataFrame:
     """Video payloads → one feature row per frame via Arrow-batched
-    ``mapInPandas``. GIF decodes for real (stdlib LZW); other
-    containers land in the error column with no frame rows lost —
-    corrupt input is data, not an exception."""
+    ``mapInPandas``. GIF (stdlib LZW), YUV4MPEG2, and uncompressed-RGB
+    AVI decode for real; entropy-coded containers land in the error
+    column with no frame rows lost — corrupt input is data, not an
+    exception."""
     import pandas as pd
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -758,7 +989,7 @@ def decode_video(assets: DataFrame) -> DataFrame:
             rows = []
             for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
                 try:
-                    info = gif_decode_frames(bytes(payload))
+                    info = _decode_video_payload(bytes(payload))
                     for fr in info["frames"]:
                         rows.append(
                             {

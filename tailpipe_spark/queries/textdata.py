@@ -1115,10 +1115,96 @@ ORDER BY asset_id, frame_no
 """
 
 
+def mm_video_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end proof of the raw-video container kernels: synthesize
+    a 2-frame uncompressed-RGB AVI per doc (operators.multimodal
+    encode_avi_rgb — real RIFF/hdrl/strf/movi writer), decode through
+    the same mapInPandas path as GIF (real RIFF walk + BI_RGB frame
+    math). Frame 0 is a per-channel linear ramp with no mod-256
+    wraparound (base < 200, npx ≤ 20), frame 1 solid — so every channel
+    mean is an exact integer sum divided once in float64 and the
+    oracle recomputes all columns arithmetically. The Y4M kernel
+    (float BT.601 conversion) is pytest-pinned instead — float chain
+    replay across engines is the same last-ulp trap as r7's q01."""
+    from tailpipe_spark.operators.multimodal import decode_video, encode_avi_rgb
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+
+    def synth(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w = 2 + did % 4
+                h = 2 + did % 3
+                npx = w * h
+                br, bg, bb = (did * 3) % 200, (did * 5) % 200, (did * 7) % 200
+                f0 = bytes(
+                    ch
+                    for i in range(npx)
+                    for ch in (br + i, bg + i, bb + i)
+                )
+                sr, sg, sb = (did * 29) % 256, (did * 31) % 256, (did * 37) % 256
+                f1 = bytes((sr, sg, sb)) * npx
+                rows.append(
+                    {
+                        "asset_id": did,
+                        "modality": "video",
+                        "payload": encode_avi_rgb(w, h, [f0, f1]),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    assets = docs.mapInPandas(
+        synth, schema="asset_id long, modality string, payload binary"
+    )
+    return (
+        decode_video(assets)
+        .select(
+            "asset_id", "frame_no", "width", "height",
+            "mean_r", "mean_g", "mean_b",
+        )
+        .orderBy("asset_id", "frame_no")
+    )
+
+
+# ramp frame: sum_i (base + i) = npx*base + npx(npx-1)/2, one float64
+# division by npx — the decoder's exact arithmetic replayed
+MM_VIDEO_RAW_SQL = """
+WITH d AS (
+  SELECT doc_id,
+         2 + doc_id % 4 AS w,
+         2 + doc_id % 3 AS h,
+         (doc_id * 3) % 200 AS br, (doc_id * 5) % 200 AS bg, (doc_id * 7) % 200 AS bb,
+         (doc_id * 29) % 256 AS sr, (doc_id * 31) % 256 AS sg, (doc_id * 37) % 256 AS sb
+  FROM documents
+), e AS (
+  SELECT *, w * h AS npx FROM d
+)
+SELECT doc_id AS asset_id, 0 AS frame_no,
+       CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+       CAST(npx * br + (npx * (npx - 1)) // 2 AS DOUBLE) / npx AS mean_r,
+       CAST(npx * bg + (npx * (npx - 1)) // 2 AS DOUBLE) / npx AS mean_g,
+       CAST(npx * bb + (npx * (npx - 1)) // 2 AS DOUBLE) / npx AS mean_b
+FROM e
+UNION ALL
+SELECT doc_id AS asset_id, 1 AS frame_no,
+       CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+       CAST(sr AS DOUBLE) AS mean_r,
+       CAST(sg AS DOUBLE) AS mean_g,
+       CAST(sb AS DOUBLE) AS mean_b
+FROM e
+ORDER BY asset_id, frame_no
+"""
+
+
 SPECS = [
     QuerySpec("mm_checksums", mm_checksums, MM_CHECKSUMS_SQL, "multimodal binary payloads through Arrow mapInPandas (checksum parity)"),
     QuerySpec("mm_audio_stats", mm_audio_stats, MM_AUDIO_SQL, "real WAV encode->decode roundtrip vs arithmetic oracle (square-wave RMS exactness)"),
     QuerySpec("mm_video_frames", mm_video_frames, MM_VIDEO_SQL, "real GIF LZW encode->decode roundtrip, one row per frame vs arithmetic oracle"),
+    QuerySpec("mm_video_raw", mm_video_raw, MM_VIDEO_RAW_SQL, "real uncompressed-RGB AVI encode->decode roundtrip (RIFF walk + BI_RGB frames) vs arithmetic oracle"),
     QuerySpec("dedup_simhash_md5", dedup_simhash_md5, _simhash_md5_sql(), "portable 60-bit md5 SimHash chain + chunk-LSH candidate count, bit-exact oracle"),
     QuerySpec("dedup_exact", dedup_exact, DEDUP_EXACT_SQL, "exact dedup via md5 hash-groupBy"),
     QuerySpec("dedup_ngram_jaccard", dedup_ngram_jaccard, DEDUP_JACCARD_SQL, "word-3-gram Jaccard near-dup pairs"),

@@ -276,3 +276,131 @@ def test_decode_video_rows_and_containment(spark):
     assert all(r["error"] is None and r["mean_r"] == 9.0 for r in by_id[1])
     assert len(by_id[2]) == 1 and by_id[2][0]["error"] is not None
     assert 3 not in by_id
+
+
+def test_avi_roundtrip_exact_means():
+    """Uncompressed-RGB AVI writer/reader pair: known pixels round-trip
+    to exact channel means, incl. a width whose BGR rows need 4-byte
+    padding (w=3 -> stride 12 over 9 payload bytes)."""
+    from tailpipe_spark.operators.multimodal import (
+        avi_decode_frames,
+        encode_avi_rgb,
+    )
+
+    w, h = 3, 2
+    red = bytes([255, 0, 0] * (w * h))
+    ramp = bytes(c for i in range(w * h) for c in (i, 2 * i, 3 * i))
+    info = avi_decode_frames(encode_avi_rgb(w, h, [red, ramp]))
+    assert (info["width"], info["height"], info["n_frames"]) == (w, h, 2)
+    assert info["frames"][0]["mean"] == [255.0, 0.0, 0.0]
+    npx = w * h
+    s = sum(range(npx))
+    assert info["frames"][1]["mean"] == [s / npx, 2 * s / npx, 3 * s / npx]
+
+
+def test_avi_rejects_compressed_and_truncated():
+    import struct
+
+    import pytest as _pytest
+
+    from tailpipe_spark.operators.multimodal import (
+        avi_decode_frames,
+        encode_avi_rgb,
+    )
+
+    payload = bytearray(encode_avi_rgb(2, 2, [bytes(12)]))
+    with _pytest.raises(ValueError, match="signature"):
+        avi_decode_frames(b"RIFFxxxxWAVE")
+    # flip biCompression in the strf header -> unsupported codec
+    strf = payload.index(b"strf")
+    compressed = bytearray(payload)
+    struct.pack_into("<I", compressed, strf + 8 + 16, 0x47504A4D)  # 'MJPG'
+    with _pytest.raises(ValueError, match="unsupported AVI codec"):
+        avi_decode_frames(bytes(compressed))
+    # shrink a frame chunk -> truncated
+    db = payload.index(b"00db")
+    truncated = bytearray(payload)
+    struct.pack_into("<I", truncated, db + 4, 4)
+    with _pytest.raises(ValueError, match="truncated"):
+        avi_decode_frames(bytes(truncated))
+
+
+def test_y4m_roundtrip_and_bt601_means():
+    """Y4M decode: plane sums are exact; mean RGB is the BT.601
+    limited-range conversion of the mean YUV (linear, so it equals the
+    mean of per-pixel conversions)."""
+    from tailpipe_spark.operators.multimodal import (
+        encode_y4m,
+        y4m_decode_frames,
+    )
+
+    # 2x2 4:2:0: luma ramp, chroma neutral -> grayscale means
+    y = bytes([16, 66, 116, 166])
+    u = v = bytes([128])
+    info = y4m_decode_frames(encode_y4m(2, 2, [(y, u, v)]))
+    fr = info["frames"][0]
+    my = sum([16, 66, 116, 166]) / 4
+    expect = 1.164 * (my - 16.0)
+    assert fr["mean"] == [
+        1.164 * (my - 16.0) + 1.596 * 0.0,
+        1.164 * (my - 16.0) - 0.813 * 0.0 - 0.391 * 0.0,
+        1.164 * (my - 16.0) + 2.018 * 0.0,
+    ]
+    assert abs(fr["mean"][0] - expect) < 1e-12
+
+    # 4:4:4 two frames, red-ish chroma
+    y2 = bytes([81] * 4)
+    u2 = bytes([90] * 4)
+    v2 = bytes([240] * 4)
+    info2 = y4m_decode_frames(
+        encode_y4m(2, 2, [(y2, u2, v2), (y2, u2, v2)], fmt="444")
+    )
+    assert info2["n_frames"] == 2
+    r = 1.164 * (81 - 16.0) + 1.596 * (240 - 128.0)
+    assert abs(info2["frames"][1]["mean"][0] - r) < 1e-12
+
+
+def test_y4m_rejects_bad_input():
+    import pytest as _pytest
+
+    from tailpipe_spark.operators.multimodal import (
+        encode_y4m,
+        y4m_decode_frames,
+    )
+
+    with _pytest.raises(ValueError, match="signature"):
+        y4m_decode_frames(b"nope")
+    with _pytest.raises(ValueError, match="unsupported Y4M chroma"):
+        y4m_decode_frames(b"YUV4MPEG2 W2 H2 C422\nFRAME\n" + bytes(8))
+    ok = encode_y4m(2, 2, [(bytes(4), bytes(1), bytes(1))])
+    with _pytest.raises(ValueError, match="truncated"):
+        y4m_decode_frames(ok[:-2])
+
+
+def test_decode_video_dispatches_all_real_containers(spark):
+    """One mapInPandas pass decodes GIF, Y4M, and raw AVI side by side;
+    entropy-coded payloads still land in the error column."""
+    from tailpipe_spark.operators.multimodal import (
+        decode_video,
+        encode_avi_rgb,
+        encode_gif,
+        encode_y4m,
+    )
+
+    gif = encode_gif(3, 2, [(9, 9, 9)], [bytes(6)])
+    avi = encode_avi_rgb(2, 2, [bytes([7, 8, 9] * 4)])
+    y4m = encode_y4m(2, 2, [(bytes([128] * 4), bytes([128]), bytes([128]))])
+    rows = [
+        (1, "video", bytearray(gif)),
+        (2, "video", bytearray(avi)),
+        (3, "video", bytearray(y4m)),
+        (4, "video", bytearray(b"\x00\x00\x00 ftypisom fake")),
+    ]
+    df = spark.createDataFrame(rows, "asset_id long, modality string, payload binary")
+    by_id = {}
+    for r in decode_video(df).collect():
+        by_id.setdefault(r["asset_id"], []).append(r)
+    assert by_id[1][0]["mean_r"] == 9.0 and by_id[1][0]["error"] is None
+    assert by_id[2][0]["mean_r"] == 7.0 and by_id[2][0]["mean_b"] == 9.0
+    assert abs(by_id[3][0]["mean_r"] - 1.164 * (128 - 16.0)) < 1e-9
+    assert by_id[4][0]["error"] is not None
