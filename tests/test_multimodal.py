@@ -404,3 +404,48 @@ def test_decode_video_dispatches_all_real_containers(spark):
     assert by_id[2][0]["mean_r"] == 7.0 and by_id[2][0]["mean_b"] == 9.0
     assert abs(by_id[3][0]["mean_r"] - 1.164 * (128 - 16.0)) < 1e-9
     assert by_id[4][0]["error"] is not None
+
+
+def test_avi_y4m_roundtrip_property():
+    """Random dims/frames roundtrip through both raw-video writer/
+    reader pairs with bit-exact means (integer-sum reference computed
+    directly from the source pixels)."""
+    import random
+
+    from tailpipe_spark.operators.multimodal import (
+        avi_decode_frames,
+        encode_avi_rgb,
+        encode_y4m,
+        y4m_decode_frames,
+    )
+
+    rnd = random.Random(7)
+    for _ in range(25):
+        w, h = rnd.randint(1, 9), rnd.randint(1, 7)
+        npx = w * h
+        frames = [
+            bytes(rnd.randrange(256) for _ in range(3 * npx))
+            for _ in range(rnd.randint(1, 4))
+        ]
+        info = avi_decode_frames(encode_avi_rgb(w, h, frames))
+        assert info["n_frames"] == len(frames)
+        for src, fr in zip(frames, info["frames"]):
+            want = [sum(src[c::3]) / npx for c in range(3)]
+            assert fr["mean"] == want
+
+    for _ in range(25):
+        w, h = rnd.randint(1, 5) * 2, rnd.randint(1, 4) * 2  # even for 420
+        npx, csz = w * h, (w // 2) * (h // 2)
+        planes = [
+            (
+                bytes(rnd.randrange(256) for _ in range(npx)),
+                bytes(rnd.randrange(256) for _ in range(csz)),
+                bytes(rnd.randrange(256) for _ in range(csz)),
+            )
+            for _ in range(rnd.randint(1, 3))
+        ]
+        info = y4m_decode_frames(encode_y4m(w, h, planes))
+        assert info["n_frames"] == len(planes)
+        for (y, u, v), fr in zip(planes, info["frames"]):
+            my, mu, mv = sum(y) / npx, sum(u) / csz, sum(v) / csz
+            assert fr["mean"][0] == 1.164 * (my - 16.0) + 1.596 * (mv - 128.0)
