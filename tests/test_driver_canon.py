@@ -83,6 +83,20 @@ def test_no_driver_facing_entry_surfaces_decimal(spark):
     assert offenders == {}, f"driver-unsafe DECIMAL surfaces: {offenders}"
 
 
+def test_verify_first_rotation_leads_queries_dict():
+    """The driver hashes only the first ~50 queries() entries in dict
+    order; _VERIFY_FIRST must actually lead the dict (q01 at position
+    1 this round per the r7 verdict) and name only real entries."""
+    import __spark_entry__ as entry_mod
+
+    q = list(entry_mod.queries())
+    present = [n for n in entry_mod._VERIFY_FIRST if n in q]
+    assert q[: len(present)] == present
+    assert q[0] == "q01_pricing_summary"
+    missing = [n for n in entry_mod._VERIFY_FIRST if n not in q]
+    assert missing == [], f"_VERIFY_FIRST names unknown entries: {missing}"
+
+
 def test_driver_canon_cell_rewrite():
     from tools.check_correctness import _canon_dec
 
