@@ -1031,7 +1031,8 @@ def decode_video(assets: DataFrame) -> DataFrame:
 
 def sample_frames(assets: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video → frame rows (one row per sampled frame). The explode is
-    computed from metadata JVM-side; frame decode itself is the stub."""
+    computed from metadata JVM-side; per-frame decode is
+    :func:`decode_video`'s job (real for GIF/Y4M/raw AVI)."""
     videos = assets.filter(F.col("modality") == "video")
     n_frames = F.greatest(
         (F.col("meta.duration_ms") / F.lit(every_ms)).cast("int"), F.lit(1)

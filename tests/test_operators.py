@@ -136,6 +136,35 @@ def test_following_window_agg_matches_self_range_join(spark):
     assert via_window  # non-degenerate
 
 
+def test_following_window_agg_inclusive_lower_bound(spark):
+    """strict_after=False includes same-timestamp rows (range offset 0)
+    — OTHER rows at the driver's exact time count, and since the frame
+    is value-based the driver row itself is also in its own frame."""
+    from datetime import datetime
+
+    from tailpipe_spark.operators.range_join import following_window_agg
+
+    t0 = datetime(2024, 1, 1, 12, 0, 0)
+    df = spark.createDataFrame(
+        [(1, 1, t0), (2, 1, t0), (3, 1, datetime(2024, 1, 1, 12, 0, 30))],
+        ["eid", "uid", "t"],
+    )
+    strict = {
+        r["eid"]: r["n"]
+        for r in following_window_agg(
+            df, "t", 60, ["uid"], {"n": F.count(F.lit(1))}, strict_after=True
+        ).collect()
+    }
+    inclusive = {
+        r["eid"]: r["n"]
+        for r in following_window_agg(
+            df, "t", 60, ["uid"], {"n": F.count(F.lit(1))}, strict_after=False
+        ).collect()
+    }
+    assert strict == {1: 1, 2: 1, 3: 0}  # only the +30s row follows
+    assert inclusive == {1: 3, 2: 3, 3: 1}  # ties + self included
+
+
 def test_sessionize_gap(spark):
     df = spark.createDataFrame(
         [(1, ts(0)), (1, ts(10)), (1, ts(60)), (1, ts(65)), (2, ts(0))],
