@@ -227,13 +227,22 @@ def main() -> int:
     )
     # full artifact on disk FIRST: the driver's stdout capture keeps only
     # the last ~2000 chars (BENCH_r06/r07 both arrived front-truncated and
-    # unparseable), so the in-repo file is the complete record and the
+    # unparseable), so the on-disk file is the complete record and the
     # stdout line below is a compact subset guaranteed to fit the capture.
+    # Default path is gitignored scratch (.bench/): the r8 driver run
+    # overwrote the curated committed BENCH_LOCAL.json and left the tree
+    # dirty — the committed record now only changes via an explicit
+    # SPARK_GRAFT_BENCH_OUT.
     out_path = os.environ.get(
         "SPARK_GRAFT_BENCH_OUT",
-        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"),
+        os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            ".bench",
+            "BENCH_SCRATCH.json",
+        ),
     )
     try:
+        os.makedirs(os.path.dirname(out_path), exist_ok=True)
         with open(out_path, "w") as fh:
             json.dump(payload, fh, indent=1)
     except OSError:
@@ -248,9 +257,19 @@ def main() -> int:
     if not stdout_payload.get("errors"):
         stdout_payload.pop("errors", None)
     line = json.dumps(stdout_payload)
-    if len(line) > 1900:  # belt-and-braces: shed per-query detail too
-        stdout_payload.pop("queries", None)
-        line = json.dumps(stdout_payload)
+    if len(line) > 1900:  # belt-and-braces: shed keys until it fits.
+        # "errors" carries up to 500 chars per failed query, so in the
+        # regression rounds where errors matter most it alone can
+        # overflow the tail window — shed error BODIES first (keep the
+        # names: which queries failed survives), then detail maps.
+        if stdout_payload.get("errors"):
+            stdout_payload["errors"] = sorted(stdout_payload["errors"])
+            line = json.dumps(stdout_payload)
+        for k in ("queries", "errors"):
+            if len(line) <= 1900:
+                break
+            stdout_payload.pop(k, None)
+            line = json.dumps(stdout_payload)
     sys.stdout.flush()
     print(line, flush=True)
     return 0

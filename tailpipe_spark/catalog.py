@@ -289,6 +289,13 @@ class Catalog:
                     if i == len(lines) - 1:
                         break  # torn trailing append; keep parsed prefix
                     return None  # mid-file corruption: index unusable
+                if not isinstance(e, dict) or "path" not in e:
+                    # valid JSON but not an index entry (e.g. a bare
+                    # number): same contract as mid-file corruption —
+                    # degrade to full scan, never raise (r8 ADVICE)
+                    if i == len(lines) - 1:
+                        break
+                    return None
                 by_path[e["path"]] = e
             return list(by_path.values())
         return self._load()["tables"].get(table, {}).get("file_index")

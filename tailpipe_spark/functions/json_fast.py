@@ -27,11 +27,16 @@ Branch evaluation is lazy per row inside whole-stage codegen, so
 fast-path rows never touch the variant parser.
 
 Semantics equal the variant path on every input except top-level
-duplicate keys, where the fast path keeps the FIRST value (like
-DuckDB/yyjson) while Spark's variant parser rejects the document to
-NULL. Documents with duplicate keys are invalid per RFC 8259's "names
-SHOULD be unique", so either behavior is conformant; the fast path's
-choice matches the oracle engine.
+duplicate keys (invalid per RFC 8259's "names SHOULD be unique", so
+any behavior is conformant). There, first-wins is POSITIONAL over all
+value types, like yyjson: the fast path extracts the key's first
+occurrence regardless of type and only uses it when that first value
+is a plain ≤9-digit integer. So ``{"k":1,"k":2}`` -> 1 (matches
+DuckDB) and ``{"k":"9","k":5}`` -> the variant fallback, which rejects
+duplicate-key documents to NULL (diverges from DuckDB's 9 — the one
+residual divergence, pinned in tests/test_json_fast.py; it requires a
+duplicate-key document whose first value is non-integer, a class the
+variant engine itself refuses to parse).
 """
 
 from __future__ import annotations
@@ -58,10 +63,16 @@ def json_get_int(col: Column | str, key: str) -> Column:
     if not key.replace("_", "").isalnum():
         raise ValueError(f"json_get_int key must be a plain name, got {key!r}")
     flat = c.rlike(_FLAT_OBJECT_RE)
-    # digits capped at 9 so the int cast can never overflow; longer
-    # literals (or floats / quoted values) fall back to the variant path
-    pat = rf'"{key}"\s*:\s*(-?(?:0|[1-9]\d{{0,8}}))\s*[,}}]'
+    # Extract the FIRST occurrence of the key with ANY scalar value, then
+    # gate on it being a plain integer. Extracting any-value first makes
+    # first-wins positional over all value types: on {"k":"9","k":5} the
+    # old integer-only pattern skipped the string and took 5, which is
+    # neither yyjson's first-wins ("9") nor the variant path's NULL
+    # (r8 ADVICE). Digits capped at 9 so the int cast can never overflow;
+    # longer literals / floats / quoted values fall back to the variant
+    # path.
+    pat = rf'"{key}"\s*:\s*({_VAL})\s*[,}}]'
     raw = F.regexp_extract(c, pat, 1)  # first occurrence, like yyjson
-    fast = F.when(raw != "", raw).cast("int")
+    fast = F.when(raw.rlike(r"^-?(?:0|[1-9]\d{0,8})$"), raw).cast("int")
     slow = F.try_variant_get(F.try_parse_json(c), f"$.{key}", "int")
     return F.when(flat & fast.isNotNull(), fast).otherwise(slow)

@@ -787,7 +787,11 @@ def y4m_decode_frames(payload: bytes) -> dict:
         if w % 2 or h % 2:
             raise ValueError("odd dims with 4:2:0 chroma")
         cw, ch = w // 2, h // 2
-    elif fmt.startswith("444"):
+    elif fmt.startswith("444") and fmt != "444alpha":
+        # 444alpha carries a FOURTH (alpha) plane per frame; admitting it
+        # here would misparse at the alpha plane and surface as a
+        # misleading 'bad FRAME marker' error instead of this honest one
+        # (r8 ADVICE)
         cw, ch = w, h
     else:
         raise ValueError(f"unsupported Y4M chroma {fmt!r}")

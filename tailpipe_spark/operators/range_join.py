@@ -112,9 +112,16 @@ def following_window_agg(
     one frame so they compile into a single WindowExec. Rows with an
     empty frame get count 0 / null min — callers wanting inner-join
     semantics filter ``count > 0``.
+
+    Rows with NULL ``time_col`` are dropped up front: in the join this
+    replaces, ``f.ts > e.ts`` is never satisfied by a NULL on either
+    side, but a RANGE window would put null order keys in their own
+    frame group and count them as following each other (r8 ADVICE).
+    The pre-filter restores the join's null semantics exactly.
     """
     if span_seconds <= 0:
         raise ValueError("span_seconds must be > 0")
+    df = df.filter(F.col(time_col).isNotNull())
     w = (
         Window.partitionBy(*by)
         .orderBy(F.unix_micros(F.col(time_col)))

@@ -86,6 +86,39 @@ def test_json_get_int_duplicate_keys_first_wins(spark):
     ).fetchone()[0] == 1  # the oracle agrees with the fast path
 
 
+def test_json_get_int_duplicate_keys_mixed_types(spark):
+    """First-wins must be POSITIONAL over all value types (r8 ADVICE):
+    on {"k":"9","k":5} the first occurrence is a string, so the fast
+    path must NOT return 5 (the first *integer* occurrence). It defers
+    to the variant path, which rejects duplicate-key documents to NULL.
+    DuckDB's yyjson would take "9" -> 9; that residual divergence is
+    documented in the module docstring and pinned here."""
+    mixed = [
+        ('{"k":"9","k":5}', None),   # first value non-int -> variant -> NULL
+        ('{"k":1.5,"k":7}', None),   # float first: same
+        ('{"k":null,"k":7}', None),  # null first: same
+        ('{"k":3,"k":"9"}', 3),      # int first: fast path, yyjson-first
+        ('{"k":3,"k":1.5}', 3),
+    ]
+    df = spark.createDataFrame(
+        [(i, d) for i, (d, _w) in enumerate(mixed)], "i int, props string"
+    )
+    got = {
+        r["i"]: r["k"]
+        for r in df.select("i", json_get_int("props", "k").alias("k")).collect()
+    }
+    for i, (doc, want) in enumerate(mixed):
+        assert got[i] == want, f"doc {doc!r}: got {got[i]}, want {want}"
+
+    import duckdb
+
+    # the live oracle's positional first-wins, for the record: it reads
+    # "9" on the doc the fast path defers to NULL on
+    assert duckdb.sql(
+        """SELECT CAST(json_extract_string('{"k":"9","k":5}', '$.k') AS INT)"""
+    ).fetchone()[0] == 9
+
+
 def test_json_get_int_rejects_pathy_keys():
     with pytest.raises(ValueError):
         json_get_int("props", "a.b")

@@ -1,6 +1,7 @@
 import json
 from datetime import datetime
 
+import pytest
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -339,6 +340,73 @@ def test_rollup_merge_uses_staging_and_repairs_interrupted_swap(spark, tmp_path)
         ("2024-01-01 03:00:00", "a", 1),  # restored from .__old
         ("2024-01-02 05:00:00", "b", 2),  # merged, debris not double-counted
     ]
+
+
+def test_rollup_single_writer_guard(spark, tmp_path):
+    """Two streams maintaining the same rollup_path SIMULTANEOUSLY
+    would race each other's partition swaps. The per-batch pidfile lock
+    refuses an upsert while another writer is alive, steals a stale
+    lock left by a crashed writer, and never blocks the documented
+    sequential fresh-checkpoint replay (that path is pinned by
+    test_rollup_maintenance_and_continuous_read)."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    from tailpipe_spark.streaming.rollup import maintain_rollup
+
+    src_dir = tmp_path / "src"
+    src_dir.mkdir()
+    schema = "event_id long, ts timestamp, event_type string, value double"
+
+    def write_batch(name, rows):
+        spark.createDataFrame(
+            rows, "event_id long, ts_s string, event_type string, value double"
+        ).withColumn("ts", F.col("ts_s").cast("timestamp")).drop("ts_s").select(
+            "event_id", "ts", "event_type", "value"
+        ).write.parquet(str(src_dir / name))
+
+    aggs = [F.count(F.lit(1)).alias("n_events")]
+    rollup_path = str(tmp_path / "rollup")
+    lock_path = rollup_path + ".__writer.lock"
+
+    def run(ck):
+        stream = spark.readStream.schema(schema).parquet(str(src_dir / "*"))
+        q = maintain_rollup(
+            stream, rollup_path, "ts", "1 hour", ["event_type"], aggs,
+            checkpoint=ck,
+        )
+        q.awaitTermination()
+
+    write_batch("b1", [(1, "2024-01-01T03:15:00", "a", 1.0)])
+    run(str(tmp_path / "ck_owner"))
+    assert not os.path.exists(lock_path), "lock must be released after a batch"
+
+    # a LIVE concurrent writer (lock held by a running pid — ours): the
+    # merge batch must refuse rather than race the swap
+    write_batch("b2", [(2, "2024-01-01T03:45:00", "a", 2.0)])
+    with open(lock_path, "w") as f:
+        f.write(f"{os.getpid()}\nsomeone-elses-checkpoint\n")
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    with pytest.raises(StreamingQueryException, match="single writer"):
+        run(str(tmp_path / "ck_intruder"))
+    got = sorted(
+        (r["event_type"], r["n_events"])
+        for r in spark.read.parquet(rollup_path).collect()
+    )
+    assert got == [("a", 1)], "refused batch must not touch the rollup"
+
+    # a STALE lock (crashed writer, dead pid): stolen, batch proceeds
+    with open(lock_path, "w") as f:
+        f.write("999999999\ncrashed-checkpoint\n")
+    run(str(tmp_path / "ck_owner"))
+    assert not os.path.exists(lock_path)
+    got = sorted(
+        (r["event_type"], r["n_events"])
+        for r in spark.read.parquet(rollup_path).collect()
+    )
+    assert got == [("a", 2)]
 
 
 def test_budget_alerts_string_key(spark, tmp_path):
