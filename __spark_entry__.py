@@ -30,67 +30,72 @@ from tailpipe_spark.queries import build_registry
 # entries themselves, and finally the oldest-driver-signal cohort
 # (r4 then r5) to refresh their signal.
 _VERIFY_FIRST = [
-    # --- the r7 driver-red fix: double surface restored ---
-    "q01_pricing_summary",
-    # --- plans changed in r8 (adopted rule: changed plan -> front same round) ---
-    "q_range_join",
+    # --- r9 rotation (r8 verdict ask #2): changed plans first, then
+    # strictly oldest-driver-signal-first. Signal ages computed from
+    # CORRECTNESS_r01..r08: the r5 cohort (q_row_numbering ... sec_*)
+    # last saw driver hash signal in round 5, the TPC-H q02-q22 tail +
+    # streaming + misc cohort in round 6. The driver samples the first
+    # ~50 entries; the r6 tail past the cut leads the r10 rotation. ---
+    # changed in r9: json first-wins positional guard, range-join null
+    # pre-filter, rollup writer lock on the sink path
     "q_json_extract",
-    "dedup_ngram_jaccard",
-    "dedup_lsh_verified",
-    "dedup_resolve",
+    "q_range_join",
     "q_rollup_continuous",
-    "data_split_counts",
-    "pipeline_quality_dedup_split",
-    # --- new in r8: raw-video container kernels (AVI arithmetic oracle) ---
-    "mm_video_raw",
-    # --- hash twins of the rows-only entries (rotation per r7 verdict) ---
-    "dedup_minhash_lsh",
-    "dedup_simhash_md5",
-    "sim_lsh_topk_md5",
-    "sim_ivf_topk",
-    # --- the rows-only-by-design entries (driver records rows-only) ---
-    "q01_fast",
-    "dedup_minhash_fast",
-    "sim_lsh_topk",
-    "dedup_simhash",
-    "q_approx_distinct",
-    "q_sketch_rollup",
-    # --- oldest driver signal: r4 cohort ---
-    "dedup_components",
-    "text_decontaminate",
-    "text_url_domains",
-    # --- then the r5 cohort (oldest large cohort; fills the ~50 sample) ---
-    "dedup_exact",
-    "mm_checksums",
-    "q03_shipping_priority",
-    "q05_local_supplier",
-    "q_case_like",
-    "q_cli_filters",
-    "q_correlated_subquery",
-    "q_cte_subquery",
-    "q_cube",
-    "q_date_functions",
-    "q_describe_query",
-    "q_distinct_agg",
-    "q_exists_in",
-    "q_grouping_sets",
-    "q_having_conditional",
-    "q_ilike",
-    "q_ingest_filter",
-    "q_join_anti",
-    "q_join_cross",
-    "q_join_full",
-    "q_join_inner",
-    "q_join_left",
-    "q_join_right",
-    "q_join_semi",
-    "q_percentiles",
-    "q_pivot",
-    "q_rollup",
     "q_row_numbering",
     "q_scalar_functions",
     "q_sessionize",
     "q_set_ops",
+    "q_set_ops_all",
+    "q_skew_two_phase_agg",
+    "q_string_functions",
+    "q_struct_roundtrip",
+    "q_time_bucket_hourly",
+    "q_topk_window",
+    "q_tp_enrichment",
+    "q_validate_nulls",
+    "q_window_functions",
+    "sec_entropy_scan",
+    "sec_error_burst",
+    "sec_ip_classify",
+    "dedup_incremental",
+    "mm_audio_stats",
+    "q02_min_cost_supplier",
+    "q04_order_priority",
+    "q06_revenue_forecast",
+    "q07_volume_shipping",
+    "q08_market_share",
+    "q09_product_profit",
+    "q10_returned_items",
+    "q11_important_value",
+    "q12_priority_shipping",
+    "q13_customer_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_supplier_count",
+    "q17_small_qty_revenue",
+    "q18_large_orders",
+    "q19_disjunctive",
+    "q20_promotion_suppliers",
+    "q21_late_suppliers",
+    "q22_global_sales",
+    "q_cohort_retention",
+    "q_collation",
+    "q_funnel",
+    "q_histogram",
+    "q_lateral_topk",
+    "q_null_semantics",
+    "q_recursive_cte",
+    "q_stream_dedup",
+    "q_stream_static_join",
+    "q_stream_stream_join",
+    "q_string_agg",
+    "q_trend_linear",
+    "q_unpivot",
+    "q_upsert_latest",
+    "q_variant_json",
+    "q_window_ranks",
+    "sec_zscore_outliers",
+    "text_hash_embedding",
 ]
 
 
