@@ -49,6 +49,10 @@ USER_OFF = 10_000
 _VOWELS = "aeiou"
 _PERMS = ["aeiou", "eioua", "iouae", "ouaei", "uaeio",
           "aeuio", "eiaou", "ioeua", "ouiae", "uoaei"]
+#: second-stage consonant rotations for k>10 (tier 0 = identity):
+#: rotations of a fixed consonant set, applied on top of the vowel perm
+_CONS = "bcdfghjklm"
+_CONS_ROT = [_CONS[i:] + _CONS[:i] for i in range(10)]
 
 
 def _copies(spark, df, k):
@@ -118,7 +122,17 @@ def main() -> int:
     def doc_extra(d, c):
         if c == 0:
             return d
-        return d.withColumn("text", F.translate("text", _VOWELS, _PERMS[c % len(_PERMS)]))
+        out_col = F.translate("text", _VOWELS, _PERMS[c % len(_PERMS)])
+        # k>10 reuses vowel perms (c%10 cycles): copies 10,20,... would
+        # otherwise be VERBATIM cross-copy duplicates of copy 0 — the
+        # quadratic planted-pair explosion this generator exists to
+        # avoid. A second transform keyed by c//10 (consonant rotation)
+        # makes all 100 per-copy transforms distinct; c<10 keeps the
+        # identity second stage, so sf1 regenerates byte-identically.
+        tier = (c // len(_PERMS)) % len(_CONS_ROT)
+        if tier:
+            out_col = F.translate(out_col, _CONS, _CONS_ROT[tier])
+        return d.withColumn("text", out_col)
 
     write(rep("documents", {"doc_id": KEY_OFF}, extra=doc_extra), "documents")
 
