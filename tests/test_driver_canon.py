@@ -85,14 +85,17 @@ def test_no_driver_facing_entry_surfaces_decimal(spark):
 
 def test_verify_first_rotation_leads_queries_dict():
     """The driver hashes only the first ~50 queries() entries in dict
-    order; _VERIFY_FIRST must actually lead the dict (q01 at position
-    1 this round per the r7 verdict) and name only real entries."""
+    order; _VERIFY_FIRST must actually lead the dict, in its own order,
+    and name only real entries. (r8 pinned q01 at position 1 for the
+    r7-red refresh; r9+ rotates oldest-signal-first, so the pin is the
+    structure, not a specific name.)"""
     import __spark_entry__ as entry_mod
 
     q = list(entry_mod.queries())
     present = [n for n in entry_mod._VERIFY_FIRST if n in q]
+    assert len(present) >= 50, "rotation must fill the driver's ~50 sample"
     assert q[: len(present)] == present
-    assert q[0] == "q01_pricing_summary"
+    assert q[0] == entry_mod._VERIFY_FIRST[0]
     missing = [n for n in entry_mod._VERIFY_FIRST if n not in q]
     assert missing == [], f"_VERIFY_FIRST names unknown entries: {missing}"
 
