@@ -21,11 +21,174 @@ enforces it.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 #: canonical rollup schema columns produced by bucketize()
 BUCKET_COL = "bucket_start"
+
+#: pointer file committed atomically in the ``manifest`` layout
+MANIFEST_NAME = "_MANIFEST.json"
+
+
+def _acquire_writer_lock(lock_path: str, owner: str) -> None:
+    """O_EXCL pidfile lock: refuse a LIVE concurrent writer, steal a
+    stale lock from a crashed one (dead pid). Advisory, same-host —
+    see maintain_rollup's storage contract."""
+    import os
+
+    while True:
+        try:
+            fd = os.open(lock_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            with os.fdopen(fd, "w") as f:
+                f.write(f"{os.getpid()}\n{owner}\n")
+            return
+        except FileExistsError:
+            pass
+        try:
+            with open(lock_path) as f:
+                first = f.readline().strip()
+            pid = int(first)
+        except (OSError, ValueError):
+            pid = None  # torn/vanished lock: treat as stale
+        alive = False
+        if pid is not None:
+            try:
+                os.kill(pid, 0)
+                alive = True
+            except (ProcessLookupError, PermissionError):
+                alive = False
+        if alive:
+            raise RuntimeError(
+                f"lock {lock_path!r} is held by a live writer (pid {pid}); "
+                f"refusing concurrent access from {owner!r} — rollup "
+                "maintenance assumes a single writer at a time"
+            )
+        try:  # stale lock from a crashed writer: steal it
+            os.unlink(lock_path)
+        except FileNotFoundError:
+            pass
+
+
+def _release_writer_lock(lock_path: str) -> None:
+    import os
+
+    try:
+        os.unlink(lock_path)
+    except FileNotFoundError:
+        pass
+
+
+def _load_manifest(rollup_path: str) -> dict | None:
+    import json
+    import os
+
+    try:
+        with open(os.path.join(rollup_path, MANIFEST_NAME)) as f:
+            return json.load(f)
+    except FileNotFoundError:
+        return None
+
+
+def _commit_manifest(rollup_path: str, manifest: dict) -> None:
+    """Single-file atomic replace: ``os.replace`` on POSIX; on an
+    object store this maps to one PUT of the manifest object, which is
+    atomic per-object (readers see the old or the new manifest, never
+    a torn one). That atomicity is the whole point of the layout."""
+    import json
+    import os
+
+    path = os.path.join(rollup_path, MANIFEST_NAME)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, sort_keys=True)
+    os.replace(tmp, path)
+
+
+def read_manifest_rollup(
+    spark: SparkSession,
+    rollup_path: str,
+    min_bucket_date: str | None = None,
+    max_bucket_date: str | None = None,
+) -> DataFrame:
+    """Read a ``layout="manifest"`` rollup: load ONLY the partition
+    directories the manifest points at — no directory listing of the
+    data root at all, which on an object store replaces O(files) LIST
+    calls with one GET of the pointer file (the same trick Iceberg's
+    and Delta's metadata layers play).
+
+    ``min/max_bucket_date`` prune at the MANIFEST level (ISO date
+    strings compare lexicographically), so a bounded read plans scans
+    for only the covered partitions regardless of history size."""
+    import os
+    from functools import reduce
+
+    manifest = _load_manifest(rollup_path)
+    if not manifest or not manifest.get("partitions"):
+        raise ValueError(f"no manifest rollup at {rollup_path!r}")
+    parts = {
+        d: rel
+        for d, rel in manifest["partitions"].items()
+        if (min_bucket_date is None or d >= min_bucket_date)
+        and (max_bucket_date is None or d <= max_bucket_date)
+    }
+    if not parts:
+        raise ValueError(
+            f"manifest at {rollup_path!r} has no partitions in "
+            f"[{min_bucket_date}, {max_bucket_date}]"
+        )
+    # group leaves by generation dir so partition inference (basePath)
+    # restores bucket_date; one read per generation, unioned lazily
+    by_gen: dict[str, list[str]] = {}
+    for rel in parts.values():
+        gen_rel = rel.rsplit("/bucket_date=", 1)[0]
+        by_gen.setdefault(gen_rel, []).append(os.path.join(rollup_path, rel))
+    reads = [
+        spark.read.option("basePath", os.path.join(rollup_path, gen)).parquet(*leaves)
+        for gen, leaves in sorted(by_gen.items())
+    ]
+    return reduce(DataFrame.unionByName, reads)
+
+
+def vacuum_manifest_rollup(rollup_path: str) -> list[str]:
+    """Delete partition directories no longer referenced by the current
+    manifest (superseded generations, debris from a crash between the
+    generation write and the manifest commit). Returns removed paths.
+
+    Takes the same writer lock as maintenance — a vacuum racing a live
+    writer could otherwise delete a generation written but not yet
+    committed. On an object store, run vacuum only after in-flight
+    readers of the PREVIOUS manifest have drained (a reader holds no
+    lease; a grace period keyed to your query timeout is the usual
+    contract — same as Iceberg's ``expire_snapshots``)."""
+    import os
+    import shutil
+
+    lock_path = f"{rollup_path.rstrip('/')}.__writer.lock"
+    _acquire_writer_lock(lock_path, "vacuum")
+    try:
+        manifest = _load_manifest(rollup_path) or {}
+        referenced = set(manifest.get("partitions", {}).values())
+        data_root = os.path.join(rollup_path, "data")
+        removed: list[str] = []
+        if not os.path.isdir(data_root):
+            return removed
+        for gen in sorted(os.listdir(data_root)):
+            gen_abs = os.path.join(data_root, gen)
+            if not os.path.isdir(gen_abs):
+                continue
+            for leaf in sorted(os.listdir(gen_abs)):
+                rel = f"data/{gen}/{leaf}"
+                if leaf.startswith("bucket_date=") and rel not in referenced:
+                    shutil.rmtree(os.path.join(gen_abs, leaf))
+                    removed.append(rel)
+            if not any(
+                n.startswith("bucket_date=") for n in os.listdir(gen_abs)
+            ):  # generation fully superseded (keep _SUCCESS debris out of the way)
+                shutil.rmtree(gen_abs)
+        return removed
+    finally:
+        _release_writer_lock(lock_path)
 
 
 def _check_aligned(boundary, window: str) -> None:
@@ -71,6 +234,7 @@ def maintain_rollup(
     aggs: list[Column],
     checkpoint: str,
     watermark: str = "1 hour",
+    layout: str = "swap",
 ):
     """Streaming maintenance: each micro-batch emits only the buckets
     it UPDATED (``update`` output mode, so watermark eviction bounds
@@ -83,12 +247,25 @@ def maintain_rollup(
     State is O(open buckets within the watermark); each batch's sink
     work is O(touched bucket dates), not O(history).
 
-    **Storage contract.** The partition swap relies on directory
-    ``rename`` being atomic and cheap — true on POSIX filesystems and
-    HDFS, NOT on object stores (S3 "rename" is copy+delete, during
-    which readers see a missing partition). On an object store, point
-    ``rollup_path`` at a table format with atomic commits instead of a
-    bare parquet directory. And the swap assumes a SINGLE maintaining
+    **Storage contract.** Two layouts:
+
+    - ``layout="swap"`` (default): touched date partitions are
+      rewritten to a staging dir and swapped in with directory
+      renames. Relies on directory ``rename`` being atomic and cheap —
+      true on POSIX filesystems and HDFS, NOT on object stores (S3
+      "rename" is copy+delete, during which readers see a missing
+      partition). Readers use plain ``spark.read.parquet(rollup_path)``.
+    - ``layout="manifest"``: each batch writes its merged partitions to
+      a fresh generation dir under ``<rollup_path>/data/`` and then
+      atomically replaces the ``_MANIFEST.json`` pointer file (a
+      single-object PUT — atomic on object stores too). Readers use
+      :func:`read_manifest_rollup`; superseded generations are garbage
+      but never visible, reclaimed by :func:`vacuum_manifest_rollup`.
+      This is the object-store-safe path, and its merge reads ONLY the
+      touched partitions (manifest-pruned) where the swap path scans
+      the whole rollup to find them.
+
+    Either layout assumes a SINGLE maintaining
     stream per ``rollup_path`` at a time: two simultaneous writers
     would race each other's renames. That discipline is enforced by a
     per-batch ``<rollup_path>.__writer.lock`` pidfile, held only while
@@ -104,61 +281,67 @@ def maintain_rollup(
     scheme involves no executor coordination.
     """
 
+    if layout not in ("swap", "manifest"):
+        raise ValueError(f"unknown rollup layout {layout!r}")
     lock_path = f"{rollup_path.rstrip('/')}.__writer.lock"
-
-    def acquire_writer_lock() -> None:
-        import os
-
-        while True:
-            try:
-                fd = os.open(lock_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-                with os.fdopen(fd, "w") as f:
-                    f.write(f"{os.getpid()}\n{checkpoint}\n")
-                return
-            except FileExistsError:
-                pass
-            try:
-                with open(lock_path) as f:
-                    first = f.readline().strip()
-                pid = int(first)
-            except (OSError, ValueError):
-                pid = None  # torn/vanished lock: treat as stale
-            alive = False
-            if pid is not None:
-                try:
-                    os.kill(pid, 0)
-                    alive = True
-                except (ProcessLookupError, PermissionError):
-                    alive = False
-            if alive:
-                raise RuntimeError(
-                    f"rollup at {rollup_path!r} has a live writer "
-                    f"(pid {pid}, lock {lock_path!r}); refusing concurrent "
-                    f"maintenance from checkpoint {checkpoint!r} — the "
-                    "partition swap assumes a single writer at a time"
-                )
-            try:  # stale lock from a crashed writer: steal it
-                os.unlink(lock_path)
-            except FileNotFoundError:
-                pass
-
-    def release_writer_lock() -> None:
-        import os
-
-        try:
-            os.unlink(lock_path)
-        except FileNotFoundError:
-            pass
 
     def upsert(batch_df: DataFrame, batch_id: int) -> None:
         rows = batch_df.withColumn("bucket_date", F.to_date(F.col(BUCKET_COL)))
         if not rows.take(1):
             return
-        acquire_writer_lock()
+        _acquire_writer_lock(lock_path, f"checkpoint {checkpoint!r}")
         try:
-            _upsert_locked(rows, batch_id)
+            if layout == "manifest":
+                _upsert_manifest_locked(rows, batch_id)
+            else:
+                _upsert_locked(rows, batch_id)
         finally:
-            release_writer_lock()
+            _release_writer_lock(lock_path)
+
+    def _upsert_manifest_locked(rows: DataFrame, batch_id: int) -> None:
+        import hashlib
+        import os
+        import shutil
+
+        spark = rows.sparkSession
+        manifest = _load_manifest(rollup_path) or {"version": 0, "partitions": {}}
+        tag = hashlib.md5(checkpoint.encode()).hexdigest()[:8]
+        gen_rel = f"data/{tag}-{batch_id}"
+        gen_abs = os.path.join(rollup_path, gen_rel)
+        shutil.rmtree(gen_abs, ignore_errors=True)  # crashed-retry leftovers
+        merged = rows
+        if manifest["partitions"]:
+            touched = sorted(
+                r["bucket_date"].isoformat()
+                for r in rows.select("bucket_date").distinct().collect()
+            )
+            keys = [BUCKET_COL] + list(group_cols)
+            current = {
+                d: rel for d, rel in manifest["partitions"].items() if d in touched
+            }
+            if current:
+                # read ONLY the touched partitions (manifest-pruned —
+                # O(touched), where the swap layout scans the rollup),
+                # drop the keys this batch replaces, keep the siblings
+                existing = read_manifest_rollup(
+                    spark, rollup_path, min(current), max(current)
+                ).filter(F.col("bucket_date").cast("string").isin(list(current)))
+                merged = existing.join(
+                    rows.select(*keys).distinct(), keys, "left_anti"
+                ).unionByName(rows)
+        (
+            merged.write.mode("overwrite")
+            .partitionBy("bucket_date")
+            .parquet(gen_abs)
+        )
+        for name in sorted(os.listdir(gen_abs)):
+            if name.startswith("bucket_date="):
+                manifest["partitions"][name.split("=", 1)[1]] = f"{gen_rel}/{name}"
+        manifest["version"] += 1
+        # the commit point: one atomic pointer replace; a crash before
+        # this line leaves an unreferenced generation (vacuum reclaims
+        # it) and readers keep seeing the previous consistent state
+        _commit_manifest(rollup_path, manifest)
 
     def _upsert_locked(rows: DataFrame, batch_id: int) -> None:
         import hashlib

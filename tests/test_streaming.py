@@ -409,6 +409,172 @@ def test_rollup_single_writer_guard(spark, tmp_path):
     assert got == [("a", 2)]
 
 
+def test_rollup_manifest_layout_end_to_end(spark, tmp_path):
+    """layout="manifest": generation dirs + an atomically-replaced
+    pointer file instead of directory renames — the object-store-safe
+    path (single-object PUT is atomic where S3 rename is copy+delete).
+    Pins: read equals the full batch aggregation, fresh-checkpoint
+    replay is idempotent, a second batch only repoints the touched
+    date (untouched pointers keep their old generation), manifest-level
+    min/max pruning works, and vacuum reclaims superseded leaves
+    without disturbing live ones."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    from tailpipe_spark.streaming.rollup import (
+        BUCKET_COL,
+        MANIFEST_NAME,
+        _load_manifest,
+        continuous_read,
+        maintain_rollup,
+        read_manifest_rollup,
+        vacuum_manifest_rollup,
+    )
+
+    src_dir = tmp_path / "src"
+    src_dir.mkdir()
+    schema = "event_id long, ts timestamp, event_type string, value double"
+
+    def write_batch(name, rows):
+        spark.createDataFrame(
+            rows, "event_id long, ts_s string, event_type string, value double"
+        ).withColumn("ts", F.col("ts_s").cast("timestamp")).drop("ts_s").select(
+            "event_id", "ts", "event_type", "value"
+        ).write.parquet(str(src_dir / name))
+
+    aggs = [
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.round(F.col("value") * 1000).cast("long")).alias("value_milli"),
+    ]
+    rollup_path = str(tmp_path / "rollup")
+    os.makedirs(rollup_path)
+
+    def run(ck):
+        stream = spark.readStream.schema(schema).parquet(str(src_dir / "*"))
+        q = maintain_rollup(
+            stream, rollup_path, "ts", "1 hour", ["event_type"], aggs,
+            checkpoint=str(tmp_path / ck), layout="manifest",
+        )
+        q.awaitTermination()
+
+    rows1 = [
+        (i, f"2024-01-0{1 + i % 3}T0{i % 8}:15:00", "a" if i % 2 else "b", float(i))
+        for i in range(48)
+    ]
+    write_batch("b1", rows1)
+    run("ck1")
+
+    def snap():
+        return sorted(
+            map(str, read_manifest_rollup(spark, rollup_path).drop("bucket_date").collect())
+        )
+
+    raw = spark.read.parquet(str(src_dir / "*"))
+    want = raw.groupBy(
+        F.window("ts", "1 hour").start.alias(BUCKET_COL), "event_type"
+    ).agg(*aggs)
+    assert snap() == sorted(map(str, want.collect()))
+
+    # fresh-checkpoint replay (disaster recovery): same result
+    run("ck2")
+    assert snap() == sorted(map(str, want.collect()))
+
+    # second batch touches ONLY 2024-01-01: untouched dates keep their
+    # generation pointers, the touched date moves to a new one
+    before = dict(_load_manifest(rollup_path)["partitions"])
+    write_batch("b2", [(100, "2024-01-01T03:45:00", "a", 10.0)])
+    run("ck2")
+    after = _load_manifest(rollup_path)["partitions"]
+    assert after["2024-01-02"] == before["2024-01-02"]
+    assert after["2024-01-03"] == before["2024-01-03"]
+    assert after["2024-01-01"] != before["2024-01-01"]
+    assert not os.path.exists(
+        os.path.join(rollup_path, MANIFEST_NAME + ".tmp")
+    ), "manifest commit must leave no temp file"
+
+    raw = spark.read.parquet(str(src_dir / "*"))
+    want = raw.groupBy(
+        F.window("ts", "1 hour").start.alias(BUCKET_COL), "event_type"
+    ).agg(*aggs)
+    assert snap() == sorted(map(str, want.collect()))
+
+    # manifest-level pruning: bounded read sees only the asked dates
+    pruned = read_manifest_rollup(
+        spark, rollup_path, min_bucket_date="2024-01-02", max_bucket_date="2024-01-02"
+    )
+    assert set(
+        r["d"] for r in pruned.select(
+            F.col("bucket_date").cast("string").alias("d")
+        ).distinct().collect()
+    ) == {"2024-01-02"}
+
+    # vacuum: superseded generations reclaimed, live data intact
+    removed = vacuum_manifest_rollup(rollup_path)
+    assert removed, "replaced generations should be reclaimed"
+    live = set(_load_manifest(rollup_path)["partitions"].values())
+    assert not live & set(removed)
+    assert snap() == sorted(map(str, want.collect()))
+
+    # composes with continuous_read like any rollup DataFrame
+    got = continuous_read(
+        raw,
+        read_manifest_rollup(spark, rollup_path),
+        "ts", "1 hour", ["event_type"], aggs, "2024-01-02 00:00:00",
+    )
+    assert sorted(map(str, got.drop("bucket_date").collect())) == sorted(
+        map(str, want.collect())
+    )
+
+
+def test_rollup_manifest_orphan_generation_invisible(spark, tmp_path):
+    """A crash AFTER the generation write but BEFORE the manifest
+    commit leaves an unreferenced generation: readers never see it,
+    vacuum reclaims it."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    from tailpipe_spark.streaming.rollup import (
+        maintain_rollup,
+        read_manifest_rollup,
+        vacuum_manifest_rollup,
+    )
+
+    src_dir = tmp_path / "src"
+    src_dir.mkdir()
+    schema = "event_id long, ts timestamp, event_type string, value double"
+    spark.createDataFrame(
+        [(1, "2024-01-01T03:15:00", "a", 1.0)],
+        "event_id long, ts_s string, event_type string, value double",
+    ).withColumn("ts", F.col("ts_s").cast("timestamp")).drop("ts_s").select(
+        "event_id", "ts", "event_type", "value"
+    ).write.parquet(str(src_dir / "b1"))
+
+    rollup_path = str(tmp_path / "rollup")
+    os.makedirs(rollup_path)
+    stream = spark.readStream.schema(schema).parquet(str(src_dir / "*"))
+    q = maintain_rollup(
+        stream, rollup_path, "ts", "1 hour", ["event_type"],
+        [F.count(F.lit(1)).alias("n_events")],
+        checkpoint=str(tmp_path / "ck"), layout="manifest",
+    )
+    q.awaitTermination()
+    baseline = sorted(map(str, read_manifest_rollup(spark, rollup_path).collect()))
+
+    # simulate the crash: an orphan generation full of wrong data
+    orphan = os.path.join(rollup_path, "data", "deadbeef-7", "bucket_date=2024-01-01")
+    os.makedirs(orphan)
+    with open(os.path.join(orphan, "part-00000.parquet"), "wb") as f:
+        f.write(b"not parquet at all")
+
+    assert sorted(map(str, read_manifest_rollup(spark, rollup_path).collect())) == baseline
+    removed = vacuum_manifest_rollup(rollup_path)
+    assert "data/deadbeef-7/bucket_date=2024-01-01" in removed
+    assert not os.path.exists(os.path.join(rollup_path, "data", "deadbeef-7"))
+    assert sorted(map(str, read_manifest_rollup(spark, rollup_path).collect())) == baseline
+
+
 def test_budget_alerts_string_key(spark, tmp_path):
     """Key output field derives its type from the input column — a
     string key must round-trip, not null out (r6 ADVICE)."""
