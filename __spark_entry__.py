@@ -37,7 +37,9 @@ _VERIFY_FIRST = [
     # streaming + misc cohort in round 6. The driver samples the first
     # ~50 entries; the r6 tail past the cut leads the r10 rotation. ---
     # changed in r9: json first-wins positional guard, range-join null
-    # pre-filter, rollup writer lock on the sink path
+    # pre-filter, rollup writer lock on the sink path; NEW in r9
+    # second wave: manifest-layout rollup (q_rollup_manifest)
+    "q_rollup_manifest",
     "q_json_extract",
     "q_range_join",
     "q_rollup_continuous",

@@ -346,6 +346,56 @@ ORDER BY bucket_start, event_type
 """
 
 
+def q_rollup_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Object-store-safe rollup maintenance driven end-to-end
+    (streaming/rollup.py ``layout="manifest"``): an availableNow
+    maintenance stream materializes daily buckets into generation
+    dirs committed by an atomic pointer-file replace (single PUT on an
+    object store — where the default layout's directory renames are
+    copy+delete), then ``read_manifest_rollup`` loads ONLY the pointed
+    partitions. The write→commit→read round trip must equal
+    aggregating the raw table directly, which is what the oracle does.
+    Fixed-point value sum (functions/exact.py discipline) keeps the
+    compare exact."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from tailpipe_spark.streaming.rollup import (
+        BUCKET_COL,
+        maintain_rollup,
+        read_manifest_rollup,
+    )
+
+    root = tempfile.mkdtemp(prefix="tp_rollup_manifest_")
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    src = _read_stream(spark, f"{sf_dir}/events.parquet")
+    aggs = [
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.round(F.col("value") * 1000).cast("long")).alias("value_milli"),
+    ]
+    q = maintain_rollup(
+        src, f"{root}/rollup", "ts", "1 day", ["event_type"], aggs,
+        checkpoint=f"{root}/ck", watermark="3650 days", layout="manifest",
+    )
+    q.awaitTermination()
+    out = read_manifest_rollup(spark, f"{root}/rollup")
+    return out.select(
+        F.col(BUCKET_COL), "event_type", "n_events", "value_milli"
+    ).orderBy(BUCKET_COL, "event_type")
+
+
+ROLLUP_MANIFEST_SQL = """
+SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket_start,
+       event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(ROUND(value * 1000) AS BIGINT)) AS BIGINT) AS value_milli
+FROM events
+GROUP BY 1, 2
+ORDER BY bucket_start, event_type
+"""
+
+
 def q_stream_budget_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom arbitrary-state operator (streaming/stateful.py
     budget_alerts_stream): per-user budget-crossing alerts whose
@@ -409,6 +459,10 @@ SPECS = [
     QuerySpec(
         "q_rollup_continuous", q_rollup_continuous, ROLLUP_CONTINUOUS_SQL,
         "continuous aggregate: materialized history buckets ∪ fresh tail == full agg",
+    ),
+    QuerySpec(
+        "q_rollup_manifest", q_rollup_manifest, ROLLUP_MANIFEST_SQL,
+        "manifest-layout rollup write→atomic-commit→pruned-read == full agg",
     ),
     QuerySpec(
         "q_stream_sessionize", q_stream_sessionize, STREAM_SESSIONIZE_SQL,
