@@ -301,14 +301,25 @@ def maintain_rollup(
     def _upsert_manifest_locked(rows: DataFrame, batch_id: int) -> None:
         import hashlib
         import os
-        import shutil
 
         spark = rows.sparkSession
         manifest = _load_manifest(rollup_path) or {"version": 0, "partitions": {}}
         tag = hashlib.md5(checkpoint.encode()).hexdigest()[:8]
+        # NEVER reuse (or delete) an existing generation dir: a replayed
+        # micro-batch (crash after the manifest commit but before the
+        # checkpoint acked the batch) would otherwise rmtree a generation
+        # the LIVE manifest still references — readers would follow the
+        # pointer into deleted files, and a failed rerun would leave the
+        # manifest referencing nothing. Instead the replay writes a fresh
+        # attempt-suffixed generation and re-commits; the superseded one
+        # stays readable until vacuum_manifest_rollup reclaims it.
         gen_rel = f"data/{tag}-{batch_id}"
         gen_abs = os.path.join(rollup_path, gen_rel)
-        shutil.rmtree(gen_abs, ignore_errors=True)  # crashed-retry leftovers
+        attempt = 0
+        while os.path.exists(gen_abs):
+            attempt += 1
+            gen_rel = f"data/{tag}-{batch_id}-r{attempt}"
+            gen_abs = os.path.join(rollup_path, gen_rel)
         merged = rows
         if manifest["partitions"]:
             touched = sorted(

@@ -575,6 +575,95 @@ def test_rollup_manifest_orphan_generation_invisible(spark, tmp_path):
     assert sorted(map(str, read_manifest_rollup(spark, rollup_path).collect())) == baseline
 
 
+def test_rollup_manifest_replay_never_deletes_committed_generation(spark, tmp_path):
+    """A replayed micro-batch (same checkpoint → same tag, same
+    batch_id — the crash window is after the manifest commit but
+    before the checkpoint acked the batch) must NOT delete the
+    generation dir the LIVE manifest references: readers following the
+    committed pointer would hit missing files, and a failed rerun
+    would leave the manifest referencing nothing. The rerun writes an
+    attempt-suffixed fresh generation and re-commits; the superseded
+    one stays readable until vacuum."""
+    import hashlib
+    import os
+
+    import pyspark.sql.functions as F
+
+    from tailpipe_spark.streaming.rollup import (
+        BUCKET_COL,
+        _commit_manifest,
+        _load_manifest,
+        maintain_rollup,
+        read_manifest_rollup,
+        vacuum_manifest_rollup,
+    )
+
+    rollup_path = str(tmp_path / "rollup")
+    ck = str(tmp_path / "ck")
+    tag = hashlib.md5(ck.encode()).hexdigest()[:8]
+
+    # the "previous attempt": a generation dir at exactly the path this
+    # checkpoint's batch 0 would pick, already referenced by a committed
+    # manifest (i.e. the crash happened after the commit)
+    committed_rel = f"data/{tag}-0/bucket_date=2023-12-31"
+    committed_leaf = os.path.join(rollup_path, committed_rel)
+    spark.createDataFrame(
+        [("2023-12-31 05:00:00", "a", 7)], "bs string, event_type string, n_events long"
+    ).withColumn(BUCKET_COL, F.col("bs").cast("timestamp")).drop("bs").select(
+        BUCKET_COL, "event_type", "n_events"
+    ).write.parquet(committed_leaf)
+    _commit_manifest(
+        rollup_path, {"version": 1, "partitions": {"2023-12-31": committed_rel}}
+    )
+    committed_files = sorted(os.listdir(committed_leaf))
+
+    # the replay: same checkpoint identity, batch 0 again
+    src_dir = tmp_path / "src"
+    src_dir.mkdir()
+    spark.createDataFrame(
+        [(1, "2024-01-01T03:15:00", "a", 1.0)],
+        "event_id long, ts_s string, event_type string, value double",
+    ).withColumn("ts", F.col("ts_s").cast("timestamp")).drop("ts_s").select(
+        "event_id", "ts", "event_type", "value"
+    ).write.parquet(str(src_dir / "b1"))
+    stream = spark.readStream.schema(
+        "event_id long, ts timestamp, event_type string, value double"
+    ).parquet(str(src_dir / "*"))
+    q = maintain_rollup(
+        stream, rollup_path, "ts", "1 hour", ["event_type"],
+        [F.count(F.lit(1)).alias("n_events")],
+        checkpoint=ck, layout="manifest",
+    )
+    q.awaitTermination()
+
+    # the committed generation is bit-untouched; the rerun landed in an
+    # attempt-suffixed generation and the manifest points there
+    assert sorted(os.listdir(committed_leaf)) == committed_files
+    parts = _load_manifest(rollup_path)["partitions"]
+    assert parts["2023-12-31"] == committed_rel
+    assert parts["2024-01-01"].startswith(f"data/{tag}-0-r1/")
+
+    got = sorted(
+        map(
+            str,
+            read_manifest_rollup(spark, rollup_path)
+            .select(F.col(BUCKET_COL).cast("string"), "event_type", "n_events")
+            .collect(),
+        )
+    )
+    assert got == sorted(
+        map(
+            str,
+            spark.createDataFrame(
+                [("2023-12-31 05:00:00", "a", 7), ("2024-01-01 03:00:00", "a", 1)],
+                f"{BUCKET_COL} string, event_type string, n_events long",
+            ).collect(),
+        )
+    )
+    # everything is referenced: vacuum reclaims nothing
+    assert vacuum_manifest_rollup(rollup_path) == []
+
+
 def test_budget_alerts_string_key(spark, tmp_path):
     """Key output field derives its type from the input column — a
     string key must round-trip, not null out (r6 ADVICE)."""
