@@ -38,8 +38,10 @@ _VERIFY_FIRST = [
     # ~50 entries; the r6 tail past the cut leads the r10 rotation. ---
     # changed in r9: json first-wins positional guard, range-join null
     # pre-filter, rollup writer lock on the sink path; NEW in r9
-    # second wave: manifest-layout rollup (q_rollup_manifest)
+    # second wave: manifest-layout rollup (q_rollup_manifest); third
+    # wave: q03 dim-first join reorder (A/B'd at sf10, -40%)
     "q_rollup_manifest",
+    "q03_shipping_priority",
     "q_json_extract",
     "q_range_join",
     "q_rollup_continuous",

@@ -1,0 +1,141 @@
+"""A/B: q03/q05 join order — current (fact⋈orders first, selective dim
+last) vs reordered (selective broadcast dims reduce orders FIRST, then
+the lineitem join).
+
+The reordered plans land the segment/region selectivity (1/5) before
+the big fact shuffle instead of after, shrinking the orders side 5x and
+letting AQE convert the lineitem join to broadcast when the reduced
+side fits. Interleaved variants in one process, min-of-N, per the bench
+noise protocol.
+
+Usage: python tools/ab_q03_order.py [sf_dir] [reps]
+"""
+
+import sys
+import time
+
+from pyspark.sql import functions as F
+
+sys.path.insert(0, ".")
+from tailpipe_spark.session import build_session, read_table  # noqa: E402
+from tailpipe_spark.functions.exact import dsum  # noqa: E402
+
+sf_dir = sys.argv[1] if len(sys.argv) > 1 else ".bench/sf10"
+reps = int(sys.argv[2]) if len(sys.argv) > 2 else 5
+
+spark = build_session()
+
+
+def t(name):
+    return read_table(spark, f"{sf_dir}/{name}.parquet")
+
+
+# --- q03 -----------------------------------------------------------------
+
+def q03_tables():
+    cust = t("customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = t("orders").filter(
+        F.col("o_orderdate") < F.lit("1997-03-15").cast("timestamp")
+    )
+    li = t("lineitem").filter(
+        F.col("l_shipdate") > F.lit("1997-03-15").cast("timestamp")
+    )
+    return cust, orders, li
+
+
+def q03_finish(joined):
+    return (
+        joined.groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
+def q03_current():
+    cust, orders, li = q03_tables()
+    return q03_finish(
+        li.join(orders, li.l_orderkey == orders.o_orderkey).join(
+            F.broadcast(cust), orders.o_custkey == cust.c_custkey
+        )
+    )
+
+
+def q03_reordered():
+    cust, orders, li = q03_tables()
+    reduced = orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+    return q03_finish(li.join(reduced, li.l_orderkey == reduced.o_orderkey))
+
+
+# --- q05 -----------------------------------------------------------------
+
+def q05_tables():
+    region = t("region").filter(F.col("r_name") == "ASIA")
+    nation = t("nation")
+    cust = t("customer")
+    sup = t("supplier")
+    orders = t("orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = t("lineitem")
+    return region, nation, cust, sup, orders, li
+
+
+def q05_finish(joined):
+    return (
+        joined.groupBy("n_name")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("n_name").asc())
+    )
+
+
+def q05_current():
+    region, nation, cust, sup, orders, li = q05_tables()
+    return q05_finish(
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .filter(cust.c_nationkey == sup.s_nationkey)
+        .join(F.broadcast(nation), sup.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    )
+
+
+def q05_reordered():
+    region, nation, cust, sup, orders, li = q05_tables()
+    asia_nation = nation.join(
+        F.broadcast(region), nation.n_regionkey == region.r_regionkey
+    )
+    asia_cust = cust.join(
+        F.broadcast(asia_nation), cust.c_nationkey == asia_nation.n_nationkey
+    )
+    reduced = orders.join(
+        F.broadcast(asia_cust), orders.o_custkey == asia_cust.c_custkey
+    )
+    return q05_finish(
+        li.join(reduced, li.l_orderkey == reduced.o_orderkey)
+        .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .filter(F.col("c_nationkey") == sup.s_nationkey)
+    )
+
+
+VARIANTS = {
+    "q03": {"current": q03_current, "reordered": q03_reordered},
+    "q05": {"current": q05_current, "reordered": q05_reordered},
+}
+
+for qname, variants in VARIANTS.items():
+    dfs = {k: build() for k, build in variants.items()}
+    rows = {k: df.collect() for k, df in dfs.items()}  # warm + result check
+    base = [tuple(r) for r in rows["current"]]
+    for k, r in rows.items():
+        assert [tuple(x) for x in r] == base, f"{qname}/{k} disagrees"
+    times = {k: [] for k in dfs}
+    for _ in range(reps):
+        for k, df in dfs.items():
+            t0 = time.perf_counter()
+            df.collect()
+            times[k].append(time.perf_counter() - t0)
+    for k, ts in times.items():
+        print(qname, k, "min", round(min(ts), 3), "reps", [round(x, 3) for x in ts])
