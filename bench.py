@@ -176,6 +176,17 @@ def main() -> int:
             # smaller, and it ALSO gets an untimed warm rep below —
             # the protocol stays symmetric: both engines' timed reps are
             # warm executions of an already-planned query.
+            #
+            # Why .save() and never repeated .collect() on one df: each
+            # save builds a NEW QueryExecution (fresh RDD lineage), so no
+            # shuffle-stage reuse between reps — verified via
+            # statusTracker on q05@sf0.1: saves 1/2/3 each run the
+            # identical stage set (13 stages, 4 within-plan reused
+            # exchanges), while a second .collect() on the same df
+            # collapses to 3 stages (Spark reuses the cached lineage's
+            # completed shuffle map outputs and re-runs only the result
+            # stage). Timed save reps re-execute scan/join/shuffle/agg
+            # in full, every rep.
             df = fn(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()  # warm, untimed
             for _ in range(max(1, reps)):

@@ -45,10 +45,18 @@ def _stream_dir(path: str) -> str:
     nested table dirs); testdata tables are single parquet files,
     generated bench sets are directories of part files. Expose either
     through a temp dir of flat symlinks — no data copy, cached per
-    source path."""
+    source path.
+
+    The source path MUST be made absolute before linking: the symlink
+    targets live under /tmp, so a relative sf_dir (e.g. `.bench/sf1`)
+    would produce links relative to the temp dir — broken, and the file
+    stream source then lists ZERO files and every streaming entry
+    silently returns 0 rows (exactly how the r9 sf1 sweep regressed
+    when invoked with a relative path)."""
     import os
     import tempfile
 
+    path = os.path.abspath(path)
     d = tempfile.mkdtemp(prefix="tp_stream_src_")
     if os.path.isdir(path):
         for n in sorted(os.listdir(path)):

@@ -690,3 +690,29 @@ def test_budget_alerts_string_key(spark, tmp_path):
     q.awaitTermination()
     got = sorted((r["user"], r["cross_n"]) for r in spark.table("budget_str_key").collect())
     assert got == [("alice", 1), ("bob", 1), ("bob", 2)]
+
+
+def test_stream_dir_resolves_relative_source_paths(tmp_path):
+    """_stream_dir's symlinks live under /tmp, so a RELATIVE source path
+    must be absolutized before linking — otherwise the targets resolve
+    relative to the temp dir, every link is dangling, the file stream
+    source lists zero files, and streaming entries silently return 0
+    rows (the r9 sf1 sweep regression: the harness was invoked with
+    `.bench/sf1`)."""
+    import os
+
+    from tailpipe_spark.queries.streaming_q import _stream_dir
+
+    table = tmp_path / "events.parquet"
+    table.mkdir()
+    (table / "part-00000.parquet").write_bytes(b"x")
+    rel = os.path.relpath(table, os.getcwd())
+    assert not os.path.isabs(rel)
+
+    d = _stream_dir(rel)
+    links = os.listdir(d)
+    assert links, "no symlinks created"
+    for n in links:
+        p = os.path.join(d, n)
+        assert os.path.islink(p)
+        assert os.path.exists(p), f"dangling symlink: {p} -> {os.readlink(p)}"
