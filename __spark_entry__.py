@@ -42,6 +42,7 @@ _VERIFY_FIRST = [
     # wave: q03 dim-first join reorder (A/B'd at sf10, -40%)
     "q_rollup_manifest",
     "q03_shipping_priority",
+    "q05_local_supplier",
     "q_json_extract",
     "q_range_join",
     "q_rollup_continuous",

@@ -196,6 +196,19 @@ LIMIT 10
 # --- q05: local-supplier volume (6-way join, broadcast dims) ---
 
 def q05_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Dim-first reduction, shuffle-safe: the ASIA restriction reaches
+    # orders through nation->customer BEFORE any fact-side join, so
+    # fact-scale data shuffles exactly ONCE (lineitem on l_orderkey).
+    # The previous shape joined customer AFTER li ⋈ orders, forcing a
+    # second, fact-scale shuffle of the join intermediate on custkey —
+    # the kind of shuffle that dominates at cluster scale. A/B at sf10
+    # (tools/ab_q03_order.py, min-of-5 interleaved): 5.73 s -> 5.37 s
+    # locally, and structurally one fewer fact-scale shuffle.
+    # Measured-but-REJECTED: hard-broadcasting the reduced orders side
+    # into lineitem (3.34 s at sf10) — that side is a join output that
+    # scales with SF, so the hint OOMs at cluster scale, and AQE
+    # rightly demotes the runtime conversion (all build-side shuffle
+    # partitions non-empty); we keep hints only on bounded dims.
     region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     nation = _t(spark, sf_dir, "nation")
     cust = _t(spark, sf_dir, "customer")
@@ -205,13 +218,17 @@ def q05_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
     )
     li = _t(spark, sf_dir, "lineitem")
+    asia_nation = nation.join(
+        F.broadcast(region), nation.n_regionkey == region.r_regionkey
+    )
+    asia_cust = cust.join(
+        F.broadcast(asia_nation), cust.c_nationkey == asia_nation.n_nationkey
+    )
+    reduced = orders.join(asia_cust, orders.o_custkey == asia_cust.c_custkey)
     return (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(cust, orders.o_custkey == cust.c_custkey)
+        li.join(reduced, li.l_orderkey == reduced.o_orderkey)
         .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
-        .filter(cust.c_nationkey == sup.s_nationkey)
-        .join(F.broadcast(nation), sup.s_nationkey == nation.n_nationkey)
-        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .filter(F.col("c_nationkey") == sup.s_nationkey)
         .groupBy("n_name")
         .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
         .orderBy(F.col("revenue").desc(), F.col("n_name").asc())

@@ -120,22 +120,56 @@ def q05_reordered():
     )
 
 
+def q05_reordered_shuffle():
+    # Same dim-first reduction, but orders ⋈ asia_cust as a plain
+    # shuffle join: customer scales with SF, so a hard broadcast of
+    # 1/5 of it is wrong at cluster scale. The reduction win must come
+    # from shuffling 4.6M orders on custkey instead of shuffling the
+    # (li ⋈ orders) intermediate — broadcast is a bonus AQE can add
+    # when the reduced side happens to fit.
+    region, nation, cust, sup, orders, li = q05_tables()
+    asia_nation = nation.join(
+        F.broadcast(region), nation.n_regionkey == region.r_regionkey
+    )
+    asia_cust = cust.join(
+        F.broadcast(asia_nation), cust.c_nationkey == asia_nation.n_nationkey
+    )
+    reduced = orders.join(asia_cust, orders.o_custkey == asia_cust.c_custkey)
+    return q05_finish(
+        li.join(reduced, li.l_orderkey == reduced.o_orderkey)
+        .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .filter(F.col("c_nationkey") == sup.s_nationkey)
+    )
+
+
 VARIANTS = {
     "q03": {"current": q03_current, "reordered": q03_reordered},
-    "q05": {"current": q05_current, "reordered": q05_reordered},
+    "q05": {
+        "current": q05_current,
+        "reordered": q05_reordered,
+        "reordered_shuffle": q05_reordered_shuffle,
+    },
 }
 
+# Timing protocol matches bench.py: REBUILD the DataFrame every rep and
+# execute via the noop sink. Repeated .collect() on the SAME DataFrame
+# object is NOT a valid rep — Spark caches the QueryExecution's RDD
+# lineage, so completed shuffle map stages are skipped and later reps
+# time only the final stage (observed: q05@sf10 0.03 s/rep under
+# collect-reuse vs 2+ s honest). A fresh build per rep gives fresh RDDs,
+# so scan/join/shuffle run in full every time; the one pre-loop rep is
+# the untimed warm-up.
 for qname, variants in VARIANTS.items():
-    dfs = {k: build() for k, build in variants.items()}
-    rows = {k: df.collect() for k, df in dfs.items()}  # warm + result check
+    rows = {k: build().collect() for k, build in variants.items()}  # warm + check
     base = [tuple(r) for r in rows["current"]]
     for k, r in rows.items():
         assert [tuple(x) for x in r] == base, f"{qname}/{k} disagrees"
-    times = {k: [] for k in dfs}
+    times = {k: [] for k in variants}
     for _ in range(reps):
-        for k, df in dfs.items():
+        for k, build in variants.items():
+            df = build()
             t0 = time.perf_counter()
-            df.collect()
+            df.write.format("noop").mode("overwrite").save()
             times[k].append(time.perf_counter() - t0)
     for k, ts in times.items():
         print(qname, k, "min", round(min(ts), 3), "reps", [round(x, 3) for x in ts])
