@@ -277,7 +277,12 @@ def main() -> int:
         ),
     )
     try:
-        os.makedirs(os.path.dirname(out_path), exist_ok=True)
+        # dirname is "" for a bare filename (cwd-relative out path);
+        # makedirs("") raises FileNotFoundError and the record would be
+        # silently dropped by the except below
+        out_dir = os.path.dirname(out_path)
+        if out_dir:
+            os.makedirs(out_dir, exist_ok=True)
         with open(out_path, "w") as fh:
             json.dump(payload, fh, indent=1)
     except OSError:

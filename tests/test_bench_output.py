@@ -23,7 +23,9 @@ def test_bench_last_stdout_line_is_compact_json(tmp_path):
         os.environ,
         SPARK_GRAFT_SF_DIR="/root/testdata/sf0.001",
         SPARK_GRAFT_BENCH_REPS="1",
-        SPARK_GRAFT_BENCH_OUT=str(out_file),
+        # a BARE filename (cwd-relative): os.path.dirname("") used to
+        # make makedirs raise and the record was silently dropped
+        SPARK_GRAFT_BENCH_OUT=out_file.name,
     )
     proc = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py")],
@@ -31,7 +33,7 @@ def test_bench_last_stdout_line_is_compact_json(tmp_path):
         text=True,
         env=env,
         timeout=560,
-        cwd=REPO,
+        cwd=str(tmp_path),
     )
     assert proc.returncode == 0, proc.stderr[-2000:]
     lines = [ln for ln in proc.stdout.splitlines() if ln.strip()]
