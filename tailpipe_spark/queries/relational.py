@@ -155,12 +155,21 @@ ORDER BY l_returnflag, l_linestatus
 # --- q03: shipping priority (3-way join → agg → top-k) ---
 
 def q03_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Join order matters: the broadcast customer dim (1/5 segment
-    # selectivity) reduces orders BEFORE the expensive lineitem join, so
-    # the big shuffle carries 5x fewer orders rows and AQE can pick a
-    # broadcast/shuffle strategy against the already-reduced side.
-    # A/B at sf10 (tools/ab_q03_order.py, min-of-5 interleaved):
-    # dim-last 1.06 s vs dim-first 0.633 s; identical results.
+    # The customer join is a PURE FILTER here (no customer column
+    # survives the projection), so reduce orders with a LEFT SEMI join
+    # before the lineitem join. Why semi and not inner: Catalyst's size
+    # estimate for a semi-join output is bounded by its left side,
+    # while an inner-join output gets the useless row-product estimate
+    # — an inner-join reduction therefore DESTROYS the planner's
+    # ability to broadcast the reduced orders side into lineitem, and
+    # at sf1 that costs 3x (li shuffles for nothing). The semi shape
+    # keeps one static plan that adapts with scale: orders side
+    # broadcast into lineitem while it fits (zero fact-side shuffles),
+    # sort-merge on a 5x-reduced side once it doesn't.
+    # A/B (tools/ab_q03_order.py, interleaved rebuild+noop-save reps):
+    #   sf0.1  current 0.446  inner-reorder 0.668  semi 0.440
+    #   sf1    current 0.831  inner-reorder 2.518  semi 0.685
+    #   sf10   current 3.447  inner-reorder 2.998  semi 2.340
     cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     orders = _t(spark, sf_dir, "orders").filter(
         F.col("o_orderdate") < F.lit("1997-03-15").cast("timestamp")
@@ -168,7 +177,9 @@ def q03_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") > F.lit("1997-03-15").cast("timestamp")
     )
-    reduced = orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+    reduced = orders.join(
+        F.broadcast(cust), orders.o_custkey == cust.c_custkey, "left_semi"
+    )
     return (
         li.join(reduced, li.l_orderkey == reduced.o_orderkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
@@ -196,19 +207,22 @@ LIMIT 10
 # --- q05: local-supplier volume (6-way join, broadcast dims) ---
 
 def q05_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Dim-first reduction, shuffle-safe: the ASIA restriction reaches
-    # orders through nation->customer BEFORE any fact-side join, so
-    # fact-scale data shuffles exactly ONCE (lineitem on l_orderkey).
-    # The previous shape joined customer AFTER li ⋈ orders, forcing a
-    # second, fact-scale shuffle of the join intermediate on custkey —
-    # the kind of shuffle that dominates at cluster scale. A/B at sf10
-    # (tools/ab_q03_order.py, min-of-5 interleaved): 5.73 s -> 5.37 s
-    # locally, and structurally one fewer fact-scale shuffle.
-    # Measured-but-REJECTED: hard-broadcasting the reduced orders side
-    # into lineitem (3.34 s at sf10) — that side is a join output that
-    # scales with SF, so the hint OOMs at cluster scale, and AQE
-    # rightly demotes the runtime conversion (all build-side shuffle
-    # partitions non-empty); we keep hints only on bounded dims.
+    # Dim-last shape, deliberately: unlike q03, the customer join here
+    # is NOT a pure filter (c_nationkey and n_name must survive), so no
+    # semi-join reduction applies. Three reduction shapes were A/B'd at
+    # three scales (tools/ab_q03_order.py, interleaved rebuild+noop-save
+    # reps) and ALL measured worse where it matters:
+    #   dim-first inner reorder: sf0.1 0.66, sf1 3.66 (vs current 0.47 /
+    #     0.68 — the reduced side is a join output whose row-product
+    #     size estimate kills Catalyst's static broadcast of the orders
+    #     side into lineitem); sf10 5.37 vs 5.73 — only a 6% win there.
+    #   semi-reduce + rejoin customer after the fact join: sf0.1 0.645
+    #     (the second customer join adds a stage the small scales never
+    #     earn back).
+    #   hard-broadcast of the reduced orders side: fastest at sf10
+    #     (3.34) but a join output that scales with SF — the hint OOMs
+    #     at cluster scale and AQE rightly demotes the runtime
+    #     conversion; hints stay on bounded dims only.
     region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     nation = _t(spark, sf_dir, "nation")
     cust = _t(spark, sf_dir, "customer")
@@ -218,17 +232,13 @@ def q05_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
     )
     li = _t(spark, sf_dir, "lineitem")
-    asia_nation = nation.join(
-        F.broadcast(region), nation.n_regionkey == region.r_regionkey
-    )
-    asia_cust = cust.join(
-        F.broadcast(asia_nation), cust.c_nationkey == asia_nation.n_nationkey
-    )
-    reduced = orders.join(asia_cust, orders.o_custkey == asia_cust.c_custkey)
     return (
-        li.join(reduced, li.l_orderkey == reduced.o_orderkey)
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
-        .filter(F.col("c_nationkey") == sup.s_nationkey)
+        .filter(cust.c_nationkey == sup.s_nationkey)
+        .join(F.broadcast(nation), sup.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("n_name")
         .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
         .orderBy(F.col("revenue").desc(), F.col("n_name").asc())

@@ -120,6 +120,22 @@ def q05_reordered():
     )
 
 
+def q03_semi():
+    # The customer join in q03 is a PURE FILTER (no customer columns
+    # survive), so reduce orders with a left-semi join instead of an
+    # inner join. Catalyst's size estimate for a semi join is bounded
+    # by the left side (an inner join output gets the useless product
+    # estimate), so the reduced orders side KEEPS its broadcastability:
+    # at small SF Catalyst still broadcasts it into lineitem (zero
+    # fact-side shuffles), at large SF the 1/5 reduction shrinks the
+    # sort-merge join. One static plan, scale-adaptive behavior.
+    cust, orders, li = q03_tables()
+    reduced = orders.join(
+        F.broadcast(cust), orders.o_custkey == cust.c_custkey, "left_semi"
+    )
+    return q03_finish(li.join(reduced, li.l_orderkey == reduced.o_orderkey))
+
+
 def q05_reordered_shuffle():
     # Same dim-first reduction, but orders ⋈ asia_cust as a plain
     # shuffle join: customer scales with SF, so a hard broadcast of
@@ -142,12 +158,44 @@ def q05_reordered_shuffle():
     )
 
 
+def q05_semi():
+    # Semi-reduce orders by ASIA customer keys (bounded size estimate,
+    # so Catalyst keeps the option of broadcasting the reduced side
+    # into lineitem), then rejoin customer AFTER the fact join for
+    # c_nationkey/n_name — by then the intermediate is ASIA-only, 1/5
+    # the rows the dim-last shape shuffles on custkey. cust join left
+    # unhinted: Catalyst broadcasts it at small SF, SMJ at scale.
+    region, nation, cust, sup, orders, li = q05_tables()
+    asia_nation = nation.join(
+        F.broadcast(region), nation.n_regionkey == region.r_regionkey
+    )
+    asia_cust = cust.join(
+        F.broadcast(asia_nation), cust.c_nationkey == asia_nation.n_nationkey
+    ).select("c_custkey", "c_nationkey", "n_name")
+    reduced = orders.join(
+        asia_cust.select("c_custkey"),
+        orders.o_custkey == F.col("c_custkey"),
+        "left_semi",
+    )
+    return q05_finish(
+        li.join(reduced, li.l_orderkey == reduced.o_orderkey)
+        .join(asia_cust, F.col("o_custkey") == asia_cust.c_custkey)
+        .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .filter(F.col("c_nationkey") == sup.s_nationkey)
+    )
+
+
 VARIANTS = {
-    "q03": {"current": q03_current, "reordered": q03_reordered},
+    "q03": {
+        "current": q03_current,
+        "reordered": q03_reordered,
+        "semi": q03_semi,
+    },
     "q05": {
         "current": q05_current,
         "reordered": q05_reordered,
         "reordered_shuffle": q05_reordered_shuffle,
+        "semi": q05_semi,
     },
 }
 
