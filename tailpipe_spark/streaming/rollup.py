@@ -31,43 +31,73 @@ BUCKET_COL = "bucket_start"
 MANIFEST_NAME = "_MANIFEST.json"
 
 
+def _pid_alive(pid: int) -> bool:
+    """Pidfile liveness: ``os.kill(pid, 0)`` probes existence.
+    ``ProcessLookupError`` → no such pid → dead. ``PermissionError``
+    (EPERM) → the pid EXISTS but belongs to another user → ALIVE (the
+    canonical pidfile interpretation; r9 ADVICE fixed the inversion
+    that treated it as dead and let a cross-uid writer steal a live
+    lock)."""
+    import os
+
+    try:
+        os.kill(pid, 0)
+        return True
+    except ProcessLookupError:
+        return False
+    except PermissionError:
+        return True
+
+
 def _acquire_writer_lock(lock_path: str, owner: str) -> None:
     """O_EXCL pidfile lock: refuse a LIVE concurrent writer, steal a
     stale lock from a crashed one (dead pid). Advisory, same-host —
-    see maintain_rollup's storage contract."""
+    see maintain_rollup's storage contract.
+
+    The whole acquire protocol (try-create, read, liveness check,
+    stale unlink, retry-create) runs under an ``flock`` on a
+    persistent sidecar guard file, so two contenders that both observe
+    the same dead-pid lock serialize instead of interleaving — the
+    r9-ADVICE TOCTOU where stealer A unlinks+recreates and stealer B
+    then unlinks A's FRESH lock (two concurrent writers) cannot occur,
+    because B's read of the lock happens only after A's guard section
+    (incl. A's recreate) completes, so B sees A's live pid and
+    refuses. The guard file is never unlinked (flock on a path that
+    gets unlinked/recreated is itself racy) and the kernel drops the
+    flock if a holder crashes mid-protocol, so the guard introduces no
+    staleness hazard of its own."""
+    import fcntl
     import os
 
-    while True:
-        try:
-            fd = os.open(lock_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-            with os.fdopen(fd, "w") as f:
-                f.write(f"{os.getpid()}\n{owner}\n")
-            return
-        except FileExistsError:
-            pass
-        try:
-            with open(lock_path) as f:
-                first = f.readline().strip()
-            pid = int(first)
-        except (OSError, ValueError):
-            pid = None  # torn/vanished lock: treat as stale
-        alive = False
-        if pid is not None:
+    guard_fd = os.open(lock_path + ".guard", os.O_CREAT | os.O_RDWR)
+    try:
+        fcntl.flock(guard_fd, fcntl.LOCK_EX)
+        while True:
             try:
-                os.kill(pid, 0)
-                alive = True
-            except (ProcessLookupError, PermissionError):
-                alive = False
-        if alive:
-            raise RuntimeError(
-                f"lock {lock_path!r} is held by a live writer (pid {pid}); "
-                f"refusing concurrent access from {owner!r} — rollup "
-                "maintenance assumes a single writer at a time"
-            )
-        try:  # stale lock from a crashed writer: steal it
-            os.unlink(lock_path)
-        except FileNotFoundError:
-            pass
+                fd = os.open(lock_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                with os.fdopen(fd, "w") as f:
+                    f.write(f"{os.getpid()}\n{owner}\n")
+                return
+            except FileExistsError:
+                pass
+            try:
+                with open(lock_path) as f:
+                    first = f.readline().strip()
+                pid = int(first)
+            except (OSError, ValueError):
+                pid = None  # torn/vanished lock: treat as stale
+            if pid is not None and _pid_alive(pid):
+                raise RuntimeError(
+                    f"lock {lock_path!r} is held by a live writer (pid {pid}); "
+                    f"refusing concurrent access from {owner!r} — rollup "
+                    "maintenance assumes a single writer at a time"
+                )
+            try:  # stale lock from a crashed writer: steal it
+                os.unlink(lock_path)
+            except FileNotFoundError:
+                pass
+    finally:
+        os.close(guard_fd)  # closing releases the flock
 
 
 def _release_writer_lock(lock_path: str) -> None:
@@ -191,6 +221,58 @@ def vacuum_manifest_rollup(rollup_path: str) -> list[str]:
         _release_writer_lock(lock_path)
 
 
+def _compact_manifest_locked(spark: SparkSession, rollup_path: str) -> str | None:
+    """Rewrite ALL live partitions into one fresh generation and point
+    the manifest wholly at it. Caller must hold the writer lock.
+
+    Why: every batch that touches an existing date creates a new
+    generation, so a long-maintained rollup accumulates one
+    ``spark.read`` per live generation on the read path (and
+    ``unionByName`` across generations is exposed to schema drift
+    between them) — r9 ADVICE. Compaction restores the single-read
+    steady state; superseded generations stay readable until
+    :func:`vacuum_manifest_rollup` reclaims them."""
+    import os
+
+    manifest = _load_manifest(rollup_path)
+    if not manifest or not manifest.get("partitions"):
+        return None
+    gens = {rel.rsplit("/bucket_date=", 1)[0] for rel in manifest["partitions"].values()}
+    if len(gens) <= 1:
+        return None
+    df = read_manifest_rollup(spark, rollup_path)
+    gen_rel = f"data/compact-{manifest['version']}"
+    gen_abs = os.path.join(rollup_path, gen_rel)
+    attempt = 0
+    while os.path.exists(gen_abs):  # never reuse a dir a live manifest may reference
+        attempt += 1
+        gen_rel = f"data/compact-{manifest['version']}-r{attempt}"
+        gen_abs = os.path.join(rollup_path, gen_rel)
+    df.write.mode("overwrite").partitionBy("bucket_date").parquet(gen_abs)
+    manifest["partitions"] = {
+        name.split("=", 1)[1]: f"{gen_rel}/{name}"
+        for name in sorted(os.listdir(gen_abs))
+        if name.startswith("bucket_date=")
+    }
+    manifest["version"] += 1
+    _commit_manifest(rollup_path, manifest)
+    return gen_rel
+
+
+def compact_manifest_rollup(spark: SparkSession, rollup_path: str) -> str | None:
+    """Take the writer lock and consolidate a ``layout="manifest"``
+    rollup into a single generation (see :func:`_compact_manifest_locked`).
+    Returns the new generation's relative path, or None if the rollup
+    was already single-generation/empty. Follow with
+    :func:`vacuum_manifest_rollup` to reclaim superseded generations."""
+    lock_path = f"{rollup_path.rstrip('/')}.__writer.lock"
+    _acquire_writer_lock(lock_path, "compact")
+    try:
+        return _compact_manifest_locked(spark, rollup_path)
+    finally:
+        _release_writer_lock(lock_path)
+
+
 def _check_aligned(boundary, window: str) -> None:
     import re
     from datetime import datetime, timezone
@@ -235,6 +317,7 @@ def maintain_rollup(
     checkpoint: str,
     watermark: str = "1 hour",
     layout: str = "swap",
+    max_generations: int = 32,
 ):
     """Streaming maintenance: each micro-batch emits only the buckets
     it UPDATED (``update`` output mode, so watermark eviction bounds
@@ -353,6 +436,15 @@ def maintain_rollup(
         # this line leaves an unreferenced generation (vacuum reclaims
         # it) and readers keep seeing the previous consistent state
         _commit_manifest(rollup_path, manifest)
+        # self-compaction: bound the live generation count so the read
+        # path stays O(1) spark.reads instead of O(batches-that-touched-
+        # existing-dates) — r9 ADVICE. Already holding the writer lock.
+        live_gens = {
+            rel.rsplit("/bucket_date=", 1)[0]
+            for rel in manifest["partitions"].values()
+        }
+        if max_generations and len(live_gens) > max_generations:
+            _compact_manifest_locked(spark, rollup_path)
 
     def _upsert_locked(rows: DataFrame, batch_id: int) -> None:
         import hashlib

@@ -409,6 +409,68 @@ def test_rollup_single_writer_guard(spark, tmp_path):
     assert got == [("a", 2)]
 
 
+def test_writer_lock_eperm_means_alive(tmp_path, monkeypatch):
+    """EPERM from os.kill(pid, 0) means the pid EXISTS under another
+    uid — the canonical pidfile reading is ALIVE. The r9 inversion
+    treated it as dead and stole a live cross-uid lock; this pins the
+    fix: acquisition must REFUSE, and the lock file must survive."""
+    import os
+
+    from tailpipe_spark.streaming.rollup import _acquire_writer_lock
+
+    lock_path = str(tmp_path / "r.__writer.lock")
+    with open(lock_path, "w") as f:
+        f.write("12345\nother-uid-writer\n")
+
+    real_kill = os.kill
+
+    def fake_kill(pid, sig):
+        if pid == 12345 and sig == 0:
+            raise PermissionError(1, "Operation not permitted")
+        return real_kill(pid, sig)
+
+    monkeypatch.setattr(os, "kill", fake_kill)
+    with pytest.raises(RuntimeError, match="live writer"):
+        _acquire_writer_lock(lock_path, "intruder")
+    with open(lock_path) as f:
+        assert f.readline().strip() == "12345", "live lock must not be stolen"
+
+
+def test_writer_lock_steal_serialized_under_guard(tmp_path, monkeypatch):
+    """The acquire protocol runs under an flock on a persistent sidecar
+    guard, so two contenders that both saw a dead-pid lock serialize:
+    the second's liveness check happens only AFTER the first finished
+    steal+recreate, sees the first's live pid, and refuses (the r9
+    TOCTOU had the second unlink the first's fresh lock). Simulated by
+    re-entering acquisition from inside the first steal's window."""
+    import os
+
+    from tailpipe_spark.streaming.rollup import (
+        _acquire_writer_lock,
+        _release_writer_lock,
+    )
+
+    lock_path = str(tmp_path / "r.__writer.lock")
+    with open(lock_path, "w") as f:
+        f.write("999999999\ncrashed-writer\n")
+
+    # contender 1 steals the stale lock and now holds a live one
+    _acquire_writer_lock(lock_path, "contender-1")
+    with open(lock_path) as f:
+        assert int(f.readline()) == os.getpid()
+    # contender 2 (same host, this pid is alive) must refuse, not steal
+    with pytest.raises(RuntimeError, match="live writer"):
+        _acquire_writer_lock(lock_path, "contender-2")
+    with open(lock_path) as f:
+        assert int(f.readline()) == os.getpid(), "fresh lock must survive"
+    _release_writer_lock(lock_path)
+    assert not os.path.exists(lock_path)
+    assert os.path.exists(lock_path + ".guard"), (
+        "guard sidecar is persistent by design (flock on an unlinked/"
+        "recreated path is itself racy)"
+    )
+
+
 def test_rollup_manifest_layout_end_to_end(spark, tmp_path):
     """layout="manifest": generation dirs + an atomically-replaced
     pointer file instead of directory renames — the object-store-safe
@@ -525,6 +587,89 @@ def test_rollup_manifest_layout_end_to_end(spark, tmp_path):
     assert sorted(map(str, got.drop("bucket_date").collect())) == sorted(
         map(str, want.collect())
     )
+
+
+def test_rollup_manifest_compaction(spark, tmp_path):
+    """Every batch that touches an existing date adds a generation, so
+    the read path accumulates one spark.read per live generation (r9
+    ADVICE). compact_manifest_rollup folds all live partitions into ONE
+    generation with identical data; maintain_rollup(max_generations=N)
+    self-compacts past the threshold."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    from tailpipe_spark.streaming.rollup import (
+        BUCKET_COL,
+        _load_manifest,
+        compact_manifest_rollup,
+        maintain_rollup,
+        read_manifest_rollup,
+        vacuum_manifest_rollup,
+    )
+
+    src_dir = tmp_path / "src"
+    src_dir.mkdir()
+    schema = "event_id long, ts timestamp, event_type string, value double"
+
+    def write_batch(name, rows):
+        spark.createDataFrame(
+            rows, "event_id long, ts_s string, event_type string, value double"
+        ).withColumn("ts", F.col("ts_s").cast("timestamp")).drop("ts_s").select(
+            "event_id", "ts", "event_type", "value"
+        ).write.parquet(str(src_dir / name))
+
+    aggs = [F.count(F.lit(1)).alias("n_events")]
+    rollup_path = str(tmp_path / "rollup")
+    os.makedirs(rollup_path)
+
+    def run(ck, max_generations=32):
+        stream = spark.readStream.schema(schema).parquet(str(src_dir / "*"))
+        q = maintain_rollup(
+            stream, rollup_path, "ts", "1 hour", ["event_type"], aggs,
+            checkpoint=str(tmp_path / ck), layout="manifest",
+            max_generations=max_generations,
+        )
+        q.awaitTermination()
+
+    def live_gens():
+        parts = _load_manifest(rollup_path)["partitions"]
+        return {rel.rsplit("/bucket_date=", 1)[0] for rel in parts.values()}
+
+    def snap():
+        return sorted(map(str, read_manifest_rollup(spark, rollup_path).collect()))
+
+    # batch 1 covers three dates; batch 2 touches only one → 2 live gens
+    write_batch("b1", [
+        (i, f"2024-01-0{1 + i % 3}T03:15:00", "a", 1.0) for i in range(6)
+    ])
+    run("ck1")
+    write_batch("b2", [(100, "2024-01-01T05:45:00", "b", 2.0)])
+    run("ck1")
+    assert len(live_gens()) == 2
+    want = snap()
+
+    assert compact_manifest_rollup(spark, rollup_path) is not None
+    assert len(live_gens()) == 1
+    assert snap() == want, "compaction must not change the data"
+    # idempotent no-op when already single-generation
+    assert compact_manifest_rollup(spark, rollup_path) is None
+    removed = vacuum_manifest_rollup(rollup_path)
+    assert removed, "superseded generations reclaimed after compaction"
+    assert snap() == want
+
+    # self-compaction: threshold 1 keeps the manifest single-generation
+    # through a batch that touches an existing date
+    write_batch("b3", [(200, "2024-01-02T07:45:00", "b", 3.0)])
+    run("ck1", max_generations=1)
+    assert len(live_gens()) == 1
+    raw = spark.read.parquet(str(src_dir / "*"))
+    want_now = raw.groupBy(
+        F.window("ts", "1 hour").start.alias(BUCKET_COL), "event_type"
+    ).agg(*aggs)
+    assert sorted(
+        map(str, read_manifest_rollup(spark, rollup_path).drop("bucket_date").collect())
+    ) == sorted(map(str, want_now.collect()))
 
 
 def test_rollup_manifest_orphan_generation_invisible(spark, tmp_path):
