@@ -123,9 +123,21 @@ def main() -> int:
     # optional subset (comma-separated) for targeted scale runs, e.g.
     # the sf10 stretch bench over the five heaviest queries
     subset = os.environ.get("SPARK_GRAFT_BENCH_QUERIES", "")
-    headline = (
-        [q for q in HEADLINE if q in set(subset.split(","))] if subset else HEADLINE
-    )
+    if subset:
+        # Tokens are stripped and unknown names are a hard error: the
+        # old filter silently dropped typos/whitespace-padded names, so
+        # a bad subset produced a partial-or-empty artifact that looked
+        # like a legitimate record (r9 ADVICE).
+        wanted = [t.strip() for t in subset.split(",") if t.strip()]
+        unknown = sorted(set(wanted) - set(HEADLINE))
+        if unknown:
+            raise SystemExit(
+                f"SPARK_GRAFT_BENCH_QUERIES names not in HEADLINE: {unknown}; "
+                f"valid: {HEADLINE}"
+            )
+        headline = [q for q in HEADLINE if q in set(wanted)]
+    else:
+        headline = HEADLINE
     timings: dict[str, float] = {}
     detail: dict[str, dict] = {}
     errors: dict[str, str] = {}
@@ -187,8 +199,10 @@ def main() -> int:
             # completed shuffle map outputs and re-runs only the result
             # stage). Timed save reps re-execute scan/join/shuffle/agg
             # in full, every rep.
+            t_cold = time.time()
             df = fn(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()  # warm, untimed
+            cold = time.time() - t_cold
             for _ in range(max(1, reps)):
                 t0 = time.time()
                 df.write.format("noop").mode("overwrite").save()
@@ -201,6 +215,13 @@ def main() -> int:
         # variance (the shared box shows >50% rep-to-rep noise) without
         # re-running the bench
         detail[name] = {
+            # "cold" = DataFrame construction + analysis + first (warm)
+            # execution — the one-time driver cost the timed reps hoist
+            # out, recorded so the hoisting stays auditable from the
+            # artifact itself and cross-round comparisons with pre-r9
+            # protocols (whose "single" included it) can be reconstructed
+            # (r9 ADVICE).
+            "cold": round(cold, 3),
             "single": round(times[0], 3),
             "min": round(min(times), 3),
             "reps": [round(t, 3) for t in times],
@@ -210,7 +231,9 @@ def main() -> int:
             continue
         best = None
         try:
+            t_cold = time.time()
             con.execute(spec.oracle).fetchall()  # warm, untimed (symmetric)
+            detail[name]["duckdb_cold"] = round(time.time() - t_cold, 3)
             for _ in range(max(1, reps)):
                 t0 = time.time()
                 con.execute(spec.oracle).fetchall()
