@@ -30,66 +30,18 @@ from tailpipe_spark.queries import build_registry
 # entries themselves, and finally the oldest-driver-signal cohort
 # (r4 then r5) to refresh their signal.
 _VERIFY_FIRST = [
-    # --- r9 rotation (r8 verdict ask #2): changed plans first, then
-    # strictly oldest-driver-signal-first. Signal ages computed from
-    # CORRECTNESS_r01..r08: the r5 cohort (q_row_numbering ... sec_*)
-    # last saw driver hash signal in round 5, the TPC-H q02-q22 tail +
-    # streaming + misc cohort in round 6. The driver samples the first
-    # ~50 entries; the r6 tail past the cut leads the r10 rotation. ---
-    # changed in r9: json first-wins positional guard, range-join null
-    # pre-filter, rollup writer lock on the sink path; NEW in r9
-    # second wave: manifest-layout rollup (q_rollup_manifest); third
-    # wave: q03 dim-first join reorder (A/B'd at sf10, -40%)
+    # --- r10 rotation (r9 verdict ask #6): changed plans first, then
+    # the never-refreshed tail, strictly oldest-driver-signal-first.
+    # Signal ages computed from CORRECTNESS_r01..r09: the q_stream_*/
+    # misc cohort below last saw driver hash signal in round 6, the
+    # text_*/sim_*/data_*/emb_* cohort in round 7. The driver samples
+    # the first ~50 entries. ---
+    # changed in r10: rollup writer lock (EPERM + TOCTOU fix) and
+    # manifest generation self-compaction sit on the maintenance path
+    # both rollup entries exercise end-to-end.
     "q_rollup_manifest",
-    "q03_shipping_priority",
-    "q05_local_supplier",
-    "q_json_extract",
-    "q_range_join",
     "q_rollup_continuous",
-    "q_row_numbering",
-    "q_scalar_functions",
-    "q_sessionize",
-    "q_set_ops",
-    "q_set_ops_all",
-    "q_skew_two_phase_agg",
-    "q_string_functions",
-    "q_struct_roundtrip",
-    "q_time_bucket_hourly",
-    "q_topk_window",
-    "q_tp_enrichment",
-    "q_validate_nulls",
-    "q_window_functions",
-    "sec_entropy_scan",
-    "sec_error_burst",
-    "sec_ip_classify",
-    "dedup_incremental",
-    "mm_audio_stats",
-    "q02_min_cost_supplier",
-    "q04_order_priority",
-    "q06_revenue_forecast",
-    "q07_volume_shipping",
-    "q08_market_share",
-    "q09_product_profit",
-    "q10_returned_items",
-    "q11_important_value",
-    "q12_priority_shipping",
-    "q13_customer_distribution",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q16_supplier_count",
-    "q17_small_qty_revenue",
-    "q18_large_orders",
-    "q19_disjunctive",
-    "q20_promotion_suppliers",
-    "q21_late_suppliers",
-    "q22_global_sales",
-    "q_cohort_retention",
-    "q_collation",
-    "q_funnel",
-    "q_histogram",
-    "q_lateral_topk",
-    "q_null_semantics",
-    "q_recursive_cte",
+    # r6 cohort (11)
     "q_stream_dedup",
     "q_stream_static_join",
     "q_stream_stream_join",
@@ -101,6 +53,45 @@ _VERIFY_FIRST = [
     "q_window_ranks",
     "sec_zscore_outliers",
     "text_hash_embedding",
+    # r7 cohort (33)
+    "data_mixture_rates",
+    "data_sample_fraction",
+    "data_stratified_sample",
+    "dedup_embedding_cosine",
+    "emb_kmeans_assign",
+    "emb_norm_stats",
+    "mm_video_frames",
+    "q_argmax_agg",
+    "q_array_explode",
+    "q_array_functions",
+    "q_asof_join",
+    "q_bitwise",
+    "q_bool_aggs",
+    "q_ewma_last",
+    "q_grouping_id",
+    "q_map_functions",
+    "q_stream_budget_alerts",
+    "q_stream_sessionize",
+    "q_stream_window_counts",
+    "q_try_semantics",
+    "q_window_frames",
+    "sim_cosine_topk",
+    "text_bpe_tokens",
+    "text_chunk",
+    "text_doc_tokens",
+    "text_fingerprint",
+    "text_language_id",
+    "text_pack",
+    "text_pii_redact",
+    "text_quality",
+    "text_repetition",
+    "text_tfidf_topterms",
+    "text_token_stats",
+    # oldest-r8 top-up to fill the ~50 window
+    "mm_checksums",
+    "mm_video_raw",
+    "pipeline_quality_dedup_split",
+    "dedup_components",
 ]
 
 
