@@ -170,6 +170,10 @@ def q03_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     #   sf0.1  current 0.446  inner-reorder 0.668  semi 0.440
     #   sf1    current 0.831  inner-reorder 2.518  semi 0.685
     #   sf10   current 3.447  inner-reorder 2.998  semi 2.340
+    # r10 bucketed-layout A/B (tools/ab_bucketed_q05.py, sf10): with
+    # lineitem+orders bucketed by orderkey the big-scale SMJ branch
+    # goes zero-fact-exchange (3→1 Exchanges), 2.29 → 2.05 min-of-5
+    # (~10%; scan+agg dominate this query once the shuffle is gone).
     cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     orders = _t(spark, sf_dir, "orders").filter(
         F.col("o_orderdate") < F.lit("1997-03-15").cast("timestamp")
@@ -223,6 +227,21 @@ def q05_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     #     (3.34) but a join output that scales with SF — the hint OOMs
     #     at cluster scale and AQE rightly demotes the runtime
     #     conversion; hints stay on bounded dims only.
+    # r10 bucketed-layout A/B (tools/ab_bucketed_q05.py, sf10, 32
+    # buckets on orderkey, one sorted file per bucket, min-of-5):
+    #   default plan      parquet 5.09  bucketed 4.87  (wash — the
+    #     static sf10 plan broadcasts filtered orders, no orderkey
+    #     exchange exists to remove)
+    #   SMJ shape (merge hint) parquet 8.47  bucketed 5.02 — the
+    #     co-located layout deletes BOTH fact exchanges (8→6
+    #     Exchanges) and 40% of the runtime, reaching parity with the
+    #     broadcast plan. At cluster scale the orders broadcast is
+    #     infeasible (the side scales with SF; the size estimate
+    #     crosses the threshold and the static plan falls back to
+    #     exactly this SMJ shape), so bucketing the two fact tables by
+    #     orderkey is the 100 TB answer to DuckDB's never-shuffles
+    #     advantage. The query text stays layout-agnostic: bucketing
+    #     is a storage decision (bucketing.py), not a plan rewrite.
     region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     nation = _t(spark, sf_dir, "nation")
     cust = _t(spark, sf_dir, "customer")

@@ -39,9 +39,22 @@ from tailpipe_spark.queries import build_registry
 from tailpipe_spark.session import build_session, read_table
 
 
-def q05_from(li: DataFrame, orders: DataFrame, spark: SparkSession, sf_dir: str) -> DataFrame:
+def q05_from(
+    li: DataFrame,
+    orders: DataFrame,
+    spark: SparkSession,
+    sf_dir: str,
+    fact_join: str = "default",
+) -> DataFrame:
     """q05 body with the two fact tables injected (same plan text as
-    queries/relational.py::q05_local_supplier — keep in sync)."""
+    queries/relational.py::q05_local_supplier — keep in sync).
+
+    ``fact_join="merge"`` hints the li⋈orders join to SortMergeJoin:
+    at sf10 the STATIC plan broadcasts the filtered orders side (its
+    post-projection size estimate sits under the 64 MB threshold), so
+    the bucketed layout has no exchange to remove unless the broadcast
+    is suppressed — the interesting A/B is co-located zero-exchange
+    SMJ vs rebuilding a ~5.7M-row broadcast hash table per execution."""
     region = read_table(spark, f"{sf_dir}/region.parquet").filter(F.col("r_name") == "ASIA")
     nation = read_table(spark, f"{sf_dir}/nation.parquet")
     cust = read_table(spark, f"{sf_dir}/customer.parquet")
@@ -50,6 +63,8 @@ def q05_from(li: DataFrame, orders: DataFrame, spark: SparkSession, sf_dir: str)
         (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
         & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
     )
+    if fact_join == "merge":
+        orders = orders.hint("merge")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
@@ -70,14 +85,17 @@ def q03_from(li: DataFrame, orders: DataFrame, spark: SparkSession, sf_dir: str)
         F.col("c_mktsegment") == "BUILDING"
     )
     orders = orders.filter(
-        F.col("o_orderdate") < F.lit("1995-03-15").cast("timestamp")
-    ).join(cust, F.col("o_custkey") == cust.c_custkey, "left_semi")
-    li = li.filter(F.col("l_shipdate") > F.lit("1995-03-15").cast("timestamp"))
+        F.col("o_orderdate") < F.lit("1997-03-15").cast("timestamp")
+    )
+    li = li.filter(F.col("l_shipdate") > F.lit("1997-03-15").cast("timestamp"))
+    reduced = orders.join(
+        F.broadcast(cust), orders.o_custkey == cust.c_custkey, "left_semi"
+    )
     return (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .groupBy("l_orderkey", "o_orderdate", "o_shippriority")
+        li.join(reduced, li.l_orderkey == reduced.o_orderkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
-        .orderBy(F.col("revenue").desc(), F.col("o_orderdate").asc())
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
         .limit(10)
     )
 
@@ -98,14 +116,34 @@ def main() -> int:
 
     from tailpipe_spark.bucketing import write_bucketed
 
-    if not args.skip_write:
+    # saveAsTable registers in the session's in-memory catalog: the
+    # data files persist under spark-warehouse/ but the BUCKETING SPEC
+    # does not survive the session, so a fresh session must re-write
+    # (--skip-write only skips within a warm catalog).
+    have_tables = args.skip_write and all(
+        spark.catalog.tableExists(t) for t in ("ab_li_bucketed", "ab_ord_bucketed")
+    )
+    if not have_tables:
+        import shutil
+
+        warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+        for t in ("ab_li_bucketed", "ab_ord_bucketed"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+            # a crashed prior session leaves the managed location behind
+            # with no catalog entry; saveAsTable then refuses
+            shutil.rmtree(os.path.join(warehouse, t), ignore_errors=True)
         t0 = time.time()
+        # repartition on the bucket key first → ONE file per bucket, so
+        # the sortBy metadata lets SMJ elide its per-side Sort (Spark
+        # only trusts bucket sort order for single-file buckets)
         write_bucketed(
-            read_table(spark, f"{sf_dir}/lineitem.parquet"),
+            read_table(spark, f"{sf_dir}/lineitem.parquet")
+            .repartition(args.buckets, "l_orderkey"),
             "ab_li_bucketed", ["l_orderkey"], args.buckets, sort_cols=["l_orderkey"],
         )
         write_bucketed(
-            read_table(spark, f"{sf_dir}/orders.parquet"),
+            read_table(spark, f"{sf_dir}/orders.parquet")
+            .repartition(args.buckets, "o_orderkey"),
             "ab_ord_bucketed", ["o_orderkey"], args.buckets, sort_cols=["o_orderkey"],
         )
         print(f"layout write: {time.time() - t0:.1f}s ({args.buckets} buckets)", flush=True)
@@ -116,27 +154,32 @@ def main() -> int:
     spark.table("ab_ord_bucketed").count()
     registry = build_registry()
 
-    def variants(q):
-        body = q05_from if q == "q05" else q03_from
-        return {
-            f"{q}_parquet": lambda: body(
-                read_table(spark, f"{sf_dir}/lineitem.parquet"),
-                read_table(spark, f"{sf_dir}/orders.parquet"),
-                spark, sf_dir,
-            ),
-            f"{q}_bucketed": lambda: body(
-                spark.table("ab_li_bucketed"), spark.table("ab_ord_bucketed"),
-                spark, sf_dir,
-            ),
-        }
+    def pq(spark=spark):
+        return (
+            read_table(spark, f"{sf_dir}/lineitem.parquet"),
+            read_table(spark, f"{sf_dir}/orders.parquet"),
+        )
 
-    cases = {**variants("q05"), **variants("q03")}
-    # sanity: identical results parquet vs bucketed
-    for q in ("q05", "q03"):
-        a = sorted(map(str, cases[f"{q}_parquet"]().collect()))
-        b = sorted(map(str, cases[f"{q}_bucketed"]().collect()))
-        assert a == b, f"{q}: bucketed result differs"
-        print(f"{q}: results identical ({len(a)} rows)", flush=True)
+    def bk(spark=spark):
+        return spark.table("ab_li_bucketed"), spark.table("ab_ord_bucketed")
+
+    cases = {
+        "q05_parquet": lambda: q05_from(*pq(), spark, sf_dir),
+        "q05_bucketed": lambda: q05_from(*bk(), spark, sf_dir),
+        # suppress the orders broadcast → the li⋈orders SMJ shape:
+        # parquet pays two fact exchanges, bucketed pays none
+        "q05_parquet_smj": lambda: q05_from(*pq(), spark, sf_dir, fact_join="merge"),
+        "q05_bucketed_smj": lambda: q05_from(*bk(), spark, sf_dir, fact_join="merge"),
+        "q03_parquet": lambda: q03_from(*pq(), spark, sf_dir),
+        "q03_bucketed": lambda: q03_from(*bk(), spark, sf_dir),
+    }
+    # sanity: every arm returns the identical result
+    want = {q: sorted(map(str, cases[f"{q}_parquet"]().collect())) for q in ("q05", "q03")}
+    for name, build in cases.items():
+        q = name.split("_", 1)[0]
+        got = sorted(map(str, build().collect()))
+        assert got == want[q], f"{name}: result differs"
+    print("all arms: results identical", flush=True)
 
     times: dict[str, list[float]] = {k: [] for k in cases}
     for rep in range(args.reps):
@@ -148,11 +191,11 @@ def main() -> int:
             print(f"rep{rep} {name}: {times[name][-1]:.3f}", flush=True)
 
     out = {k: {"min": round(min(v), 3), "reps": [round(t, 3) for t in v]} for k, v in times.items()}
-    # exchange-count receipt: bucketed plan must drop the orderkey exchange
-    for q in ("q05", "q03"):
-        for arm in ("parquet", "bucketed"):
-            plan = cases[f"{q}_{arm}"]()._jdf.queryExecution().executedPlan().toString()
-            out[f"{q}_{arm}"]["exchanges"] = plan.count("Exchange")
+    # exchange-count receipt: bucketed SMJ must drop the fact exchanges
+    for name, build in cases.items():
+        plan = build()._jdf.queryExecution().executedPlan().toString()
+        out[name]["exchanges"] = plan.count("Exchange")
+        out[name]["smj"] = plan.count("SortMergeJoin")
     print(json.dumps(out, indent=1))
     with open("/tmp/ab_bucketed_out.json", "w") as f:
         json.dump(out, f, indent=1)
