@@ -41,6 +41,9 @@ _VERIFY_FIRST = [
     # both rollup entries exercise end-to-end.
     "q_rollup_manifest",
     "q_rollup_continuous",
+    # NEW in r10: mergeable fixed-point histogram quantile sketch
+    "q_quantile_sketch",
+    "q_quantile_sketch_rollup",
     # r6 cohort (11)
     "q_stream_dedup",
     "q_stream_static_join",
@@ -90,8 +93,6 @@ _VERIFY_FIRST = [
     # oldest-r8 top-up to fill the ~50 window
     "mm_checksums",
     "mm_video_raw",
-    "pipeline_quality_dedup_split",
-    "dedup_components",
 ]
 
 

@@ -52,3 +52,95 @@ def rollup_estimate(
     return g.agg(
         union_estimate(F.col("sketch")).cast("long").alias("approx_distinct")
     )
+
+
+# --- mergeable quantile sketches (fixed-point histogram) -------------------
+#
+# Same continuous-aggregate story as the HLL sketches above, for
+# QUANTILES: an exact p99 over a year of events needs a full sort (or
+# at least a per-query pass over every raw row); a histogram sketch
+# pays one shuffle per bucket at ingest, and any later rollup is a
+# bin-wise SUM of counts — mergeable LOSSLESSLY by construction
+# (counts add), so accuracy does not degrade with rollup depth.
+#
+# Binning is FIXED-POINT and integer-exact: values quantize to milli
+# units (the repo's standard cross-engine fold, functions/exact.py),
+# bins are fp/width via floor division. No logarithms — a log-binned
+# DDSketch gives bounded RELATIVE error on unbounded ranges, but its
+# bin boundary ln(x)/ln(gamma) is one libm ulp away from flipping
+# ceil() between engines, which would break the deterministic oracle.
+# The absolute-error contract (≤ width_milli/2000 in value units) fits
+# bounded metrics (latencies, sizes, scores); width is the knob.
+#
+# The quantile estimator is rank-based over the bin CDF with midpoint
+# interpolation; every arithmetic step (integer ceil-rank, integer
+# midpoint numerator, one double division by a power of ten) produces
+# bit-identical doubles on any IEEE-754 engine, so — unlike the HLL
+# entries, which are rows-only — these carry a full hash oracle.
+
+
+def value_histogram(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    bucket_expr: Column | None = None,
+    width_milli: int = 500,
+) -> DataFrame:
+    """Histogram sketch rows ``(*group_cols, [bucket], bin, cnt)``.
+
+    One shuffle on (group, bucket, bin); output size is bounded by
+    group-count × bucket-count × (value_range / width), independent of
+    row count. ``width_milli`` is the bin width in 1/1000ths of a
+    value unit."""
+    fp = F.round(F.col(value_col) * 1000).cast("long")
+    # floor via double division: fp and width are exact doubles and the
+    # grid spacing (1/width in quotient space) is astronomically wider
+    # than one ulp, so floor(fp/w) is the true floor on any IEEE engine
+    bin_col = F.floor(fp.cast("double") / F.lit(width_milli)).cast("long")
+    keys = [F.col(c) for c in group_cols]
+    if bucket_expr is not None:
+        keys.append(bucket_expr.alias("bucket"))
+    return df.groupBy(*keys, bin_col.alias("bin")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+
+
+def merge_histograms(sketches: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Roll bucket-level sketches up to ``group_cols``: bin-wise count
+    sum — the lossless merge (sketching the concatenation yields the
+    identical histogram; pinned cross-engine by q_quantile_sketch_rollup's
+    oracle, which computes the UNBUCKETED histogram directly)."""
+    return sketches.groupBy(*group_cols, "bin").agg(F.sum("cnt").alias("cnt"))
+
+
+def histogram_quantiles(
+    sketches: DataFrame,
+    group_cols: list[str],
+    qs: tuple[float, ...] = (0.5, 0.95, 0.99),
+    width_milli: int = 500,
+) -> DataFrame:
+    """Per-group quantile estimates from histogram rows.
+
+    rank(q) = ceil(q·n); the estimate is the midpoint of the first bin
+    whose cumulative count reaches the rank — absolute error ≤
+    width_milli/2000 value units (pinned in tests/test_operators.py).
+    Cost: one window pass over SKETCH rows (group × bins, not raw
+    rows), then a per-group agg."""
+    from pyspark.sql import Window
+
+    w_cum = Window.partitionBy(*group_cols).orderBy("bin")
+    w_all = Window.partitionBy(*group_cols)
+    rows = sketches.select(
+        *group_cols,
+        "bin",
+        F.sum("cnt").over(w_cum).alias("cum"),
+        F.sum("cnt").over(w_all).alias("n"),
+    )
+    est = (F.col("bin") * (2 * width_milli) + width_milli) / F.lit(2000.0)
+    aggs = [
+        F.min(
+            F.when(F.col("cum") >= F.ceil(F.lit(q) * F.col("n")), est)
+        ).alias(f"p{int(round(q * 100))}")
+        for q in qs
+    ]
+    return rows.groupBy(*group_cols).agg(*aggs)

@@ -1018,6 +1018,62 @@ def q_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sk.rollup_estimate(daily, ["event_type"]).orderBy("event_type")
 
 
+def q_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable fixed-point histogram quantile sketch
+    (operators/sketches.py): per-event-type p50/p95/p99 of ``value``.
+    Binning, rank and midpoint arithmetic are integer-exact/IEEE-
+    deterministic, so unlike the HLL entries this sketch carries a
+    FULL hash oracle (DuckDB reproduces the algorithm bit-for-bit).
+    Absolute error ≤ 0.25 value units at width_milli=500, pinned in
+    tests/test_operators.py."""
+    from tailpipe_spark.operators import sketches as sk
+
+    ev = _t(spark, sf_dir, "events")
+    hist = sk.value_histogram(ev, "value", ["event_type"])
+    return sk.histogram_quantiles(hist, ["event_type"]).orderBy("event_type")
+
+
+_QSKETCH_BINS = """
+  SELECT event_type,
+         CAST(FLOOR(CAST(CAST(ROUND(value * 1000) AS BIGINT) AS DOUBLE) / 500)
+              AS BIGINT) AS bin,
+         COUNT(*) AS cnt
+  FROM events GROUP BY 1, 2
+"""
+
+_QSKETCH_TAIL = """
+cum AS (
+  SELECT event_type, bin,
+         SUM(cnt) OVER (PARTITION BY event_type ORDER BY bin) AS cum,
+         SUM(cnt) OVER (PARTITION BY event_type) AS n
+  FROM bins)
+SELECT event_type,
+       MIN(CASE WHEN cum >= CEIL(0.5  * n) THEN (bin * 1000 + 500) / 2000.0 END) AS p50,
+       MIN(CASE WHEN cum >= CEIL(0.95 * n) THEN (bin * 1000 + 500) / 2000.0 END) AS p95,
+       MIN(CASE WHEN cum >= CEIL(0.99 * n) THEN (bin * 1000 + 500) / 2000.0 END) AS p99
+FROM cum GROUP BY event_type ORDER BY event_type
+"""
+
+Q_QUANTILE_SKETCH_SQL = f"WITH bins AS ({_QSKETCH_BINS}),\n{_QSKETCH_TAIL}"
+
+
+def q_quantile_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level rollup: per-day histograms merged to per-type, then
+    quantiles — never rescans raw rows after the daily pass. The
+    oracle computes the UNBUCKETED histogram directly, so the hash
+    match IS the cross-engine proof that the bin-wise merge is
+    lossless (counts add; sketching the concatenation equals merging
+    the sketches)."""
+    from tailpipe_spark.operators import sketches as sk
+
+    ev = _t(spark, sf_dir, "events")
+    daily = sk.value_histogram(
+        ev, "value", ["event_type"], bucket_expr=F.to_date("ts")
+    )
+    merged = sk.merge_histograms(daily, ["event_type"])
+    return sk.histogram_quantiles(merged, ["event_type"]).orderBy("event_type")
+
+
 def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UNPIVOT / melt: wide per-segment balance stats back to long
     (metric, value) rows — DataFrame.unpivot maps to one Expand node
@@ -1272,6 +1328,8 @@ SPECS = [
     QuerySpec("q_unpivot", q_unpivot, Q_UNPIVOT_SQL, "unpivot / melt wide stats to long rows"),
     QuerySpec("q_lateral_topk", q_lateral_topk, Q_LATERAL_SQL, "correlated LATERAL join decorrelated to WindowGroupLimit"),
     QuerySpec("q_sketch_rollup", q_sketch_rollup, None, "mergeable HLL distinct sketches rolled up without rescan (rows-only: sketch bytes are engine-specific)"),
+    QuerySpec("q_quantile_sketch", q_quantile_sketch, Q_QUANTILE_SKETCH_SQL, "mergeable fixed-point histogram quantiles (deterministic: full hash oracle)"),
+    QuerySpec("q_quantile_sketch_rollup", q_quantile_sketch_rollup, Q_QUANTILE_SKETCH_SQL, "daily histogram sketches merged then estimated; oracle computes unbucketed directly = cross-engine merge-losslessness proof"),
     QuerySpec("q_recursive_cte", q_recursive_cte, Q_RECURSIVE_SQL, "WITH RECURSIVE calendar series + gap-fill left join"),
     QuerySpec("q_variant_json", q_variant_json, Q_VARIANT_SQL, "VARIANT semi-structured: parse once, typed navigation"),
     QuerySpec("q_collation", q_collation, Q_COLLATION_SQL, "COLLATE UTF8_LCASE case-insensitive predicate"),

@@ -103,3 +103,49 @@ def test_q01_fast_error_vs_exact_decimal_twin(spark, registry, sf_dir):
             e, g = float(er[c]), float(fr[c])
             denom = max(abs(e), 1.0)
             assert abs(g - e) / denom < 1e-9, (k, c, g, e)
+
+
+@pytest.mark.parametrize("sf_dir", SF_DIRS)
+def test_quantile_sketch_error_bound(spark, registry, sf_dir):
+    """q_quantile_sketch is hash-gated (deterministic algorithm), but
+    the ESTIMATE still needs its accuracy contract: each pXX must sit
+    within the histogram's absolute-error bound of the exact rank
+    statistic — width_milli/2000 (bin midpoint) + 0.0005 (fixed-point
+    quantization) = 0.2505 value units at width_milli=500."""
+    import math
+
+    est = {
+        r["event_type"]: r
+        for r in registry["q_quantile_sketch"].fn(spark, sf_dir).collect()
+    }
+    ev = read_table(spark, f"{sf_dir}/events.parquet")
+    vals = {}
+    for r in ev.select("event_type", "value").collect():
+        vals.setdefault(r["event_type"], []).append(r["value"])
+    assert set(est) == set(vals) and est
+    for etype, xs in vals.items():
+        xs.sort()
+        n = len(xs)
+        for q in (0.5, 0.95, 0.99):
+            exact = xs[math.ceil(q * n) - 1]  # same rank def as the sketch
+            got = est[etype][f"p{int(q * 100)}"]
+            assert abs(got - exact) <= 0.2505, (etype, q, got, exact)
+
+
+def test_quantile_sketch_merge_is_lossless(spark, registry):
+    """Bin-wise count sum over daily sketches must equal the histogram
+    of the concatenated input EXACTLY (not approximately) — the
+    property that makes the sketch continuously aggregable. The oracle
+    hash match proves it cross-engine; this pins it engine-internally
+    at the histogram-row level."""
+    from tailpipe_spark.operators import sketches as sk
+
+    ev = read_table(spark, "/root/testdata/sf0.01/events.parquet")
+    direct = sk.value_histogram(ev, "value", ["event_type"])
+    daily = sk.value_histogram(
+        ev, "value", ["event_type"], bucket_expr=F.to_date("ts")
+    )
+    merged = sk.merge_histograms(daily, ["event_type"])
+    a = sorted(map(str, direct.collect()))
+    b = sorted(map(str, merged.collect()))
+    assert a == b and a
