@@ -44,6 +44,11 @@ _VERIFY_FIRST = [
     # NEW in r10: mergeable fixed-point histogram quantile sketch
     "q_quantile_sketch",
     "q_quantile_sketch_rollup",
+    # NEW in r10 second wave: bloom-pruned semi join, substring-span
+    # dedup, mergeable count-min sketch
+    "q_bloom_prune_join",
+    "dedup_substring_spans",
+    "text_countmin_topk",
     # r6 cohort (11)
     "q_stream_dedup",
     "q_stream_static_join",

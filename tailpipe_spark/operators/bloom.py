@@ -1,0 +1,159 @@
+"""Broadcast Bloom-filter join pruning — the 100 TB semi-join pattern.
+
+Why this matters at scale: a selective semi-join (``fact WHERE key IN
+(SELECT key FROM dim WHERE …)``) normally shuffles EVERY fact row on the
+join key, including the overwhelming majority that will not match. A
+Bloom filter built over the small side's keys is a fixed-size bitmap
+(m bits regardless of key count) that can be broadcast to every
+executor and probed per fact row with two hashes and two array loads —
+rows that fail the probe are dropped at the SCAN stage and never enter
+the shuffle. False positives (a tunable few ‰) are removed by the real
+join afterwards, so the final result is EXACT; false negatives are
+impossible by construction. This is the same idea as Spark's own
+runtime-filter injection (InjectRuntimeFilter / BloomFilterMightContain,
+not SQL-registered in 4.x, hence this DataFrame-native build) and the
+reference engine's DuckDB perfect-hash-join pruning.
+
+Everything here is whole-stage-codegen friendly: the bitmap is an
+``array<bigint>`` of m/64 words broadcast on a single row; a probe is
+``element_at`` (O(1) ordinal access on ArrayData) + bitwise AND. No
+Python, no UDFs, no per-row map scans (the sparse→dense conversion pays
+the one O(words × entries) map walk ONCE on one row at build time so
+that the per-fact-row probe never does).
+
+Determinism: positions come from seeded ``xxhash64``, so the same keys
+always yield the same bitmap; since the trailing exact join removes all
+false positives, registry results carry a full cross-engine hash oracle
+(the oracle is the plain semi-join — bloom pruning is semantically
+invisible, which is exactly the point).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: default bitmap width (bits). 2^16 bits = 8 KiB — with k=2 hashes and
+#: n=2 000 keys the false-positive rate is (1-e^{-kn/m})^k ≈ 0.35 %.
+DEFAULT_NUM_BITS = 1 << 16
+DEFAULT_NUM_HASHES = 2
+
+
+def _positions(key: Column, num_bits: int, num_hashes: int, seed: int) -> list[Column]:
+    """k bit positions for a key: pmod(xxhash64(key, seed+i), m)."""
+    return [
+        F.pmod(F.xxhash64(key, F.lit(seed + i)), F.lit(num_bits))
+        for i in range(num_hashes)
+    ]
+
+
+def _word_and_mask(pos: Column) -> tuple[Column, Column]:
+    """(word index, single-bit mask) for a bit position."""
+    word = (pos / F.lit(64)).cast("int")
+    mask = _shiftleft_one(F.pmod(pos, F.lit(64)).cast("int"))
+    return word, mask
+
+
+def bloom_build(
+    keys: DataFrame,
+    key_col: str,
+    num_bits: int = DEFAULT_NUM_BITS,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    seed: int = 0,
+) -> DataFrame:
+    """ONE-row DataFrame ``(bf: array<bigint>)`` — the dense bitmap.
+
+    Build plan: explode each key into its k (word, mask) pairs, bit_or
+    the masks per word (one shuffle over ≤ m/64 + distinct-key-bounded
+    rows — tiny), then densify the sparse word map into an m/64-long
+    array on the single result row. The densify ``transform`` walks the
+    sparse map once per WORD on one row; probes never touch the map.
+    """
+    nwords = (num_bits + 63) // 64
+    pos = F.explode(
+        F.array(*_positions(F.col(key_col), num_bits, num_hashes, seed))
+    ).alias("__pos")
+    sparse = keys.select(pos)
+    word, mask = _word_and_mask(F.col("__pos"))
+    words = sparse.select(word.alias("__w"), mask.alias("__m")).groupBy("__w").agg(
+        F.bit_or("__m").alias("__m")
+    )
+    dense = words.agg(
+        F.map_from_entries(F.collect_list(F.struct("__w", "__m"))).alias("__sparse")
+    ).select(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(nwords - 1)),
+            lambda i: F.coalesce(F.element_at("__sparse", i.cast("int")), F.lit(0).cast("long")),
+        ).alias("bf")
+    )
+    return dense
+
+
+def bloom_might_contain(
+    bf: Column,
+    key: Column,
+    num_bits: int = DEFAULT_NUM_BITS,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    seed: int = 0,
+) -> Column:
+    """Probe predicate: every hashed bit set in the bitmap.
+
+    k × (element_at + AND + compare) per row, all codegen'd; no map
+    scans, no joins. NULL keys probe to NULL (never match), matching
+    IN-subquery null semantics for the pruning use-case."""
+    out = F.lit(True)
+    for pos in _positions(key, num_bits, num_hashes, seed):
+        word = (pos / F.lit(64)).cast("int")
+        mask = _shiftleft_one(F.pmod(pos, F.lit(64)).cast("int"))
+        hit = F.element_at(bf, word + F.lit(1)).bitwiseAND(mask) == mask
+        out = out & hit
+    return out
+
+
+def _shiftleft_one(bits: Column) -> Column:
+    """``1L << bits`` with a COLUMN shift amount — F.shiftleft only
+    takes a literal int, the SQL function accepts expressions."""
+    return F.call_function("shiftleft", F.lit(1).cast("long"), bits)
+
+
+def bloom_prune_semi_join(
+    big: DataFrame,
+    small: DataFrame,
+    key: str,
+    num_bits: int = DEFAULT_NUM_BITS,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    seed: int = 0,
+) -> DataFrame:
+    """EXACT ``big SEMI JOIN small ON key`` with Bloom pre-pruning.
+
+    1. build the bitmap over ``small``'s keys (fixed m bits);
+    2. crossJoin(broadcast(bitmap)) onto ``big`` — a broadcast of ONE
+       row, never a scaling side — and keep rows passing the probe;
+    3. exact LEFT SEMI join removes the false positives.
+
+    At cluster scale only the bloom-surviving fraction of ``big`` is
+    shuffled by step 3; with a selective ``small`` that is the
+    difference between shuffling 100 TB and shuffling a few hundred GB.
+    The plan stays correct at ANY false-positive rate, so sizing m is
+    purely a performance knob (8 KiB default broadcasts for free).
+
+    The always-true ``monotonically_increasing_id() >= 0`` guard
+    between the probe and the exact join is a deliberate optimizer
+    fence: Catalyst's PushDownLeftSemiAntiJoin otherwise hoists the
+    exact semi join below the probe filter (semi joins are pushed
+    toward the scan), which executes the join FIRST and turns the
+    bloom prune into a post-join no-op. Optimizer rules do not cross
+    nondeterministic filters, so the fence pins probe-before-join; it
+    keeps every row (correctness-neutral) and costs one counter read
+    per SURVIVING row. (``rand(seed) > -1`` does NOT work: Spark 4
+    range-folds rand comparisons to true and the fence vanishes.) The
+    ordering is pinned in tests/test_bloom_countmin_spans.py.
+    """
+    bf = bloom_build(small.select(key), key, num_bits, num_hashes, seed)
+    pruned = (
+        big.crossJoin(F.broadcast(bf))
+        .where(bloom_might_contain(F.col("bf"), F.col(key), num_bits, num_hashes, seed))
+        .drop("bf")
+        .where(F.monotonically_increasing_id() >= F.lit(0))
+    )
+    return pruned.join(small.select(key).distinct(), key, "left_semi")

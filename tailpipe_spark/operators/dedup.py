@@ -827,3 +827,111 @@ def simhash_candidates(
         memberships = _drop_hot_keys(memberships, ["ci", "cv"], max_chunk_df)
     parts = memberships.groupBy("ci", "cv").agg(F.collect_list(id_col).alias("ids"))
     return bucket_pairs(parts, ["ci", "cv"]).distinct()
+
+
+# --- exact substring-span dedup (cross-document repeated spans) ------------
+#
+# Fifth dedup tier: find VERBATIM k-token spans shared across documents
+# and measure how much of each document they cover — the substring-level
+# exact dedup of Lee et al. 2022 ("Deduplicating Training Data Makes
+# Language Models Better"), which catches boilerplate (headers, license
+# blocks, templates) that document-level hashing misses because the
+# surrounding text differs. (Within-document repetition is the separate
+# text_repetition operator; this one is cross-document by design.)
+#
+# Fully deterministic with portable md5 window hashes, so the registry
+# entry carries a complete cross-engine hash oracle.
+
+
+def duplicated_spans(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    portable: bool = True,
+) -> DataFrame:
+    """(id, pos, n_tokens) rows for every position whose k-token window
+    also appears verbatim in at least one OTHER document.
+
+    Plan: one pass builds all windows as (pos, hash) via posexplode —
+    the token array is split once per row (see :func:`_tokens`); window
+    hashes with ≥2 distinct docs are found by one hash-keyed shuffle
+    (grid-bounded agg state: one row per distinct window), and a
+    left-semi join keeps the duplicated positions. No pair
+    materialization anywhere — cost is linear in corpus token count
+    plus the window-hash shuffle, the same scaling class as the gram
+    join. ``portable`` picks md5-of-gram-string (any-engine replay) vs
+    xxhash64 over the k token values (engine-fast, no string alloc)."""
+    t = _tokens(docs, text_col, k, id_col)
+    if portable:
+        wins_arr = F.transform(
+            F.sequence(F.lit(0), F.size("__t") - k),
+            lambda i: F.md5(F.array_join(F.slice("__t", i + 1, k), " ")),
+        )
+    else:
+        args = ", ".join(f"element_at(__t, i + {j + 1})" for j in range(k))
+        wins_arr = F.expr(
+            f"transform(sequence(0, size(__t) - {k}), i -> xxhash64({args}))"
+        )
+    wins = t.select(
+        F.col(id_col),
+        F.size("__t").alias("n_tokens"),
+        F.posexplode(wins_arr).alias("pos", "wh"),
+    )
+    dup_hashes = (
+        wins.groupBy("wh")
+        .agg(F.count_distinct(F.col(id_col)).alias("df"))
+        .where(F.col("df") >= 2)
+        .select("wh")
+    )
+    return wins.join(dup_hashes, "wh", "left_semi").select(id_col, "pos", "n_tokens")
+
+
+def duplicated_span_coverage(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    portable: bool = True,
+) -> DataFrame:
+    """Per-document coverage of cross-document duplicated k-token spans:
+    ``(id, n_tokens, dup_windows, covered_tokens, dup_fraction)``, one
+    row per document that contains at least one duplicated span.
+
+    A window at position p covers tokens [p, p+k); overlapping and
+    adjacent windows merge via gaps-and-islands (running max of span
+    ends over a per-doc window ordered by position — one shuffle keyed
+    by doc), so ``covered_tokens`` is the exact interval-union size.
+    ``dup_fraction`` is one exactly-rounded double division of two
+    integers — bit-identical on any IEEE-754 engine."""
+    from pyspark.sql import Window
+
+    spans = duplicated_spans(docs, text_col, id_col, k, portable)
+    w = Window.partitionBy(id_col).orderBy("pos")
+    prev_end = F.max(F.col("pos") + k).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = spans.select(
+        id_col,
+        "pos",
+        "n_tokens",
+        F.when(prev_end.isNull() | (F.col("pos") > prev_end), 1)
+        .otherwise(0)
+        .alias("__new_island"),
+    )
+    island = F.sum("__new_island").over(
+        w.rowsBetween(Window.unboundedPreceding, 0)
+    )
+    islands = flagged.select(
+        id_col, "pos", "n_tokens", island.alias("__island")
+    ).groupBy(id_col, "__island").agg(
+        F.max("n_tokens").alias("n_tokens"),
+        F.count(F.lit(1)).alias("dup_windows"),
+        (F.max(F.col("pos") + k) - F.min("pos")).alias("covered"),
+    )
+    return islands.groupBy(id_col).agg(
+        F.max("n_tokens").alias("n_tokens"),
+        F.sum("dup_windows").cast("long").alias("dup_windows"),
+        F.sum("covered").cast("long").alias("covered_tokens"),
+        (F.sum("covered").cast("double") / F.max("n_tokens")).alias("dup_fraction"),
+    )

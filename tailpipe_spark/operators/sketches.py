@@ -144,3 +144,110 @@ def histogram_quantiles(
         for q in qs
     ]
     return rows.groupBy(*group_cols).agg(*aggs)
+
+
+# --- mergeable count-min frequency sketches ---------------------------------
+#
+# Third sketch family, same continuous-aggregate story for ITEM
+# FREQUENCIES: exact per-item counts over 100 TB of tokens need a
+# shuffle keyed by every distinct item (vocabulary-sized state); a
+# count-min sketch is a depth × width grid of counters — FIXED size,
+# independent of vocabulary — built with one shuffle over (row, bucket)
+# and mergeable LOSSLESSLY by cell-wise count addition (counts add, so
+# sketching a concatenation equals summing the sketches, the same
+# argument as the histogram sketch above).
+#
+# Guarantee (Cormode & Muthukrishnan 2005): estimate(x) ≥ true(x)
+# always (each cell only ever over-counts via collisions), and
+# estimate(x) ≤ true(x) + εN with probability ≥ 1−δ for width = ⌈e/ε⌉,
+# depth = ⌈ln 1/δ⌉. Both sides of the bound are pinned in
+# tests/test_rows_only_bounds.py.
+#
+# Hashing is the repo's portable md5 chain by default (conv of the
+# first 15 md5 hex chars — any SQL engine replays the bucket layout
+# bit-identically, so the registry entry carries a FULL hash oracle);
+# pass portable=False for seeded xxhash64 at ~10× less per-row cost
+# where cross-engine replay is not needed.
+
+
+def _cm_bucket(item: Column, row: int, width: int, portable: bool) -> Column:
+    """Bucket of ``item`` in sketch row ``row`` (deterministic)."""
+    if portable:
+        h = F.conv(
+            F.substring(F.md5(F.concat(item, F.lit(f"#cm{row}"))), 1, 15), 16, 10
+        ).cast("long")
+    else:
+        h = F.xxhash64(item, F.lit(row))
+    return F.pmod(h, F.lit(width))
+
+
+def countmin_sketch(
+    items: DataFrame,
+    item_col: str,
+    group_cols: list[str] | None = None,
+    depth: int = 4,
+    width: int = 512,
+    portable: bool = True,
+) -> DataFrame:
+    """Sketch rows ``(*group_cols, row, bucket, cnt)``.
+
+    One explode (×depth) + one shuffle on (group, row, bucket); output
+    is bounded by group-count × depth × width, independent of both row
+    count and vocabulary size."""
+    item = F.col(item_col)
+    cells = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(r).alias("row"),
+                    _cm_bucket(item, r, width, portable).alias("bucket"),
+                )
+                for r in range(depth)
+            ]
+        )
+    ).alias("__cell")
+    gcols = group_cols or []
+    return (
+        items.select(*gcols, cells)
+        .groupBy(*gcols, F.col("__cell.row").alias("row"), F.col("__cell.bucket").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def countmin_merge(sketches: DataFrame, group_cols: list[str] | None = None) -> DataFrame:
+    """Cell-wise count sum — the lossless merge (grid cells add)."""
+    gcols = group_cols or []
+    return sketches.groupBy(*gcols, "row", "bucket").agg(F.sum("cnt").alias("cnt"))
+
+
+def countmin_estimate(
+    sketch: DataFrame,
+    probes: DataFrame,
+    item_col: str,
+    depth: int = 4,
+    width: int = 512,
+    portable: bool = True,
+) -> DataFrame:
+    """Point estimates for ``probes``: min over sketch rows of the
+    probed cell. Probe rows explode ×depth and join the (depth×width)-
+    bounded sketch on (row, bucket) — the sketch side is broadcastable
+    by construction. Items never seen estimate to 0 (left join)."""
+    item = F.col(item_col)
+    cells = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(r).alias("row"),
+                    _cm_bucket(item, r, width, portable).alias("bucket"),
+                )
+                for r in range(depth)
+            ]
+        )
+    ).alias("__cell")
+    probe_cells = probes.select(item_col, cells).select(
+        item_col, F.col("__cell.row").alias("row"), F.col("__cell.bucket").alias("bucket")
+    )
+    joined = probe_cells.join(F.broadcast(sketch), ["row", "bucket"], "left")
+    return joined.groupBy(item_col).agg(
+        F.min(F.coalesce(F.col("cnt"), F.lit(0))).cast("long").alias("est_cnt")
+    )

@@ -732,6 +732,52 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bloom_prune_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Selective semi-join through Bloom-filter pre-pruning
+    (operators/bloom.py): revenue by return flag for line items whose
+    order is 1-URGENT in a date window.
+
+    The bloom bitmap (8 KiB, broadcast as ONE row) drops non-matching
+    fact rows at the scan, so only the selective fraction reaches the
+    semi-join shuffle — at 100 TB that is the difference between
+    shuffling the whole fact table and shuffling a few percent of it.
+    False positives are removed by the trailing exact semi-join, so the
+    result (and the oracle, a plain IN-subquery) is bloom-invisible."""
+    from tailpipe_spark.operators.bloom import bloom_prune_semi_join
+
+    li = _t(spark, sf_dir, "lineitem")
+    urgent = (
+        _t(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderpriority") == "1-URGENT")
+            & (F.col("o_orderdate") >= F.lit("1995-03-01").cast("timestamp"))
+        )
+        .select(F.col("o_orderkey").alias("l_orderkey"))
+    )
+    return (
+        bloom_prune_semi_join(li, urgent, "l_orderkey")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+Q_BLOOM_PRUNE_SQL = f"""
+SELECT l_returnflag, COUNT(*) AS n_items,
+       {oracle_dsum('l_extendedprice * (1 - l_discount)')} AS revenue
+FROM lineitem
+WHERE l_orderkey IN (
+  SELECT o_orderkey FROM orders
+  WHERE o_orderpriority = '1-URGENT'
+    AND o_orderdate >= TIMESTAMP '1995-03-01'
+)
+GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
 SPECS = [
     QuerySpec("q01_pricing_summary", q01_pricing_summary, Q01_SQL, "TPC-H Q1 pricing summary: filter + hash agg + exact decimal sums (double surface)"),
     QuerySpec("q01_pricing_summary_dec", q01_pricing_summary_dec, Q01_DEC_SQL, "q01 exactness twin: DECIMAL(38,6) surface, local typed harness only (DECIMAL output is driver-hash-unsafe)", local_only=True),
@@ -756,4 +802,5 @@ SPECS = [
     QuerySpec("q_cte_subquery", q_cte_subquery, Q_CTE_SQL, "CTE + scalar subquery threshold"),
     QuerySpec("q_exists_in", q_exists_in, Q_EXISTS_IN_SQL, "IN subquery as semi join"),
     QuerySpec("q_approx_distinct", q_approx_distinct, None, "approx_count_distinct / approx_percentile (engine-specific sketches; rows-only)"),
+    QuerySpec("q_bloom_prune_join", q_bloom_prune_join, Q_BLOOM_PRUNE_SQL, "Bloom-filter pre-pruned semi join (broadcast 8 KiB bitmap, exact result)"),
 ]

@@ -1200,6 +1200,139 @@ ORDER BY asset_id, frame_no
 """
 
 
+# --- exact substring-span dedup (cross-doc repeated k-token spans) ---
+#
+# operators/dedup.py:duplicated_span_coverage — the substring-level
+# exact dedup of Lee et al. 2022. k=4 at corpus-demo scale (the
+# operator default is 8; the synthetic corpus carries verbatim
+# boilerplate spans at both). Portable md5 window hashes → full oracle.
+
+_SPAN_K = 4
+
+
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dd.duplicated_span_coverage(_docs(spark, sf_dir), k=_SPAN_K)
+
+
+SUBSTRING_SPANS_SQL = f"""
+WITH toks AS (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS t FROM documents),
+wins AS (
+  SELECT doc_id, i - 1 AS pos, len(t) AS n_tokens,
+         md5(array_to_string(t[i:i+{_SPAN_K - 1}], ' ')) AS wh
+  FROM (SELECT doc_id, t, unnest(range(1, len(t) - {_SPAN_K} + 2)) AS i
+        FROM toks WHERE len(t) >= {_SPAN_K})
+),
+dup AS (SELECT wh FROM wins GROUP BY wh HAVING COUNT(DISTINCT doc_id) >= 2),
+dw AS (SELECT doc_id, pos, n_tokens FROM wins WHERE wh IN (SELECT wh FROM dup)),
+flagged AS (
+  SELECT doc_id, pos, n_tokens,
+         CASE WHEN max(pos + {_SPAN_K}) OVER (PARTITION BY doc_id ORDER BY pos
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+              OR pos > max(pos + {_SPAN_K}) OVER (PARTITION BY doc_id ORDER BY pos
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+         THEN 1 ELSE 0 END AS new_island
+  FROM dw
+),
+isl AS (
+  SELECT doc_id, pos, n_tokens,
+         SUM(new_island) OVER (PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM flagged
+),
+per_island AS (
+  SELECT doc_id, island, MAX(n_tokens) AS n_tokens, COUNT(*) AS dup_windows,
+         MAX(pos + {_SPAN_K}) - MIN(pos) AS covered
+  FROM isl GROUP BY doc_id, island
+)
+SELECT doc_id,
+       CAST(MAX(n_tokens) AS INTEGER) AS n_tokens,
+       CAST(SUM(dup_windows) AS BIGINT) AS dup_windows,
+       CAST(SUM(covered) AS BIGINT) AS covered_tokens,
+       CAST(SUM(covered) AS DOUBLE) / MAX(n_tokens) AS dup_fraction
+FROM per_island GROUP BY doc_id
+"""
+
+
+# --- count-min frequency sketch (mergeable, portable md5 buckets) ---
+#
+# operators/sketches.py:countmin_sketch. The Spark side builds
+# PER-SOURCE sketches and merges them (cell-wise sum); the oracle
+# computes the unsplit sketch directly — the hash match is a
+# cross-engine merge-losslessness proof, the same trick as
+# q_quantile_sketch_rollup. Estimates probe the exact top-15 tokens so
+# the result also exhibits the ≥true guarantee (overcount ≥ 0).
+
+_CM_DEPTH, _CM_WIDTH, _CM_TOPK = 4, 512, 15
+
+
+def text_countmin_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tailpipe_spark.operators import sketches as sk
+
+    docs = _docs(spark, sf_dir)
+    tok = F.explode(F.split(dd.normalize_text(F.col("text")), " ")).alias("tok")
+    toks_src = docs.select("source", tok).where(F.col("tok") != "")
+    per_src = sk.countmin_sketch(
+        toks_src, "tok", group_cols=["source"], depth=_CM_DEPTH, width=_CM_WIDTH
+    )
+    merged = sk.countmin_merge(per_src)
+    top = (
+        toks_src.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("true_cnt"))
+        .orderBy(F.desc("true_cnt"), F.asc("tok"))
+        .limit(_CM_TOPK)
+    )
+    est = sk.countmin_estimate(
+        merged, top.select("tok"), "tok", depth=_CM_DEPTH, width=_CM_WIDTH
+    )
+    return (
+        top.join(est, "tok")
+        .select(
+            "tok",
+            "true_cnt",
+            "est_cnt",
+            (F.col("est_cnt") - F.col("true_cnt")).alias("overcount"),
+        )
+        .orderBy(F.desc("true_cnt"), F.asc("tok"))
+    )
+
+
+def _countmin_sql() -> str:
+    d, w, topk = _CM_DEPTH, _CM_WIDTH, _CM_TOPK
+    bucket = (
+        "(('0x' || substring(md5(tok || '#cm' || CAST(r AS VARCHAR)), 1, 15))"
+        f"::BIGINT) % {w}"
+    )
+    probe_bucket = (
+        "(('0x' || substring(md5(t.tok || '#cm' || CAST(d.r AS VARCHAR)), 1, 15))"
+        f"::BIGINT) % {w}"
+    )
+    return f"""
+WITH tk AS (
+  SELECT tok FROM (SELECT unnest(string_split({_NORM_SQL}, ' ')) AS tok
+                   FROM documents) WHERE tok <> ''
+),
+depths AS (SELECT unnest(range(0, {d})) AS r),
+counts AS (SELECT tok, COUNT(*) AS true_cnt FROM tk GROUP BY tok),
+top AS (SELECT tok, true_cnt FROM counts ORDER BY true_cnt DESC, tok ASC LIMIT {topk}),
+cells AS (
+  SELECT r, {bucket} AS bucket, COUNT(*) AS cnt
+  FROM tk CROSS JOIN depths GROUP BY 1, 2
+),
+probe AS (
+  SELECT t.tok, d.r, {probe_bucket} AS bucket FROM top t CROSS JOIN depths d
+),
+est AS (
+  SELECT p.tok, MIN(COALESCE(c.cnt, 0)) AS est_cnt
+  FROM probe p LEFT JOIN cells c ON c.r = p.r AND c.bucket = p.bucket
+  GROUP BY p.tok
+)
+SELECT t.tok, t.true_cnt, CAST(e.est_cnt AS BIGINT) AS est_cnt,
+       CAST(e.est_cnt - t.true_cnt AS BIGINT) AS overcount
+FROM top t JOIN est e USING (tok)
+ORDER BY true_cnt DESC, tok ASC
+"""
+
+
 SPECS = [
     QuerySpec("mm_checksums", mm_checksums, MM_CHECKSUMS_SQL, "multimodal binary payloads through Arrow mapInPandas (checksum parity)"),
     QuerySpec("mm_audio_stats", mm_audio_stats, MM_AUDIO_SQL, "real WAV encode->decode roundtrip vs arithmetic oracle (square-wave RMS exactness)"),
@@ -1230,4 +1363,6 @@ SPECS = [
     QuerySpec("text_hash_embedding", text_hash_embedding, HASH_EMBEDDING_SQL, "feature-hashing bag-of-words embedding (integer buckets, bit-portable)"),
     QuerySpec("dedup_incremental", dedup_incremental, DEDUP_INCREMENTAL_SQL, "incremental dedup of a new batch against persisted md5 + LSH band indexes"),
     QuerySpec("dedup_components", dedup_components, COMPONENTS_SQL, "dup-cluster connected components (min-label propagation vs recursive-CTE oracle)"),
+    QuerySpec("dedup_substring_spans", dedup_substring_spans, SUBSTRING_SPANS_SQL, "cross-doc duplicated k-token spans + interval-union coverage (Lee et al. substring dedup)"),
+    QuerySpec("text_countmin_topk", text_countmin_topk, _countmin_sql(), "mergeable count-min frequency sketch: per-source build -> cell-sum merge -> top-k probe (md5-portable)"),
 ]

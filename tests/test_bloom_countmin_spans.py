@@ -1,0 +1,193 @@
+"""Tests for the r10 second-wave operators: Bloom-filter join pruning,
+count-min frequency sketches, and cross-document substring-span dedup."""
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from tailpipe_spark.operators import bloom as bl
+from tailpipe_spark.operators import dedup as dd
+from tailpipe_spark.operators import sketches as sk
+
+
+# --- bloom ----------------------------------------------------------------
+
+
+def test_bloom_semi_join_exact(spark):
+    small = spark.range(0, 200).select((F.col("id") * 13).alias("k"))
+    big = spark.range(0, 5000).select(
+        F.pmod(F.col("id"), F.lit(3000)).alias("k"), F.col("id").alias("v")
+    )
+    got = bl.bloom_prune_semi_join(big, small, "k")
+    want = big.join(small.distinct(), "k", "left_semi")
+    assert got.count() == want.count()
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+
+
+def test_bloom_no_false_negatives_and_fpr(spark):
+    # every true member must pass the probe; FPR among non-members must
+    # be within ~4x of theory (p = (1 - e^{-kn/m})^k)
+    import math
+
+    n, m, k = 500, 1 << 14, 2
+    small = spark.range(0, n).select((F.col("id") * 7 + 3).alias("k"))
+    bf = bl.bloom_build(small, "k", num_bits=m, num_hashes=k)
+    probes = spark.range(0, 20000).select((F.col("id") + 1_000_000).alias("k"))
+    members = small.crossJoin(F.broadcast(bf)).where(
+        bl.bloom_might_contain(F.col("bf"), F.col("k"), m, k)
+    )
+    assert members.count() == n  # no false negatives, ever
+    fp = (
+        probes.crossJoin(F.broadcast(bf))
+        .where(bl.bloom_might_contain(F.col("bf"), F.col("k"), m, k))
+        .count()
+    )
+    p_theory = (1 - math.exp(-k * n / m)) ** k
+    assert fp / 20000 <= max(4 * p_theory, 0.01)
+
+
+def test_bloom_probe_ordered_before_exact_join(spark):
+    # the optimizer fence must keep the bloom probe BELOW the exact
+    # semi join — without it PushDownLeftSemiAntiJoin hoists the join
+    # under the probe and the prune becomes a post-join no-op
+    small = spark.range(0, 10).select(F.col("id").alias("k"))
+    big = spark.range(0, 100).select(F.col("id").alias("k"), F.col("id").alias("v"))
+    out = bl.bloom_prune_semi_join(big, small, "k")
+    plan = out._jdf.queryExecution().optimizedPlan().treeString()
+    lines = plan.splitlines()
+    join_i = min(i for i, l in enumerate(lines) if "LeftSemi" in l)
+    fence_i = min(i for i, l in enumerate(lines) if "monotonically_increasing_id" in l)
+    probe_i = min(i for i, l in enumerate(lines) if "element_at" in l)
+    assert join_i < fence_i < probe_i, plan
+
+
+def test_bloom_null_keys_never_match(spark):
+    small = spark.createDataFrame([Row(k=1), Row(k=2)])
+    big = spark.createDataFrame([Row(k=1, v=10), Row(k=None, v=20), Row(k=5, v=30)])
+    got = bl.bloom_prune_semi_join(big, small, "k").collect()
+    assert [r.v for r in got] == [10]
+
+
+# --- count-min ------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def cm_items(spark):
+    # zipf-ish skew: item i appears ~ 2000/i times, tagged by group
+    rows = spark.range(1, 2001).select(
+        F.explode(F.sequence(F.lit(1), (F.lit(2000) / F.col("id")).cast("int")))
+        .alias("rep"),
+        F.concat(F.lit("item"), F.col("id")).alias("item"),
+        (F.pmod(F.col("id"), F.lit(3))).alias("grp"),
+    )
+    return rows.select("item", "grp")
+
+
+def test_countmin_never_underestimates(spark, cm_items):
+    sketch = sk.countmin_sketch(cm_items, "item", depth=4, width=256)
+    true = cm_items.groupBy("item").agg(F.count(F.lit(1)).alias("t"))
+    probes = true.select("item")
+    est = sk.countmin_estimate(sketch, probes, "item", depth=4, width=256)
+    joined = true.join(est, "item")
+    assert joined.where(F.col("est_cnt") < F.col("t")).count() == 0
+
+
+def test_countmin_error_bound(spark, cm_items):
+    # CM guarantee: err <= e/width * N with prob >= 1 - e^{-depth} per
+    # item; assert the 99th-percentile error honors the bound
+    import math
+
+    depth, width = 4, 256
+    n_total = cm_items.count()
+    sketch = sk.countmin_sketch(cm_items, "item", depth=depth, width=width)
+    true = cm_items.groupBy("item").agg(F.count(F.lit(1)).alias("t"))
+    est = sk.countmin_estimate(sketch, true.select("item"), "item", depth=depth, width=width)
+    errs = sorted(
+        r.e for r in true.join(est, "item").select((F.col("est_cnt") - F.col("t")).alias("e")).collect()
+    )
+    bound = math.e / width * n_total
+    p99 = errs[int(0.99 * (len(errs) - 1))]
+    assert p99 <= bound, (p99, bound)
+
+
+def test_countmin_merge_lossless(spark, cm_items):
+    # per-group sketches merged cell-wise == sketch of the whole corpus
+    direct = sk.countmin_sketch(cm_items, "item", depth=4, width=256)
+    per_grp = sk.countmin_sketch(cm_items, "item", group_cols=["grp"], depth=4, width=256)
+    merged = sk.countmin_merge(per_grp)
+    assert direct.exceptAll(merged).count() == 0
+    assert merged.exceptAll(direct).count() == 0
+
+
+def test_countmin_unseen_item_estimates_low(spark, cm_items):
+    sketch = sk.countmin_sketch(cm_items, "item", depth=4, width=256)
+    probes = spark.createDataFrame([Row(item="never-seen-token")])
+    est = sk.countmin_estimate(sketch, probes, "item", depth=4, width=256).collect()
+    # unseen items can only pick up collision mass, bounded by the
+    # same eps*N guarantee (and usually ~min cell load)
+    import math
+
+    assert est[0].est_cnt <= math.e / 256 * cm_items.count()
+
+
+# --- substring spans ------------------------------------------------------
+
+
+def _docs_df(spark, texts):
+    return spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(texts)]
+    )
+
+
+def test_spans_cross_doc_only(spark):
+    # the repeated phrase inside doc 0 is NOT shared with another doc
+    # -> no rows; the shared phrase between 1 and 2 is
+    docs = _docs_df(
+        spark,
+        [
+            "alpha beta gamma delta alpha beta gamma delta unrelated tail words here",
+            "the quick brown fox jumps over the lazy dog tonight",
+            "prefix words the quick brown fox jumps over the lazy dog indeed",
+        ],
+    )
+    cov = dd.duplicated_span_coverage(docs, k=8).orderBy("doc_id").collect()
+    assert [r.doc_id for r in cov] == [1, 2]
+    # the shared phrase "the ... dog" is 9 tokens -> two overlapping
+    # 8-token windows, merged into one island covering [0, 9)
+    d1, d2 = cov
+    assert d1.n_tokens == 10 and d1.dup_windows == 2 and d1.covered_tokens == 9
+    assert d1.dup_fraction == 0.9
+    assert d2.n_tokens == 12 and d2.dup_windows == 2 and d2.covered_tokens == 9
+    assert d2.dup_fraction == 0.75
+
+
+def test_spans_island_merging(spark):
+    # two disjoint duplicated spans in one doc -> two islands summed
+    shared_a = "one two three four five six seven eight"
+    shared_b = "red orange yellow green blue indigo violet ultraviolet"
+    docs = _docs_df(
+        spark,
+        [
+            f"{shared_a} XfillerX YfillerY ZfillerZ {shared_b}",
+            f"{shared_a} completely different middle text goes here now {shared_b}",
+        ],
+    )
+    cov = dd.duplicated_span_coverage(docs, k=8).orderBy("doc_id").collect()
+    assert len(cov) == 2
+    for r in cov:
+        # each shared phrase is one 8-token window -> 2 windows, 16 tokens
+        assert r.dup_windows == 2 and r.covered_tokens == 16
+
+
+def test_spans_portable_and_fast_agree(spark):
+    docs = _docs_df(
+        spark,
+        [
+            "a b c d e f g h i j k l m n o p",
+            "z z a b c d e f g h q r s t u v",
+            "totally unrelated words that never repeat anywhere else at all",
+        ],
+    )
+    a = dd.duplicated_span_coverage(docs, k=8, portable=True)
+    b = dd.duplicated_span_coverage(docs, k=8, portable=False)
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
