@@ -65,9 +65,16 @@ def bloom_build(
 
     Build plan: explode each key into its k (word, mask) pairs, bit_or
     the masks per word (one shuffle over ≤ m/64 + distinct-key-bounded
-    rows — tiny), then densify the sparse word map into an m/64-long
-    array on the single result row. The densify ``transform`` walks the
-    sparse map once per WORD on one row; probes never touch the map.
+    rows — tiny), then densify: left-join the sparse words onto the
+    full 0..nwords-1 word range (zero-filling gaps), collect the
+    (word, mask) structs onto one row, ``array_sort`` them (struct
+    ordering is field-order, so word is the sort key), and project the
+    masks. O(nwords log nwords) on the single result row — the earlier
+    map-based densify probed a ``map`` per word, and ``element_at`` on
+    Spark's ArrayBasedMapData is a LINEAR key scan, making the build
+    O(nwords²): ~4×10⁹ comparisons at m=2²² (65 k words), minutes on
+    one core. The sort-based build is milliseconds at any m this
+    module allows (cap 2²⁷ → 2 M words).
     """
     nwords = (num_bits + 63) // 64
     pos = F.explode(
@@ -78,14 +85,14 @@ def bloom_build(
     words = sparse.select(word.alias("__w"), mask.alias("__m")).groupBy("__w").agg(
         F.bit_or("__m").alias("__m")
     )
-    dense = words.agg(
-        F.map_from_entries(F.collect_list(F.struct("__w", "__m"))).alias("__sparse")
-    ).select(
-        F.transform(
-            F.sequence(F.lit(0), F.lit(nwords - 1)),
-            lambda i: F.coalesce(F.element_at("__sparse", i.cast("int")), F.lit(0).cast("long")),
-        ).alias("bf")
+    spark = keys.sparkSession
+    full = spark.range(nwords).select(F.col("id").cast("int").alias("__w"))
+    filled = full.join(words, "__w", "left").select(
+        "__w", F.coalesce("__m", F.lit(0).cast("long")).alias("__m")
     )
+    dense = filled.agg(
+        F.array_sort(F.collect_list(F.struct("__w", "__m"))).alias("__s")
+    ).select(F.transform("__s", lambda e: e["__m"]).alias("bf"))
     return dense
 
 
@@ -120,7 +127,7 @@ def bloom_prune_semi_join(
     big: DataFrame,
     small: DataFrame,
     key: str,
-    num_bits: int = DEFAULT_NUM_BITS,
+    num_bits: int | None = None,
     num_hashes: int = DEFAULT_NUM_HASHES,
     seed: int = 0,
 ) -> DataFrame:
@@ -130,6 +137,16 @@ def bloom_prune_semi_join(
     2. crossJoin(broadcast(bitmap)) onto ``big`` — a broadcast of ONE
        row, never a scaling side — and keep rows passing the probe;
     3. exact LEFT SEMI join removes the false positives.
+
+    ``num_bits=None`` (default) auto-sizes the bitmap from the build
+    side's row count: m = 16·n rounded up to a power of two (FPR ≈
+    1.4 % at k=2), floored at 64 Kib and capped at 2^27 bits (16 MiB
+    broadcast). The sizing count is one O(small) job — cheap relative
+    to the fact-side shuffle it saves, and the failure mode it
+    prevents is silent: a saturated fixed-size bitmap (e.g. 60 k keys
+    in 64 Kib → FPR ≈ 70 %) still returns EXACT results but prunes
+    almost nothing, which is exactly how an un-sized bloom would
+    misbehave at 100 TB.
 
     At cluster scale only the bloom-surviving fraction of ``big`` is
     shuffled by step 3; with a selective ``small`` that is the
@@ -149,6 +166,9 @@ def bloom_prune_semi_join(
     range-folds rand comparisons to true and the fence vanishes.) The
     ordering is pinned in tests/test_bloom_countmin_spans.py.
     """
+    if num_bits is None:
+        n_keys = small.select(key).count()
+        num_bits = 1 << max(16, min(27, (16 * max(n_keys, 1) - 1).bit_length()))
     bf = bloom_build(small.select(key), key, num_bits, num_hashes, seed)
     pruned = (
         big.crossJoin(F.broadcast(bf))

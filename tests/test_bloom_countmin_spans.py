@@ -68,6 +68,13 @@ def test_bloom_null_keys_never_match(spark):
     assert [r.v for r in got] == [10]
 
 
+def test_bloom_empty_small_side(spark):
+    # empty build side -> all-zero bitmap -> nothing survives the probe
+    small = spark.range(0, 10).select(F.col("id").alias("k")).where(F.lit(False))
+    big = spark.range(0, 100).select(F.col("id").alias("k"))
+    assert bl.bloom_prune_semi_join(big, small, "k").count() == 0
+
+
 # --- count-min ------------------------------------------------------------
 
 
