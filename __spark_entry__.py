@@ -48,6 +48,7 @@ _VERIFY_FIRST = [
     # dedup, mergeable count-min sketch
     "q_bloom_prune_join",
     "dedup_substring_spans",
+    "dedup_prefix_jaccard",
     "text_countmin_topk",
     # r6 cohort (11)
     "q_stream_dedup",

@@ -843,6 +843,103 @@ def simhash_candidates(
 # entry carries a complete cross-engine hash oracle.
 
 
+def prefix_jaccard_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_gram_df: int | None = 100_000,
+) -> DataFrame:
+    """Exact Jaccard-threshold pair join via PREFIX FILTERING
+    (AllPairs — Bayardo et al., WWW'07; Chaudhuri et al., ICDE'06).
+
+    Returns (id_a, id_b, jaccard), id_a < id_b, jaccard >= threshold —
+    the SAME result set as :func:`ngram_jaccard_pairs` at the same
+    parameters, from a candidate space that is a small fraction of it.
+    The inverted-index join generates a candidate for every shared
+    gram (O(Σ df²) across grams); prefix filtering sorts each
+    document's gram set in one GLOBAL rare-first order (document
+    frequency asc, gram asc) and emits only its first
+    ``p = |g| − ⌈t·|g|⌉ + 1`` grams. Pigeonhole: J(a,b) ≥ t implies
+    |a∩b| ≥ ⌈t·|a|⌉, and a's suffix past the prefix holds only
+    ⌈t·|a|⌉ − 1 grams, so at least one intersection gram sits in each
+    prefix — the filter is provably LOSSLESS at the threshold (the
+    registry oracle replays the exact all-shared-grams join in DuckDB,
+    so the cross-engine hash match IS the losslessness proof). At
+    t=0.5 the candidate join touches half the grams; rare-first
+    ordering means those are precisely the grams with the SMALLEST
+    buckets, so candidate volume falls far more than 2× (the df² sum
+    is dominated by hot grams, which land in suffixes).
+
+    Shuffle ledger at cluster scale: gram-df agg + df join (keyed on
+    8-byte gram hash), one per-doc window sort (keyed on id), the
+    prefix self-join (keyed on gram, buckets capped by rarity +
+    ``max_gram_df``), and two id-keyed verify joins against the
+    collected gram arrays. Verification is row-local
+    ``array_intersect`` on the candidate pair — no gram re-shuffle.
+    ``max_gram_df`` drops stop-phrase grams from the metric BEFORE
+    sizing (mirrored in the oracle), same contract as
+    :func:`ngram_jaccard_pairs`."""
+    from pyspark.sql import Window
+
+    grams = token_ngram_hashes(docs, text_col, n, id_col)
+    gram_df = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("__df"))
+    kept = grams.join(gram_df, "gram")
+    if max_gram_df is not None:
+        kept = kept.where(F.col("__df") <= F.lit(max_gram_df))
+
+    w = Window.partitionBy(id_col).orderBy("__df", "gram")
+    sz = F.count(F.lit(1)).over(Window.partitionBy(id_col))
+    ranked = kept.select(
+        F.col(id_col),
+        F.col("gram"),
+        F.row_number().over(w).alias("__r"),
+        sz.alias("__sz"),
+    )
+    prefix = ranked.where(
+        F.col("__r")
+        <= F.col("__sz") - F.ceil(F.lit(threshold) * F.col("__sz")) + F.lit(1)
+    ).select(id_col, "gram")
+
+    cand = (
+        prefix.select(F.col(id_col).alias("id_a"), "gram")
+        .join(prefix.select(F.col(id_col).alias("id_b"), "gram"), "gram")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+    sets = kept.groupBy(id_col).agg(
+        F.collect_list("gram").alias("__gs"), F.count(F.lit(1)).alias("__sz")
+    )
+    joined = (
+        cand.join(
+            sets.select(
+                F.col(id_col).alias("id_a"),
+                F.col("__gs").alias("__ga"),
+                F.col("__sz").alias("__sza"),
+            ),
+            "id_a",
+        )
+        .join(
+            sets.select(
+                F.col(id_col).alias("id_b"),
+                F.col("__gs").alias("__gb"),
+                F.col("__sz").alias("__szb"),
+            ),
+            "id_b",
+        )
+        .withColumn("__common", F.size(F.array_intersect("__ga", "__gb")))
+    )
+    jac = F.col("__common") / (
+        F.col("__sza") + F.col("__szb") - F.col("__common")
+    )
+    return joined.select(
+        "id_a", "id_b", jac.alias("jaccard")
+    ).where(F.col("jaccard") >= F.lit(threshold))
+
+
 def duplicated_spans(
     docs: DataFrame,
     text_col: str = "text",

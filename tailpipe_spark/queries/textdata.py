@@ -68,7 +68,12 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
-DEDUP_JACCARD_SQL = f"""
+def _jaccard_sql(threshold: float) -> str:
+    """Ground-truth exact all-shared-grams Jaccard join at ``threshold``
+    — the oracle for BOTH the inverted-index plan (dedup_ngram_jaccard)
+    and the prefix-filtered plan (dedup_prefix_jaccard); for the latter
+    the hash match doubles as the prefix filter's losslessness proof."""
+    return f"""
 WITH {_GRAMS_SQL},
 gram_df AS (SELECT gram, COUNT(*) AS df FROM grams GROUP BY gram),
 kept AS (
@@ -84,9 +89,26 @@ SELECT id_a, id_b,
 FROM common
 JOIN sizes sa ON sa.doc_id = id_a
 JOIN sizes sb ON sb.doc_id = id_b
-WHERE common / (sa.sz + sb.sz - common) >= 0.2
+WHERE common / (sa.sz + sb.sz - common) >= {threshold}
 ORDER BY id_a, id_b
 """
+
+
+DEDUP_JACCARD_SQL = _jaccard_sql(0.2)
+
+_PREFIX_T = 0.2  # same params as dedup_ngram_jaccard => same result set
+
+
+def dedup_prefix_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AllPairs prefix-filtered exact Jaccard join — identical output
+    contract to dedup_ngram_jaccard at the same (n, threshold, cap),
+    but candidates come only from each doc's rare-first gram prefix.
+    The oracle is the exact all-shared-grams SQL, so the value-hash
+    match proves the prefix filter loses no pairs."""
+    return dd.prefix_jaccard_pairs(
+        _docs(spark, sf_dir, parallel=True), n=3, threshold=_PREFIX_T,
+        max_gram_df=_MAX_GRAM_DF,
+    ).orderBy("id_a", "id_b")
 
 
 # --- MinHash + LSH candidate pairs (portable md5 min-hashes) ---
@@ -1341,6 +1363,7 @@ SPECS = [
     QuerySpec("dedup_simhash_md5", dedup_simhash_md5, _simhash_md5_sql(), "portable 60-bit md5 SimHash chain + chunk-LSH candidate count, bit-exact oracle"),
     QuerySpec("dedup_exact", dedup_exact, DEDUP_EXACT_SQL, "exact dedup via md5 hash-groupBy"),
     QuerySpec("dedup_ngram_jaccard", dedup_ngram_jaccard, DEDUP_JACCARD_SQL, "word-3-gram Jaccard near-dup pairs"),
+    QuerySpec("dedup_prefix_jaccard", dedup_prefix_jaccard, _jaccard_sql(_PREFIX_T), "AllPairs prefix-filtered exact Jaccard join (lossless vs all-shared-grams oracle)"),
     QuerySpec("dedup_minhash_lsh", dedup_minhash_lsh, _minhash_sql(), "MinHash(12) + 4-band LSH candidate pairs (portable md5 twin)"),
     QuerySpec("dedup_lsh_verified", dedup_lsh_verified, _lsh_verified_sql(), "LSH candidates -> exact-Jaccard verification (canonical chain, value-checked end-to-end)"),
     QuerySpec("dedup_resolve", dedup_resolve, DEDUP_RESOLVE_SQL, "corpus-wide keep/drop decisions from dup components (keep = min-id member)"),

@@ -198,3 +198,74 @@ def test_spans_portable_and_fast_agree(spark):
     a = dd.duplicated_span_coverage(docs, k=8, portable=True)
     b = dd.duplicated_span_coverage(docs, k=8, portable=False)
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+# --- prefix-filtered jaccard join ----------------------------------------
+
+
+def _corpus(spark, rows):
+    return spark.createDataFrame([Row(doc_id=i, text=t) for i, t in rows])
+
+
+def test_prefix_jaccard_matches_inverted_index(spark):
+    # same result set as the all-shared-grams plan at identical params
+    docs = _corpus(
+        spark,
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),
+            (2, "alpha beta gamma delta epsilon eta"),
+            (3, "one two three four five six seven"),
+            (4, "one two three four five six eight"),
+            (5, "totally different words entirely here now"),
+            (6, "alpha beta gamma delta epsilon zeta"),  # exact dup of 1
+        ],
+    )
+    for t in (0.2, 0.5, 0.9):
+        got = {
+            (r.id_a, r.id_b, round(r.jaccard, 12))
+            for r in dd.prefix_jaccard_pairs(docs, n=3, threshold=t).collect()
+        }
+        want = {
+            (r.id_a, r.id_b, round(r.jaccard, 12))
+            for r in dd.ngram_jaccard_pairs(
+                docs, n=3, threshold=t, max_gram_df=10_000
+            ).collect()
+        }
+        assert got == want, t
+
+
+def test_prefix_jaccard_exact_value_and_threshold_edge(spark):
+    # doc pair sharing 3 of 5 distinct grams -> J = 3/5 exactly; the
+    # >= comparison must include the boundary
+    docs = _corpus(
+        spark,
+        [(1, "a b c d e f"), (2, "a b c d e g")],
+    )
+    rows = dd.prefix_jaccard_pairs(docs, n=3, threshold=0.6).collect()
+    assert [(r.id_a, r.id_b, r.jaccard) for r in rows] == [(1, 2, 0.6)]
+    assert dd.prefix_jaccard_pairs(docs, n=3, threshold=0.61).collect() == []
+
+
+def test_prefix_jaccard_prefix_is_smaller_than_full_gram_set(spark):
+    # structural: the candidate-generating prefix explode must touch
+    # fewer (doc, gram) rows than the full gram relation at t=0.5
+    docs = _corpus(
+        spark,
+        [(i, " ".join(f"w{i}_{j}" for j in range(40)) + " common tail words")
+         for i in range(20)],
+    )
+    full = dd.token_ngram_hashes(docs, "text", 3).count()
+    from pyspark.sql import Window
+
+    grams = dd.token_ngram_hashes(docs, "text", 3)
+    gram_df = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("__df"))
+    kept = grams.join(gram_df, "gram")
+    w = Window.partitionBy("doc_id").orderBy("__df", "gram")
+    sz = F.count(F.lit(1)).over(Window.partitionBy("doc_id"))
+    ranked = kept.select(
+        F.col("doc_id"), F.row_number().over(w).alias("__r"), sz.alias("__sz")
+    )
+    prefix_rows = ranked.where(
+        F.col("__r") <= F.col("__sz") - F.ceil(F.lit(0.5) * F.col("__sz")) + 1
+    ).count()
+    assert prefix_rows < full * 0.6  # ~half + 1 per doc
