@@ -49,6 +49,7 @@ _VERIFY_FIRST = [
     "q_bloom_prune_join",
     "dedup_substring_spans",
     "dedup_prefix_jaccard",
+    "dedup_span_removal",
     "text_countmin_topk",
     # r6 cohort (11)
     "q_stream_dedup",

@@ -843,6 +843,103 @@ def simhash_candidates(
 # entry carries a complete cross-engine hash oracle.
 
 
+def remove_duplicated_spans(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    portable: bool = True,
+) -> DataFrame:
+    """Excise cross-document verbatim spans, keeping one owner copy —
+    the text-REWRITING half of exact substring dedup (Lee et al.,
+    "Deduplicating Training Data Makes Language Models Better"):
+    :func:`duplicated_span_coverage` reports the duplication,
+    this produces the deduplicated corpus.
+
+    Contract (deterministic, engine-replayable): for every k-token
+    window whose hash appears in ≥2 distinct documents, the OWNER is
+    the minimum doc id containing it; every other document has the
+    window's token positions excised. Overlapping/adjacent excisions
+    union via gaps-and-islands intervals; the cleaned text is the
+    remaining tokens rejoined in order. Owners keep all their
+    occurrences (within-doc repetition is :func:`text_repetition`'s
+    job). Returns one row per document —
+    ``(id, n_tokens, removed_tokens, clean_text)`` — including
+    untouched and shorter-than-k documents (removed_tokens = 0).
+
+    Scale shape: one window-hash-keyed shuffle finds duplicated
+    windows + owners (agg state = one row per distinct window), one
+    id-keyed window pass builds interval islands, and the excision
+    itself is ROW-LOCAL — a higher-order ``filter`` over the token
+    array against the doc's collected interval list (intervals per doc
+    are bounded by n_tokens/k after the union). No pair
+    materialization, no position explode: cost is linear in corpus
+    token count, the same class as the span detector."""
+    from pyspark.sql import Window
+
+    base = docs.select(
+        F.col(id_col), F.split(normalize_text(F.col(text_col)), " ").alias("__t")
+    )
+    long_enough = base.where(F.size("__t") >= k)
+    if portable:
+        wins_arr = F.transform(
+            F.sequence(F.lit(0), F.size("__t") - k),
+            lambda i: F.md5(F.array_join(F.slice("__t", i + 1, k), " ")),
+        )
+    else:
+        args = ", ".join(f"element_at(__t, i + {j + 1})" for j in range(k))
+        wins_arr = F.expr(
+            f"transform(sequence(0, size(__t) - {k}), i -> xxhash64({args}))"
+        )
+    wins = long_enough.select(
+        F.col(id_col), F.posexplode(wins_arr).alias("pos", "wh")
+    )
+    dup = (
+        wins.groupBy("wh")
+        .agg(
+            F.count_distinct(F.col(id_col)).alias("__df"),
+            F.min(id_col).alias("__owner"),
+        )
+        .where(F.col("__df") >= 2)
+        .select("wh", "__owner")
+    )
+    spans = wins.join(dup, "wh").where(F.col(id_col) != F.col("__owner")).select(
+        id_col, "pos"
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    prev_end = F.max(F.col("pos") + k).over(w.rowsBetween(Window.unboundedPreceding, -1))
+    flagged = spans.select(
+        id_col,
+        "pos",
+        F.when(prev_end.isNull() | (F.col("pos") > prev_end), 1).otherwise(0).alias("__ni"),
+    )
+    island = F.sum("__ni").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    intervals = (
+        flagged.select(id_col, "pos", island.alias("__isl"))
+        .groupBy(id_col, "__isl")
+        .agg(F.min("pos").alias("s"), (F.max("pos") + k).alias("e"))
+        .groupBy(id_col)
+        .agg(F.collect_list(F.struct("s", "e")).alias("__ivs"))
+    )
+    joined = base.join(intervals, id_col, "left")
+    kept = F.when(
+        F.col("__ivs").isNull(), F.col("__t")
+    ).otherwise(
+        F.filter(
+            "__t",
+            lambda tok, i: ~F.exists(
+                "__ivs", lambda iv: (i >= iv["s"]) & (i < iv["e"])
+            ),
+        )
+    )
+    return joined.select(
+        F.col(id_col),
+        F.size("__t").cast("long").alias("n_tokens"),
+        (F.size("__t") - F.size(kept)).cast("long").alias("removed_tokens"),
+        F.array_join(kept, " ").alias("clean_text"),
+    )
+
+
 def prefix_jaccard_pairs(
     docs: DataFrame,
     n: int = 3,

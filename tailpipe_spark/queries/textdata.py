@@ -1275,6 +1275,54 @@ FROM per_island GROUP BY doc_id
 """
 
 
+def dedup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Excision transform twin of dedup_substring_spans: min-id owner
+    keeps each duplicated window, every other doc has its positions
+    cut; one row per document including untouched ones. Full oracle —
+    the DuckDB replay rebuilds the cleaned text by anti-joining covered
+    positions, so the value-hash match pins the rewritten STRINGS, not
+    just the counts."""
+    return dd.remove_duplicated_spans(_docs(spark, sf_dir), k=_SPAN_K).orderBy(
+        "doc_id"
+    )
+
+
+SPAN_REMOVAL_SQL = f"""
+WITH toks AS (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS t FROM documents),
+wins AS (
+  SELECT doc_id, i - 1 AS pos,
+         md5(array_to_string(t[i:i+{_SPAN_K - 1}], ' ')) AS wh
+  FROM (SELECT doc_id, t, unnest(range(1, len(t) - {_SPAN_K} + 2)) AS i
+        FROM toks WHERE len(t) >= {_SPAN_K})
+),
+dup AS (SELECT wh, MIN(doc_id) AS owner FROM wins
+        GROUP BY wh HAVING COUNT(DISTINCT doc_id) >= 2),
+spans AS (
+  SELECT w.doc_id, w.pos FROM wins w JOIN dup d USING (wh)
+  WHERE w.doc_id != d.owner),
+covered AS (
+  SELECT DISTINCT doc_id, pos + j AS i0
+  FROM (SELECT doc_id, pos, unnest(range(0, {_SPAN_K})) AS j FROM spans)),
+tokrows AS (
+  SELECT doc_id, j - 1 AS i0, t[j] AS tok
+  FROM (SELECT doc_id, t, unnest(range(1, len(t) + 1)) AS j FROM toks)),
+kept AS (
+  SELECT tr.doc_id, tr.i0, tr.tok
+  FROM tokrows tr LEFT JOIN covered c
+    ON c.doc_id = tr.doc_id AND c.i0 = tr.i0
+  WHERE c.doc_id IS NULL)
+SELECT s.doc_id,
+       CAST(s.n_tokens AS BIGINT) AS n_tokens,
+       CAST(s.n_tokens - COALESCE(kc.cnt, 0) AS BIGINT) AS removed_tokens,
+       COALESCE(kc.clean_text, '') AS clean_text
+FROM (SELECT doc_id, len(t) AS n_tokens FROM toks) s
+LEFT JOIN (SELECT doc_id, COUNT(*) AS cnt,
+                  string_agg(tok, ' ' ORDER BY i0) AS clean_text
+           FROM kept GROUP BY doc_id) kc ON kc.doc_id = s.doc_id
+ORDER BY s.doc_id
+"""
+
+
 # --- count-min frequency sketch (mergeable, portable md5 buckets) ---
 #
 # operators/sketches.py:countmin_sketch. The Spark side builds
@@ -1387,5 +1435,6 @@ SPECS = [
     QuerySpec("dedup_incremental", dedup_incremental, DEDUP_INCREMENTAL_SQL, "incremental dedup of a new batch against persisted md5 + LSH band indexes"),
     QuerySpec("dedup_components", dedup_components, COMPONENTS_SQL, "dup-cluster connected components (min-label propagation vs recursive-CTE oracle)"),
     QuerySpec("dedup_substring_spans", dedup_substring_spans, SUBSTRING_SPANS_SQL, "cross-doc duplicated k-token spans + interval-union coverage (Lee et al. substring dedup)"),
+    QuerySpec("dedup_span_removal", dedup_span_removal, SPAN_REMOVAL_SQL, "span EXCISION transform: min-id owner keeps, others cut; rewritten text value-checked"),
     QuerySpec("text_countmin_topk", text_countmin_topk, _countmin_sql(), "mergeable count-min frequency sketch: per-source build -> cell-sum merge -> top-k probe (md5-portable)"),
 ]

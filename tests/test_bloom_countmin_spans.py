@@ -269,3 +269,52 @@ def test_prefix_jaccard_prefix_is_smaller_than_full_gram_set(spark):
         F.col("__r") <= F.col("__sz") - F.ceil(F.lit(0.5) * F.col("__sz")) + 1
     ).count()
     assert prefix_rows < full * 0.6  # ~half + 1 per doc
+
+
+# --- span removal ---------------------------------------------------------
+
+
+def test_span_removal_owner_keeps_others_cut(spark):
+    # doc 1 (min id) owns the shared 4-token span; doc 2 loses it;
+    # doc 3 untouched; doc 4 shorter than k passes through whole
+    docs = _corpus(
+        spark,
+        [
+            (1, "the quick brown fox jumps over lazy dogs"),
+            (2, "prefix words the quick brown fox suffix words"),
+            (3, "completely unrelated text with no shared span"),
+            (4, "tiny doc"),
+        ],
+    )
+    rows = {r.doc_id: r for r in dd.remove_duplicated_spans(docs, k=4).collect()}
+    assert rows[1].removed_tokens == 0
+    assert rows[1].clean_text == "the quick brown fox jumps over lazy dogs"
+    assert rows[2].removed_tokens == 4
+    assert rows[2].clean_text == "prefix words suffix words"
+    assert rows[3].removed_tokens == 0
+    assert rows[4].removed_tokens == 0 and rows[4].n_tokens == 2
+
+
+def test_span_removal_overlapping_windows_union(spark):
+    # doc 2 shares a 6-token run with doc 1 -> three overlapping
+    # 4-token windows excise the union (6 tokens), not 12
+    docs = _corpus(
+        spark,
+        [
+            (1, "a b c d e f"),
+            (2, "x a b c d e f y"),
+        ],
+    )
+    rows = {r.doc_id: r for r in dd.remove_duplicated_spans(docs, k=4).collect()}
+    assert rows[2].removed_tokens == 6
+    assert rows[2].clean_text == "x y"
+
+
+def test_span_removal_fully_covered_doc_empty(spark):
+    docs = _corpus(
+        spark,
+        [(1, "a b c d"), (2, "a b c d")],
+    )
+    rows = {r.doc_id: r for r in dd.remove_duplicated_spans(docs, k=4).collect()}
+    assert rows[1].clean_text == "a b c d"
+    assert rows[2].clean_text == "" and rows[2].removed_tokens == 4
