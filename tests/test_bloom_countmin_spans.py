@@ -318,3 +318,94 @@ def test_span_removal_fully_covered_doc_empty(spark):
     rows = {r.doc_id: r for r in dd.remove_duplicated_spans(docs, k=4).collect()}
     assert rows[1].clean_text == "a b c d"
     assert rows[2].clean_text == "" and rows[2].removed_tokens == 4
+
+
+def test_prefix_jaccard_equals_inverted_property(spark):
+    """Random small-vocab corpora (forced gram sharing): the prefix
+    plan must return the inverted-index plan's exact result set at
+    every threshold — the losslessness pin the registry oracle proves
+    at corpus scale, here hammered on adversarial tiny inputs (df
+    ties, all-hot grams, docs at the n-token boundary)."""
+    from hypothesis import given, settings, strategies as st
+
+    words = st.integers(min_value=0, max_value=4).map(lambda i: f"w{i}")
+
+    @settings(max_examples=5, deadline=None)
+    @given(
+        texts=st.lists(
+            st.lists(words, min_size=2, max_size=9).map(" ".join),
+            min_size=2,
+            max_size=6,
+        ),
+        t=st.sampled_from([0.25, 0.5, 0.75, 1.0]),
+    )
+    def check(texts, t):
+        df = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+        got = {
+            (r.id_a, r.id_b, round(r.jaccard, 12))
+            for r in dd.prefix_jaccard_pairs(df, n=3, threshold=t).collect()
+        }
+        want = {
+            (r.id_a, r.id_b, round(r.jaccard, 12))
+            for r in dd.ngram_jaccard_pairs(
+                df, n=3, threshold=t, max_gram_df=10_000
+            ).collect()
+        }
+        assert got == want
+
+    check()
+
+
+def test_span_removal_invariants_property(spark):
+    """Random corpora invariants: token conservation (n_tokens =
+    kept + removed), cut-implies-shared (a doc only loses tokens if it
+    shares a window with a SMALLER-id doc — excisions come only from
+    windows owned by someone else), untouched docs byte-unchanged, and
+    the first doc never loses anything (doc 0 owns every window it
+    shares). NOTE: "every duplicated window survives in one clean
+    text" is deliberately NOT asserted — overlapping excisions owned
+    by different docs can clip a window inside its own owner (the
+    standard greedy-excision property; same in Lee et al.)."""
+    from hypothesis import given, settings, strategies as st
+
+    words = st.integers(min_value=0, max_value=3).map(lambda i: f"w{i}")
+    K = 3
+
+    @settings(max_examples=5, deadline=None)
+    @given(
+        texts=st.lists(
+            st.lists(words, min_size=1, max_size=8).map(" ".join),
+            min_size=2,
+            max_size=5,
+        )
+    )
+    def check(texts):
+        df = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+        rows = dd.remove_duplicated_spans(df, k=K).collect()
+        by_id = {r.doc_id: r for r in rows}
+        assert set(by_id) == set(range(len(texts)))
+        orig_wins = {}
+        for i, t in enumerate(texts):
+            toks = t.split()
+            assert by_id[i].n_tokens == len(toks)
+            kept = by_id[i].clean_text.split() if by_id[i].clean_text else []
+            assert len(kept) == len(toks) - by_id[i].removed_tokens
+            for j in range(len(toks) - K + 1):
+                orig_wins.setdefault(" ".join(toks[j : j + K]), set()).add(i)
+        # doc 0 owns every window it shares: never cut
+        assert by_id[0].removed_tokens == 0
+        # a doc loses tokens only if it shares a window with a
+        # smaller-id doc (the owner of whatever was excised)
+        for i in range(len(texts)):
+            if by_id[i].removed_tokens > 0:
+                assert any(
+                    i in docs and min(docs) < i
+                    for docs in orig_wins.values()
+                    if len(docs) >= 2
+                ), i
+        # untouched docs unchanged
+        for i, t in enumerate(texts):
+            if by_id[i].removed_tokens == 0:
+                assert by_id[i].clean_text == " ".join(t.split())
+
+    check()
