@@ -50,6 +50,7 @@ _VERIFY_FIRST = [
     "dedup_substring_spans",
     "dedup_prefix_jaccard",
     "dedup_span_removal",
+    "dedup_resolve_quality",
     "text_countmin_topk",
     # r6 cohort (11)
     "q_stream_dedup",

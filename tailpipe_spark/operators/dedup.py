@@ -843,6 +843,55 @@ def simhash_candidates(
 # entry carries a complete cross-engine hash oracle.
 
 
+def resolve_by_quality(
+    scored_docs: DataFrame,
+    pairs: DataFrame,
+    score_col: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Duplicate resolution that keeps the BEST member per component,
+    not the smallest id: real pipelines keep the longest / highest-
+    quality copy of a near-dup cluster (min-id keep discards the good
+    copy whenever it happens to carry the bigger id).
+
+    ``scored_docs`` is (id, score, …); ``pairs`` is the dup graph
+    (id_a, id_b). Components come from :func:`connected_components`
+    (min-label propagation, converges in graph-diameter rounds);
+    the kept member is argmax(score) with min-id tiebreak —
+    deterministic, so the registry entry carries a full hash oracle
+    (DuckDB replays components via recursive CTE and the winner via
+    ROW_NUMBER). Returns one row per input doc:
+    ``(id, component, component_size, score, keep)`` — singletons keep
+    themselves.
+
+    Scale shape: the dup graph is pair-count-sized (never corpus-
+    squared — upstream candidate generation bounds it), label
+    propagation shuffles the EDGE list per round, and the winner pick
+    is one component-keyed agg (``max_by`` = one row of state per
+    component) plus one broadcastable-by-construction join back."""
+    comp = connected_components(pairs).select(
+        F.col("node").alias(id_col), F.col("comp").alias("component")
+    )
+    labeled = (
+        scored_docs.select(id_col, score_col)
+        .join(comp, id_col, "left")
+        .withColumn("component", F.coalesce("component", F.col(id_col)))
+    )
+    winners = labeled.groupBy("component").agg(
+        F.max_by(
+            F.col(id_col), F.struct(F.col(score_col), -F.col(id_col))
+        ).alias("__keep_id"),
+        F.count(F.lit(1)).alias("component_size"),
+    )
+    return labeled.join(winners, "component").select(
+        id_col,
+        "component",
+        F.col("component_size").cast("long").alias("component_size"),
+        score_col,
+        (F.col(id_col) == F.col("__keep_id")).alias("keep"),
+    )
+
+
 def remove_duplicated_spans(
     docs: DataFrame,
     text_col: str = "text",

@@ -791,6 +791,46 @@ ORDER BY d.doc_id
 """
 
 
+def dedup_resolve_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware resolution over the same dup graph as
+    dedup_resolve: keep the LONGEST member (token count, min-id
+    tiebreak) instead of the smallest id — the policy a real pipeline
+    runs. Score is an integer (len of the split token array), so the
+    argmax is bit-portable and the entry carries a full hash oracle."""
+    from tailpipe_spark.session import parquet_row_count
+
+    docs = _docs(spark, sf_dir, parallel=True)
+    scored = tx.doc_token_counts(docs).select(
+        "doc_id", F.col("n_tokens").cast("long").alias("score")
+    )
+    pairs = dd.ngram_jaccard_pairs(
+        docs, n=3, threshold=0.2, max_gram_df=_MAX_GRAM_DF,
+        corpus_size=parquet_row_count(f"{sf_dir}/documents.parquet"),
+    ).select("id_a", "id_b")
+    return dd.resolve_by_quality(scored, pairs, "score").orderBy("doc_id")
+
+
+DEDUP_RESOLVE_QUALITY_SQL = _COMPONENTS_CTES + f""",
+scored AS (
+  SELECT doc_id, len(string_split({_NORM_SQL}, ' ')) AS score FROM documents),
+labeled AS (
+  SELECT s.doc_id, COALESCE(c.component, s.doc_id) AS component, s.score
+  FROM scored s LEFT JOIN comp c ON c.node = s.doc_id),
+ranked AS (
+  SELECT doc_id, component, score,
+         COUNT(*) OVER (PARTITION BY component) AS component_size,
+         ROW_NUMBER() OVER (PARTITION BY component
+                            ORDER BY score DESC, doc_id ASC) AS rn
+  FROM labeled)
+SELECT doc_id, component,
+       CAST(component_size AS BIGINT) AS component_size,
+       CAST(score AS BIGINT) AS score,
+       rn = 1 AS keep
+FROM ranked
+ORDER BY doc_id
+"""
+
+
 # --- end-to-end pipeline: quality -> dedup resolve -> split -> audit ---
 
 def pipeline_quality_dedup_split(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1415,6 +1455,7 @@ SPECS = [
     QuerySpec("dedup_minhash_lsh", dedup_minhash_lsh, _minhash_sql(), "MinHash(12) + 4-band LSH candidate pairs (portable md5 twin)"),
     QuerySpec("dedup_lsh_verified", dedup_lsh_verified, _lsh_verified_sql(), "LSH candidates -> exact-Jaccard verification (canonical chain, value-checked end-to-end)"),
     QuerySpec("dedup_resolve", dedup_resolve, DEDUP_RESOLVE_SQL, "corpus-wide keep/drop decisions from dup components (keep = min-id member)"),
+    QuerySpec("dedup_resolve_quality", dedup_resolve_quality, DEDUP_RESOLVE_QUALITY_SQL, "quality-aware resolution: keep the longest member per dup component (argmax token count, min-id tiebreak)"),
     QuerySpec("pipeline_quality_dedup_split", pipeline_quality_dedup_split, PIPELINE_SQL, "end-to-end pipeline: quality gate -> dedup resolve -> hash split -> audit agg, one lazy plan"),
     QuerySpec("dedup_minhash_fast", dedup_minhash_fast, None, "MinHash(12) + 4-band LSH, engine-default seeded xxhash64 (rows-only)"),
     QuerySpec("dedup_simhash", dedup_simhash, None, "64-bit SimHash fingerprints + Hamming-chunk candidates (xxhash64; rows-only)"),

@@ -409,3 +409,22 @@ def test_span_removal_invariants_property(spark):
                 assert by_id[i].clean_text == " ".join(t.split())
 
     check()
+
+
+def test_resolve_by_quality_argmax_and_tiebreak(spark):
+    # component {1,2,3}: doc 2 has the top score -> keep; component
+    # {4,5}: tied score -> min id 4 keeps; doc 9 is a singleton
+    scored = spark.createDataFrame(
+        [(1, 10), (2, 30), (3, 20), (4, 7), (5, 7), (9, 1)],
+        ["doc_id", "score"],
+    )
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (4, 5)], ["id_a", "id_b"])
+    rows = {r.doc_id: r for r in dd.resolve_by_quality(scored, pairs, "score").collect()}
+    assert [rows[i].keep for i in (1, 2, 3)] == [False, True, False]
+    assert rows[2].component_size == 3
+    assert [rows[i].keep for i in (4, 5)] == [True, False]
+    assert rows[9].keep and rows[9].component_size == 1 and rows[9].component == 9
+    # exactly one keeper per component
+    from collections import Counter
+    keeps = Counter(r.component for r in rows.values() if r.keep)
+    assert all(v == 1 for v in keeps.values())
