@@ -35,7 +35,12 @@ _VERIFY_FIRST = [
     # Signal ages computed from CORRECTNESS_r01..r09: the q_stream_*/
     # misc cohort below last saw driver hash signal in round 6, the
     # text_*/sim_*/data_*/emb_* cohort in round 7. The driver samples
-    # the first ~50 entries. ---
+    # the first ~50 entries; this list holds 56 (10 r10-new/changed +
+    # 11 r6 + 35 r7), so the LAST SIX — equal-age r7 entries
+    # (text_quality/repetition/tfidf_topterms/token_stats,
+    # mm_checksums, mm_video_raw) — fall outside the window and are
+    # r11's rotation front. All 56 (and the whole registry) are green
+    # in the four committed full-registry r10 artifacts regardless. ---
     # changed in r10: rollup writer lock (EPERM + TOCTOU fix) and
     # manifest generation self-compaction sit on the maintenance path
     # both rollup entries exercise end-to-end.
