@@ -35,12 +35,13 @@ _VERIFY_FIRST = [
     # Signal ages computed from CORRECTNESS_r01..r09: the q_stream_*/
     # misc cohort below last saw driver hash signal in round 6, the
     # text_*/sim_*/data_*/emb_* cohort in round 7. The driver samples
-    # the first ~50 entries; this list holds 56 (10 r10-new/changed +
-    # 11 r6 + 35 r7), so the LAST SIX — equal-age r7 entries
-    # (text_quality/repetition/tfidf_topterms/token_stats,
-    # mm_checksums, mm_video_raw) — fall outside the window and are
-    # r11's rotation front. All 56 (and the whole registry) are green
-    # in the four committed full-registry r10 artifacts regardless. ---
+    # the first ~50 entries; this list holds 57 (11 r10-new/changed +
+    # 11 r6 + 35 r7), so the LAST SEVEN — equal-age r7 entries
+    # (text_pii_redact, text_quality, text_repetition,
+    # text_tfidf_topterms, text_token_stats, mm_checksums,
+    # mm_video_raw) — fall outside the window and are r11's rotation
+    # front. All 57 (and the whole registry) are green in the four
+    # committed full-registry r10 artifacts regardless. ---
     # changed in r10: rollup writer lock (EPERM + TOCTOU fix) and
     # manifest generation self-compaction sit on the maintenance path
     # both rollup entries exercise end-to-end.
@@ -56,6 +57,7 @@ _VERIFY_FIRST = [
     "dedup_prefix_jaccard",
     "dedup_span_removal",
     "dedup_resolve_quality",
+    "q_bloom_prune_anti",
     "text_countmin_topk",
     # r6 cohort (11)
     "q_stream_dedup",

@@ -177,3 +177,52 @@ def bloom_prune_semi_join(
         .where(F.monotonically_increasing_id() >= F.lit(0))
     )
     return pruned.join(small.select(key).distinct(), key, "left_semi")
+
+
+def bloom_prune_anti_join(
+    big: DataFrame,
+    small: DataFrame,
+    key: str,
+    num_bits: int | None = None,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    seed: int = 0,
+) -> DataFrame:
+    """EXACT ``big ANTI JOIN small ON key`` with Bloom pre-partition —
+    the decontamination-at-scale pattern (drop every corpus row whose
+    key appears in a benchmark/block list too big to broadcast).
+
+    The Bloom direction flips for anti joins: a row that FAILS the
+    probe is *provably* absent from ``small`` (no false negatives), so
+    it is emitted directly with no join at all; only the
+    probe-PASSING fraction — true matches plus the few-% false
+    positives — pays the exact LEFT ANTI shuffle that removes the
+    matches. With a selective block list, the shuffled fraction at
+    100 TB is a few percent of the corpus instead of all of it.
+
+    NULL keys probe to NULL: they are excluded from the clean branch
+    (``~NULL`` is NULL) and routed to the exact anti join via the
+    ``coalesce(probe, TRUE)`` suspect filter, which preserves anti-join
+    null semantics (a NULL key never matches, so the row is KEPT).
+    The result is the exact anti join for every row.
+
+    Plan shape note: the two branches are two filters over the same
+    source unioned back together — two SCANS, one (small) shuffle.
+    That trade is right at cluster scale: a parquet scan is
+    column-pruned, pushdown-filtered, and embarrassingly parallel,
+    while the anti-join shuffle is the network-bound term the probe
+    exists to shrink. Callers holding ``big`` in memory can persist()
+    it first to make the second scan free."""
+    if num_bits is None:
+        n_keys = small.select(key).count()
+        num_bits = 1 << max(16, min(27, (16 * max(n_keys, 1) - 1).bit_length()))
+    bf = bloom_build(small.select(key), key, num_bits, num_hashes, seed)
+    probe = bloom_might_contain(F.col("bf"), F.col(key), num_bits, num_hashes, seed)
+    with_bf = big.crossJoin(F.broadcast(bf))
+    clean = with_bf.where(~probe).drop("bf")
+    suspect = (
+        with_bf.where(F.coalesce(probe, F.lit(True)))
+        .drop("bf")
+        .where(F.monotonically_increasing_id() >= F.lit(0))
+        .join(small.select(key).distinct(), key, "left_anti")
+    )
+    return clean.unionByName(suspect.select(*clean.columns))

@@ -778,6 +778,51 @@ GROUP BY l_returnflag ORDER BY l_returnflag
 """
 
 
+def q_bloom_prune_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact anti join through Bloom pre-partition
+    (operators/bloom.py bloom_prune_anti_join): revenue by return flag
+    for line items whose order is NOT urgent-in-window — the
+    decontamination shape (drop everything on a block list too big to
+    broadcast). Probe-failing rows are provably clean and skip the
+    join entirely; only the suspect fraction pays the exact LEFT ANTI
+    shuffle. The oracle is the plain NOT-IN-as-anti-join, so the hash
+    match pins bloom-invisibility for the anti direction too."""
+    from tailpipe_spark.operators.bloom import bloom_prune_anti_join
+
+    li = _t(spark, sf_dir, "lineitem")
+    urgent = (
+        _t(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderpriority") == "1-URGENT")
+            & (F.col("o_orderdate") >= F.lit("1995-03-01").cast("timestamp"))
+        )
+        .select(F.col("o_orderkey").alias("l_orderkey"))
+    )
+    return (
+        bloom_prune_anti_join(li, urgent, "l_orderkey")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+Q_BLOOM_ANTI_SQL = f"""
+SELECT l_returnflag, COUNT(*) AS n_items,
+       {oracle_dsum('l_extendedprice * (1 - l_discount)')} AS revenue
+FROM lineitem l
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_orderkey = l.l_orderkey
+    AND o.o_orderpriority = '1-URGENT'
+    AND o.o_orderdate >= TIMESTAMP '1995-03-01'
+)
+GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
 SPECS = [
     QuerySpec("q01_pricing_summary", q01_pricing_summary, Q01_SQL, "TPC-H Q1 pricing summary: filter + hash agg + exact decimal sums (double surface)"),
     QuerySpec("q01_pricing_summary_dec", q01_pricing_summary_dec, Q01_DEC_SQL, "q01 exactness twin: DECIMAL(38,6) surface, local typed harness only (DECIMAL output is driver-hash-unsafe)", local_only=True),
@@ -803,4 +848,5 @@ SPECS = [
     QuerySpec("q_exists_in", q_exists_in, Q_EXISTS_IN_SQL, "IN subquery as semi join"),
     QuerySpec("q_approx_distinct", q_approx_distinct, None, "approx_count_distinct / approx_percentile (engine-specific sketches; rows-only)"),
     QuerySpec("q_bloom_prune_join", q_bloom_prune_join, Q_BLOOM_PRUNE_SQL, "Bloom-filter pre-pruned semi join (broadcast 8 KiB bitmap, exact result)"),
+    QuerySpec("q_bloom_prune_anti", q_bloom_prune_anti, Q_BLOOM_ANTI_SQL, "Bloom pre-partitioned exact anti join (probe-failing rows provably clean, suspects exact-verified)"),
 ]

@@ -428,3 +428,30 @@ def test_resolve_by_quality_argmax_and_tiebreak(spark):
     from collections import Counter
     keeps = Counter(r.component for r in rows.values() if r.keep)
     assert all(v == 1 for v in keeps.values())
+
+
+def test_bloom_anti_join_exact(spark):
+    small = spark.range(0, 200).select((F.col("id") * 13).alias("k"))
+    big = spark.range(0, 5000).select(
+        F.pmod(F.col("id"), F.lit(3000)).alias("k"), F.col("id").alias("v")
+    )
+    got = bl.bloom_prune_anti_join(big, small, "k")
+    want = big.join(small.distinct(), "k", "left_anti")
+    assert got.count() == want.count()
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+    assert got.columns == big.columns
+
+
+def test_bloom_anti_join_null_keys_kept(spark):
+    # anti-join semantics: a NULL key never matches -> always kept
+    small = spark.createDataFrame([Row(k=1), Row(k=2)])
+    big = spark.createDataFrame([Row(k=1, v=10), Row(k=None, v=20), Row(k=5, v=30)])
+    got = sorted(r.v for r in bl.bloom_prune_anti_join(big, small, "k").collect())
+    assert got == [20, 30]
+
+
+def test_bloom_anti_join_empty_small_keeps_all(spark):
+    small = spark.range(0, 10).select(F.col("id").alias("k")).where(F.lit(False))
+    big = spark.range(0, 100).select(F.col("id").alias("k"))
+    assert bl.bloom_prune_anti_join(big, small, "k").count() == 100
