@@ -33,7 +33,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-#: default bitmap width (bits). 2^16 bits = 8 KiB — with k=2 hashes and
+#: floor bitmap width (bits) for explicit callers; auto-sizing (the
+#: default) starts here. 2^16 bits = 8 KiB — with k=2 hashes and
 #: n=2 000 keys the false-positive rate is (1-e^{-kn/m})^k ≈ 0.35 %.
 DEFAULT_NUM_BITS = 1 << 16
 DEFAULT_NUM_HASHES = 2
@@ -152,7 +153,8 @@ def bloom_prune_semi_join(
     shuffled by step 3; with a selective ``small`` that is the
     difference between shuffling 100 TB and shuffling a few hundred GB.
     The plan stays correct at ANY false-positive rate, so sizing m is
-    purely a performance knob (8 KiB default broadcasts for free).
+    purely a performance knob (the auto-sized bitmap is 16·n bits,
+    8 KiB floor / 16 MiB cap — always broadcast-cheap).
 
     The always-true ``monotonically_increasing_id() >= 0`` guard
     between the probe and the exact join is a deliberate optimizer

@@ -737,7 +737,8 @@ def q_bloom_prune_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/bloom.py): revenue by return flag for line items whose
     order is 1-URGENT in a date window.
 
-    The bloom bitmap (8 KiB, broadcast as ONE row) drops non-matching
+    The bloom bitmap (auto-sized 16 bits/key, broadcast as ONE row;
+    8 KiB at this key count) drops non-matching
     fact rows at the scan, so only the selective fraction reaches the
     semi-join shuffle — at 100 TB that is the difference between
     shuffling the whole fact table and shuffling a few percent of it.
@@ -847,6 +848,6 @@ SPECS = [
     QuerySpec("q_cte_subquery", q_cte_subquery, Q_CTE_SQL, "CTE + scalar subquery threshold"),
     QuerySpec("q_exists_in", q_exists_in, Q_EXISTS_IN_SQL, "IN subquery as semi join"),
     QuerySpec("q_approx_distinct", q_approx_distinct, None, "approx_count_distinct / approx_percentile (engine-specific sketches; rows-only)"),
-    QuerySpec("q_bloom_prune_join", q_bloom_prune_join, Q_BLOOM_PRUNE_SQL, "Bloom-filter pre-pruned semi join (broadcast 8 KiB bitmap, exact result)"),
+    QuerySpec("q_bloom_prune_join", q_bloom_prune_join, Q_BLOOM_PRUNE_SQL, "Bloom-filter pre-pruned semi join (broadcast auto-sized bitmap, exact result)"),
     QuerySpec("q_bloom_prune_anti", q_bloom_prune_anti, Q_BLOOM_ANTI_SQL, "Bloom pre-partitioned exact anti join (probe-failing rows provably clean, suspects exact-verified)"),
 ]

@@ -2,7 +2,7 @@
 the plain shuffle semi join in the regime the operator targets — a
 non-broadcastable small side (autoBroadcastJoinThreshold=-1, the
 cluster-scale situation where the dim side is too big to broadcast but
-its KEY SET still fits an 8-64 KiB bitmap).
+its KEY SET still fits an auto-sized 16-bits/key bitmap, 16 MiB cap).
 
 Claim under test: the bloom probe drops the non-matching fact fraction
 BEFORE the semi-join shuffle, so the variant's shuffle write volume is
