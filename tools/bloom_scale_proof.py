@@ -25,7 +25,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import functions as F
 
-from tailpipe_spark.operators.bloom import bloom_prune_semi_join
+from tailpipe_spark.operators.bloom import bloom_prune_anti_join, bloom_prune_semi_join
 from tailpipe_spark.session import build_session
 from tools.relational_scale_proof import StageMeter, make_lineitem, make_orders
 
@@ -77,7 +77,18 @@ def main() -> None:
         def bloomed():
             return agg(bloom_prune_semi_join(li, small_side(orders), "l_orderkey"))
 
-        for name, fn in (("plain semi (SMJ)", plain), ("bloom-pruned", bloomed)):
+        def plain_anti():
+            return agg(li.join(small_side(orders), "l_orderkey", "left_anti"))
+
+        def bloomed_anti():
+            return agg(bloom_prune_anti_join(li, small_side(orders), "l_orderkey"))
+
+        for name, fn in (
+            ("plain semi (SMJ)", plain),
+            ("bloom-pruned semi", bloomed),
+            ("plain anti (SMJ)", plain_anti),
+            ("bloom-partitioned anti", bloomed_anti),
+        ):
             walls, mb, nrows = [], None, None
             for _ in range(REPS):
                 df = fn()
