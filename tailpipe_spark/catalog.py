@@ -215,6 +215,52 @@ class Catalog:
         self._store(m)
         return n
 
+    def set_table_layout(
+        self,
+        name: str,
+        bucket_by: list[str],
+        num_buckets: int,
+        sort_by: list[str] | None = None,
+    ) -> int:
+        """Record a bucketed physical layout for ``name`` in the
+        manifest (the compactor writes the files; this is the metadata
+        half). ``layout_rev`` bumps every rewrite so readers can tell a
+        stale session-catalog registration from the current files."""
+        m = self._load()
+        if name not in m["tables"]:
+            raise KeyError(f"table {name!r} does not exist")
+        t = m["tables"][name]
+        rev = int(t.get("layout", {}).get("layout_rev", 0)) + 1
+        t["layout"] = {
+            "bucket_by": list(bucket_by),
+            "num_buckets": int(num_buckets),
+            "sort_by": list(sort_by or bucket_by),
+            "layout_rev": rev,
+        }
+        self._store(m)
+        return rev
+
+    def table_layout(self, name: str) -> dict | None:
+        """The recorded bucketed layout, or None for plain layout."""
+        t = self._load()["tables"].get(name)
+        return None if t is None else t.get("layout")
+
+    def row_count(self, name: str) -> int:
+        """Exact table row count WITHOUT a Spark job: sum of per-file
+        parquet footer counts, served from the manifest file index when
+        fresh (zero reads) and from a driver-side footer walk otherwise
+        (O(files) metadata reads, no data). Operators that take a
+        ``corpus_size``-style hint (dedup.ngram_jaccard_pairs, bloom
+        auto-sizing) should be fed from here when their input is a
+        cataloged table — it replaces a full count() job over the
+        table with a manifest lookup."""
+        idx = self.load_file_index(name)
+        # pruned_files() with no bounds doubles as the staleness check:
+        # non-None means the on-disk file set still matches the index.
+        if idx is not None and self.pruned_files(name) is not None:
+            return sum(int(e["rows"]) for e in idx)
+        return int(self.file_stats(name)["rows"])
+
     def backup_metadata(self) -> str:
         """A27: timestamped manifest backup before collect/compact."""
         backups = os.path.join(self.metadata_dir, "backups")
@@ -545,6 +591,14 @@ class Catalog:
         paths = None
         if time_from is not None or time_to is not None:
             paths = self.pruned_files(table, time_from, time_to)
+        elif self.table_layout(table):
+            # bucketed layout: serve the scan through a session-catalog
+            # external table so Catalyst sees the bucket spec (a plain
+            # path read discards it and joins re-shuffle). Time-pruned
+            # reads keep the path branch — file-subset scans can't
+            # carry a bucket spec, and pruning is about scan size, not
+            # join co-location.
+            return self._read_bucketed(spark, table)
         reader = spark.read.option("basePath", self.table_dir(table))
         if paths is None:
             df = reader.parquet(self.table_dir(table))
@@ -563,3 +617,57 @@ class Catalog:
         return df.withColumn("tp_year", F.col("tp_year").cast("int")).withColumn(
             "tp_month", F.col("tp_month").cast("int")
         )
+
+    def _bucketed_reg_name(self, table: str, rev: int) -> str:
+        import hashlib
+
+        ws = hashlib.md5(self.workspace.encode()).hexdigest()[:8]
+        return f"tp_bucketed_{ws}_{table}_r{rev}"
+
+    def _read_bucketed(self, spark: SparkSession, table: str) -> DataFrame:
+        """Scan a bucketed-layout table THROUGH the session catalog.
+
+        Spark only honors a bucket spec on tables it knows from its
+        catalog — ``spark.read.parquet(path)`` has nowhere to carry
+        "these files are hash-clustered by key into N buckets", so the
+        planner re-shuffles joins on the bucket key. We register an
+        external table (schema from the files, partition + bucket spec
+        from the manifest layout) once per layout revision and return
+        ``spark.table(...)``: a join of two same-bucketed tables then
+        plans as a zero-Exchange SortMergeJoin — each task reads bucket
+        i of both sides (pinned in tests/test_bucketed_layout.py). The
+        registration is metadata-only and idempotent; stale revisions
+        are dropped (DROP TABLE on an external table keeps the files).
+        """
+        lay = self.table_layout(table)
+        rev = int(lay["layout_rev"])
+        reg = self._bucketed_reg_name(table, rev)
+        if not spark.catalog.tableExists(reg):
+            # derive the data-column DDL from the files themselves
+            fields = spark.read.parquet(self.table_dir(table)).schema.fields
+            data_cols = ", ".join(
+                f"`{f.name}` {f.dataType.simpleString()}"
+                for f in fields
+                if f.name not in PARTITION_COLS
+            )
+            part_cols = (
+                "`tp_partition` STRING, `tp_index` STRING, "
+                "`tp_year` INT, `tp_month` INT"
+            )
+            bucket_cols = ", ".join(f"`{c}`" for c in lay["bucket_by"])
+            sort_cols = ", ".join(f"`{c}`" for c in lay["sort_by"])
+            # drop registrations of older layout revisions first
+            prefix = self._bucketed_reg_name(table, 0)[: -len("_r0")]
+            for row in spark.sql(f"SHOW TABLES LIKE '{prefix}_r*'").collect():
+                if row.tableName != reg:
+                    spark.sql(f"DROP TABLE IF EXISTS `{row.tableName}`")
+            spark.sql(
+                f"CREATE TABLE `{reg}` ({data_cols}, {part_cols}) "
+                f"USING parquet "
+                f"PARTITIONED BY (tp_partition, tp_index, tp_year, tp_month) "
+                f"CLUSTERED BY ({bucket_cols}) SORTED BY ({sort_cols}) "
+                f"INTO {int(lay['num_buckets'])} BUCKETS "
+                f"LOCATION '{self.table_dir(table)}'"
+            )
+            spark.sql(f"MSCK REPAIR TABLE `{reg}`")
+        return spark.table(reg)

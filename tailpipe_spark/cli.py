@@ -306,9 +306,17 @@ def cmd_collect(args) -> int:
             f"({res.rows_dropped} dropped{', null cols: ' + ','.join(res.null_columns) if res.null_columns else ''})"
         )
         if args.compact:
-            from tailpipe_spark.compact import compact_table
+            from tailpipe_spark.compact import bucket_rewrite, compact_table
 
-            compact_table(spark, cat, part.table)
+            if table.bucket_by and not cat.table_layout(part.table):
+                # first collect into a bucket_by-configured table seeds
+                # the layout; afterwards compact_table routes through
+                # bucket_rewrite on its own (sticky layout)
+                bucket_rewrite(
+                    spark, cat, part.table, table.bucket_by, table.num_buckets
+                )
+            else:
+                compact_table(spark, cat, part.table)
     return 0
 
 
@@ -322,6 +330,16 @@ def cmd_compact(args) -> int:
         if args.zorder
         else None
     )
+    if args.bucket_by:
+        from tailpipe_spark.compact import bucket_rewrite
+
+        spec, _, n = args.bucket_by.partition(":")
+        cols = [c.strip() for c in spec.split(",") if c.strip()]
+        num = int(n) if n else None
+        for t in args.tables or cat.list_tables():
+            summary = bucket_rewrite(spark, cat, t, cols, num)
+            print(f"bucketed {t}: {summary}")
+        return 0
     for t in args.tables or cat.list_tables():
         summary = compact_table(
             spark, cat, t, reindex_expr=args.reindex, zorder_by=zorder
@@ -735,6 +753,14 @@ def main(argv: list[str] | None = None) -> int:
         "--zorder",
         help="comma-separated 2-4 columns: cluster rewritten chunks on "
         "the interleaved z-value for multi-column pruning",
+    )
+    k.add_argument(
+        "--bucket-by",
+        dest="bucket_by",
+        help="cols[:N] — rewrite into a bucketed layout (hash-clustered "
+        "by the comma-separated keys into N buckets; N auto-sizes from "
+        "table bytes when omitted). Joins between same-bucketed tables "
+        "then plan with no Exchange on either side.",
     )
     k.set_defaults(fn=cmd_compact)
 

@@ -164,6 +164,79 @@ def chunk_windows(stats: list[FileStat], max_rows: int) -> list[tuple]:
     return windows
 
 
+def bucket_rewrite(
+    spark: SparkSession,
+    catalog: Catalog,
+    table: str,
+    bucket_by: list[str],
+    num_buckets: int | None = None,
+    sort_by: list[str] | None = None,
+) -> dict:
+    """Rewrite a cataloged table into a BUCKETED physical layout — the
+    co-located-join answer at cluster scale (reference analog: the
+    physical-layout rewrites of internal/database/compact.go:264-435;
+    DuckDB never shuffles single-node, bucketing is Spark's translation
+    of that co-location).
+
+    Whole-table staged rewrite through the A13/A23 path: write
+    ``bucketBy(N, keys).sortBy(...)`` into ``catalog.staging_dir``
+    (via a throwaway external saveAsTable — Spark's bucketed writer is
+    only reachable through the table API), swap by rename, record the
+    layout + revision in the manifest (``set_table_layout``), refresh
+    the file index. ``read_table`` then serves the scan through a
+    session-catalog registration carrying the bucket spec, so a join
+    of two same-bucketed tables plans with ZERO Exchange on the fact
+    sides (pinned in tests/test_bucketed_layout.py).
+
+    The pre-write ``repartition(N, keys)`` aligns task hashing with
+    bucket hashing (both Murmur3 mod N), so each task holds exactly
+    one bucket → one file per bucket per hive partition instead of
+    tasks×buckets shards.
+
+    ``num_buckets=None`` auto-sizes: table bytes / 256 MB rounded UP
+    to a power of two (floor 4) — pick the SAME count on both sides of
+    an intended join (the CLI's ``--bucket-by key:N`` pins it).
+    """
+    import shutil
+
+    if num_buckets is None:
+        bytes_ = catalog.file_stats(table)["bytes"]
+        n = max(1, -(-bytes_ // TARGET_FILE_BYTES // 2))  # ceil(bytes/256MB)
+        num_buckets = max(4, 1 << (n - 1).bit_length())
+    sort_by = list(sort_by or bucket_by)
+    df = catalog.read_table(spark, table)
+    rows = catalog.row_count(table)
+    staged = catalog.new_staging_dir(f"{table}.bucket")
+    tmp_name = f"tp_bucket_stage_{table}_{os.path.basename(staged).replace('.', '_').replace('-', '_')}"
+    spark.sql(f"DROP TABLE IF EXISTS `{tmp_name}`")
+    (
+        df.repartition(int(num_buckets), *[F.col(c) for c in bucket_by])
+        .write.bucketBy(int(num_buckets), *bucket_by)
+        .sortBy(*sort_by)
+        .partitionBy(*PARTITION_COLS)
+        .option("path", staged)
+        .mode("overwrite")
+        .format("parquet")
+        .saveAsTable(tmp_name)
+    )
+    spark.sql(f"DROP TABLE `{tmp_name}`")  # external: files stay
+    shutil.rmtree(catalog.table_dir(table))
+    os.replace(staged, catalog.table_dir(table))
+    rev = catalog.set_table_layout(table, bucket_by, num_buckets, sort_by)
+    catalog.record_snapshot(
+        "bucket",
+        {"table": table, "bucket_by": list(bucket_by), "num_buckets": int(num_buckets)},
+    )
+    catalog.refresh_file_index(table)
+    return {
+        "table": table,
+        "bucket_by": list(bucket_by),
+        "num_buckets": int(num_buckets),
+        "layout_rev": rev,
+        "rows": rows,
+    }
+
+
 def compact_table(
     spark: SparkSession,
     catalog: Catalog,
@@ -185,8 +258,19 @@ def compact_table(
     Rewrites stage into ``catalog.staging_dir`` (never inside the table
     tree — a crash must not leave tmp dirs a reader would scan) and are
     chunked at ``max_chunk_rows`` rows / >=1h time windows per job.
+
+    A table with a recorded bucketed layout is STICKY: its compaction
+    routes through :func:`bucket_rewrite` with the manifest's spec (a
+    plain time-ordered rewrite would silently destroy the bucket
+    clustering the layout promises to readers).
     """
     import shutil
+
+    lay = catalog.table_layout(table)
+    if lay and reindex_expr is None:
+        return bucket_rewrite(
+            spark, catalog, table, lay["bucket_by"], lay["num_buckets"], lay["sort_by"]
+        )
 
     keys = enumerate_partition_keys(catalog, table)
     rewritten, merged_files, rows_total, chunk_jobs = 0, 0, 0, 0
@@ -206,6 +290,12 @@ def compact_table(
         os.replace(staged, catalog.table_dir(table))
         catalog.record_snapshot("compact", {"table": table, "reindex": True})
         catalog.refresh_file_index(table)
+        if lay:
+            # the reindex wrote plain files; restore the promised layout
+            bucket_rewrite(
+                spark, catalog, table,
+                lay["bucket_by"], lay["num_buckets"], lay["sort_by"],
+            )
         return {"keys_rewritten": len(keys), "files_merged": 0, "rows": rows_total}
 
     base = catalog.table_dir(table)

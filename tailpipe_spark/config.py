@@ -183,6 +183,11 @@ class TableConfig:
     columns: list[ColumnConfig] = field(default_factory=list)
     map_fields: list[str] = field(default_factory=lambda: ["*"])
     null_if: str | None = None  # table-wide null_if default
+    #: bucketed physical layout: post-collect compaction rewrites the
+    #: table hash-clustered by these keys (compact.bucket_rewrite), and
+    #: reads serve the bucket spec so same-keyed joins skip the shuffle
+    bucket_by: list[str] | None = None
+    num_buckets: int | None = None  # None = auto-size from table bytes
 
     def __post_init__(self):
         # optional (non-required) declared columns must carry a type when

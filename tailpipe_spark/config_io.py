@@ -67,12 +67,20 @@ def _column_from_block(b: HclBlock) -> ColumnConfig:
 def _table_from_block(b: HclBlock) -> tuple[TableConfig, FormatConfig | None]:
     if len(b.labels) != 1:
         raise ConfigValidationError("table block needs exactly one label")
-    _check_attrs("table", b.labels[0], b.attrs, {"format", "null_if", "map_fields"})
+    _check_attrs(
+        "table", b.labels[0], b.attrs,
+        {"format", "null_if", "map_fields", "bucket_by", "num_buckets"},
+    )
     fmt = _resolve_format_value(b.attrs.get("format"))
     cols = [_column_from_block(c) for c in b.find("column")]
     kwargs = {}
     if "null_if" in b.attrs:
         kwargs["null_if"] = b.attrs["null_if"]
+    if "bucket_by" in b.attrs:
+        v = b.attrs["bucket_by"]
+        kwargs["bucket_by"] = [v] if isinstance(v, str) else list(v)
+    if "num_buckets" in b.attrs:
+        kwargs["num_buckets"] = int(b.attrs["num_buckets"])
     if "map_fields" in b.attrs:
         kwargs["map_fields"] = list(b.attrs["map_fields"])
     elif cols:

@@ -107,8 +107,14 @@ def bloom_might_contain(
     """Probe predicate: every hashed bit set in the bitmap.
 
     k × (element_at + AND + compare) per row, all codegen'd; no map
-    scans, no joins. NULL keys probe to NULL (never match), matching
-    IN-subquery null semantics for the pruning use-case."""
+    scans, no joins. NULL-key caveat: ``xxhash64`` SKIPS null children,
+    so a NULL key hashes to the same fixed position set as the bare
+    seed literal and the probe returns a deterministic NON-NULL
+    boolean (empirically false unless the seed-only positions happen
+    to be set) — it does NOT propagate NULL. Callers must therefore
+    never use a probe result alone to decide match/no-match for NULL
+    keys; exactness in the pruning joins below relies solely on the
+    trailing exact joins, which enforce real null semantics."""
     out = F.lit(True)
     for pos in _positions(key, num_bits, num_hashes, seed):
         word = (pos / F.lit(64)).cast("int")
@@ -188,6 +194,7 @@ def bloom_prune_anti_join(
     num_bits: int | None = None,
     num_hashes: int = DEFAULT_NUM_HASHES,
     seed: int = 0,
+    persist: bool = False,
 ) -> DataFrame:
     """EXACT ``big ANTI JOIN small ON key`` with Bloom pre-partition —
     the decontamination-at-scale pattern (drop every corpus row whose
@@ -201,25 +208,36 @@ def bloom_prune_anti_join(
     matches. With a selective block list, the shuffled fraction at
     100 TB is a few percent of the corpus instead of all of it.
 
-    NULL keys probe to NULL: they are excluded from the clean branch
-    (``~NULL`` is NULL) and routed to the exact anti join via the
-    ``coalesce(probe, TRUE)`` suspect filter, which preserves anti-join
-    null semantics (a NULL key never matches, so the row is KEPT).
-    The result is the exact anti join for every row.
+    NULL keys: ``xxhash64`` skips null children, so a NULL key probes
+    to a deterministic NON-NULL boolean (see
+    :func:`bloom_might_contain`) — NULL rows can land in EITHER
+    branch. Both branches keep them correctly: the clean branch emits
+    rows unjoined (anti-join semantics KEEP null keys), and the
+    suspect branch's exact LEFT ANTI join never matches a NULL key, so
+    it keeps them too. Exactness relies solely on that trailing exact
+    join; the ``coalesce(probe, TRUE)`` suspect filter is a defensive
+    guard (it would route NULL probes to the exact join if a future
+    probe expression ever did propagate NULL), not a correctness
+    precondition today.
 
     Plan shape note: the two branches are two filters over the same
     source unioned back together — two SCANS, one (small) shuffle.
     That trade is right at cluster scale: a parquet scan is
     column-pruned, pushdown-filtered, and embarrassingly parallel,
     while the anti-join shuffle is the network-bound term the probe
-    exists to shrink. Callers holding ``big`` in memory can persist()
-    it first to make the second scan free."""
+    exists to shrink. ``persist=True`` caches the probe-annotated
+    ``big`` (MEMORY_AND_DISK) so the second branch reads the cache
+    instead of rescanning — the right call when ``big`` is a derived
+    (non-scan) plan; leave it False for plain parquet scans, where the
+    rescan is cheaper than materializing the table."""
     if num_bits is None:
         n_keys = small.select(key).count()
         num_bits = 1 << max(16, min(27, (16 * max(n_keys, 1) - 1).bit_length()))
     bf = bloom_build(small.select(key), key, num_bits, num_hashes, seed)
     probe = bloom_might_contain(F.col("bf"), F.col(key), num_bits, num_hashes, seed)
     with_bf = big.crossJoin(F.broadcast(bf))
+    if persist:
+        with_bf = with_bf.persist()
     clean = with_bf.where(~probe).drop("bf")
     suspect = (
         with_bf.where(F.coalesce(probe, F.lit(True)))

@@ -867,8 +867,14 @@ def resolve_by_quality(
     Scale shape: the dup graph is pair-count-sized (never corpus-
     squared — upstream candidate generation bounds it), label
     propagation shuffles the EDGE list per round, and the winner pick
-    is one component-keyed agg (``max_by`` = one row of state per
-    component) plus one broadcastable-by-construction join back."""
+    is one component-keyed window (one shuffle + sort on the component
+    key; ``row_number`` + a frame-count share the sort). The tiebreak
+    is ``ORDER BY score DESC, id ASC`` — type-agnostic, so string doc
+    ids work (the earlier ``max_by(id, struct(score, -id))`` form
+    required a NUMERIC id: unary minus on a string id fails at plan
+    time with an AnalysisException)."""
+    from pyspark.sql import Window
+
     comp = connected_components(pairs).select(
         F.col("node").alias(id_col), F.col("comp").alias("component")
     )
@@ -877,18 +883,18 @@ def resolve_by_quality(
         .join(comp, id_col, "left")
         .withColumn("component", F.coalesce("component", F.col(id_col)))
     )
-    winners = labeled.groupBy("component").agg(
-        F.max_by(
-            F.col(id_col), F.struct(F.col(score_col), -F.col(id_col))
-        ).alias("__keep_id"),
-        F.count(F.lit(1)).alias("component_size"),
+    wo = Window.partitionBy("component").orderBy(
+        F.col(score_col).desc(), F.col(id_col).asc()
     )
-    return labeled.join(winners, "component").select(
+    size = F.count(F.lit(1)).over(
+        wo.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return labeled.select(
         id_col,
         "component",
-        F.col("component_size").cast("long").alias("component_size"),
+        size.cast("long").alias("component_size"),
         score_col,
-        (F.col(id_col) == F.col("__keep_id")).alias("keep"),
+        (F.row_number().over(wo) == 1).alias("keep"),
     )
 
 

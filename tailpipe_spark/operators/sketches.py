@@ -231,7 +231,21 @@ def countmin_estimate(
     """Point estimates for ``probes``: min over sketch rows of the
     probed cell. Probe rows explode ×depth and join the (depth×width)-
     bounded sketch on (row, bucket) — the sketch side is broadcastable
-    by construction. Items never seen estimate to 0 (left join)."""
+    by construction. Items never seen estimate to 0 (left join).
+
+    The sketch must be UNGROUPED — exactly ``(row, bucket, cnt)``. A
+    per-group sketch (built with ``group_cols``) must go through
+    :func:`countmin_merge` first: joining on (row, bucket) alone would
+    silently take the min ACROSS groups and break the est ≥ true
+    guarantee. Enforced here rather than documented-only because the
+    failure is a silent underestimate."""
+    extra = set(sketch.columns) - {"row", "bucket", "cnt"}
+    if extra or {"row", "bucket", "cnt"} - set(sketch.columns):
+        raise ValueError(
+            "countmin_estimate needs an ungrouped sketch with columns "
+            f"exactly (row, bucket, cnt); got {sketch.columns}. "
+            "Merge per-group sketches with countmin_merge first."
+        )
     item = F.col(item_col)
     cells = F.explode(
         F.array(

@@ -1273,7 +1273,9 @@ _SPAN_K = 4
 
 
 def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dd.duplicated_span_coverage(_docs(spark, sf_dir), k=_SPAN_K)
+    return dd.duplicated_span_coverage(_docs(spark, sf_dir), k=_SPAN_K).orderBy(
+        "doc_id"
+    )
 
 
 SUBSTRING_SPANS_SQL = f"""
@@ -1312,6 +1314,7 @@ SELECT doc_id,
        CAST(SUM(covered) AS BIGINT) AS covered_tokens,
        CAST(SUM(covered) AS DOUBLE) / MAX(n_tokens) AS dup_fraction
 FROM per_island GROUP BY doc_id
+ORDER BY doc_id
 """
 
 

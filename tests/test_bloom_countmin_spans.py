@@ -430,6 +430,23 @@ def test_resolve_by_quality_argmax_and_tiebreak(spark):
     assert all(v == 1 for v in keeps.values())
 
 
+def test_resolve_by_quality_string_ids(spark):
+    # string doc ids must work (the old max_by(id, struct(score, -id))
+    # tiebreak applied unary minus to the id and blew up at plan time
+    # on non-numeric ids); tie on score -> lexicographically-min id
+    scored = spark.createDataFrame(
+        [("doc-a", 5), ("doc-b", 5), ("doc-c", 9), ("solo", 2)],
+        ["doc_id", "score"],
+    )
+    pairs = spark.createDataFrame(
+        [("doc-a", "doc-b"), ("doc-b", "doc-c")], ["id_a", "id_b"]
+    )
+    rows = {r.doc_id: r for r in dd.resolve_by_quality(scored, pairs, "score").collect()}
+    assert rows["doc-c"].keep and not rows["doc-a"].keep and not rows["doc-b"].keep
+    assert rows["doc-c"].component_size == 3
+    assert rows["solo"].keep and rows["solo"].component_size == 1
+
+
 def test_bloom_anti_join_exact(spark):
     small = spark.range(0, 200).select((F.col("id") * 13).alias("k"))
     big = spark.range(0, 5000).select(

@@ -1,0 +1,173 @@
+"""Productized bucketed co-located layout (compact.bucket_rewrite +
+catalog layout metadata + read_table bucket-spec registration).
+
+The sf10 A/B (SCALE_PROOF §bucketed) proved bucketBy deletes the fact
+exchanges from same-key SortMergeJoins; these tests pin that the
+PRODUCT path — collect → compact --bucket-by → read_table — produces
+that plan, preserves every row, and survives further compactions.
+"""
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from tailpipe_spark.collect import collect
+from tailpipe_spark.compact import bucket_rewrite, compact_table
+from tailpipe_spark.config import ColumnConfig, PartitionConfig, TableConfig
+from tailpipe_spark.sources.formats import read_jsonl
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _mk_table(spark, workspace, tmp_path, name, n_rows, val_col):
+    table = TableConfig(
+        name=name,
+        columns=[
+            ColumnConfig(name="k", type="bigint", required=True),
+            ColumnConfig(name=val_col, type="double"),
+            ColumnConfig(name="tp_timestamp", type="timestamp", source="time"),
+        ],
+        map_fields=[],
+    )
+    rows = [
+        {"k": i % 97, val_col: float(i), "time": f"2024-0{1 + (i % 2)}-15T10:00:00"}
+        for i in range(n_rows)
+    ]
+    p = tmp_path / f"{name}.jsonl"
+    p.write_text("\n".join(json.dumps(r) for r in rows))
+    collect(
+        spark, workspace, table, PartitionConfig(name, "default"),
+        source_df=read_jsonl(spark, [str(p)]),
+    )
+    return table
+
+
+@pytest.fixture()
+def two_tables(spark, workspace, tmp_path):
+    _mk_table(spark, workspace, tmp_path, "facts_a", 400, "va")
+    _mk_table(spark, workspace, tmp_path, "facts_b", 300, "vb")
+    return workspace
+
+
+def test_bucket_rewrite_zero_exchange_join(spark, two_tables):
+    ws = two_tables
+    plain = (
+        ws.read_table(spark, "facts_a")
+        .join(ws.read_table(spark, "facts_b"), "k")
+        .select("k", "va", "vb")
+    )
+    want = sorted(map(tuple, plain.collect()))
+    # the plain-path join shuffles both sides
+    assert _plan(plain).count("Exchange") >= 2
+
+    for t in ("facts_a", "facts_b"):
+        s = bucket_rewrite(spark, ws, t, ["k"], 4)
+        assert s["num_buckets"] == 4 and s["layout_rev"] == 1
+        assert ws.table_layout(t)["bucket_by"] == ["k"]
+
+    a, b = ws.read_table(spark, "facts_a"), ws.read_table(spark, "facts_b")
+    j = a.join(b, "k").select("k", "va", "vb")
+    plan = _plan(j)
+    assert "SortMergeJoin" in plan
+    assert "Exchange" not in plan  # ZERO shuffles: bucket-co-located scan
+    assert sorted(map(tuple, j.collect())) == want
+    # row counts intact through the rewrite
+    assert a.count() == 400 and b.count() == 300
+
+
+def test_compaction_is_layout_sticky(spark, two_tables):
+    ws = two_tables
+    bucket_rewrite(spark, ws, "facts_a", ["k"], 4)
+    rev1 = ws.table_layout("facts_a")["layout_rev"]
+    # a later generic compaction must NOT flatten the layout
+    out = compact_table(spark, ws, "facts_a")
+    assert out.get("bucket_by") == ["k"]
+    assert ws.table_layout("facts_a")["layout_rev"] == rev1 + 1
+    assert ws.read_table(spark, "facts_a").count() == 400
+
+
+def test_time_pruned_read_keeps_path_branch(spark, two_tables):
+    from datetime import datetime
+
+    ws = two_tables
+    bucket_rewrite(spark, ws, "facts_a", ["k"], 4)
+    # bounded reads fall back to the file-subset scan (no bucket spec)
+    df = ws.read_table(
+        spark, "facts_a",
+        time_from=datetime(2024, 1, 1), time_to=datetime(2024, 2, 1),
+    )
+    got = df.filter(
+        (F.col("tp_timestamp") >= "2024-01-01") & (F.col("tp_timestamp") < "2024-02-01")
+    ).count()
+    assert got == 200  # half the rows land in January
+
+
+def test_bucket_rewrite_auto_sizes_and_cli_e2e(spark, two_tables, capsys):
+    ws = two_tables
+    s = bucket_rewrite(spark, ws, "facts_b", ["k"])  # auto N
+    assert s["num_buckets"] >= 4 and (s["num_buckets"] & (s["num_buckets"] - 1)) == 0
+    # the product CLI path: compact --bucket-by cols:N
+    from tailpipe_spark.cli import main
+
+    rc = main(
+        ["--workspace", ws.workspace, "compact", "facts_a", "--bucket-by", "k:8"]
+    )
+    assert rc == 0
+    assert "bucketed facts_a" in capsys.readouterr().out
+    lay = ws.table_layout("facts_a")
+    assert lay["bucket_by"] == ["k"] and lay["num_buckets"] == 8
+
+
+def test_row_count_no_spark_job(spark, two_tables):
+    """Catalog row_count serves counts from parquet footers/file index —
+    NO Spark job may run (the corpus_size feed for dedup/bloom)."""
+    ws = two_tables
+    sc = spark.sparkContext
+    sc.setJobGroup("rowcount-probe", "must stay empty")
+    try:
+        n = ws.row_count("facts_a")
+        # feeding the hint into ngram-style operators keeps plan
+        # CONSTRUCTION job-free too (the count() fallback fires at
+        # construction time, not execution time)
+        from tailpipe_spark.operators.dedup import ngram_jaccard_pairs
+
+        docs = spark.createDataFrame(
+            [(1, "a b c d"), (2, "a b c e")], ["doc_id", "text"]
+        )
+        ngram_jaccard_pairs(docs, corpus_size=n)
+    finally:
+        ids = sc.statusTracker().getJobIdsForGroup("rowcount-probe")
+        sc.setJobGroup("", "")
+    assert n == 400
+    assert list(ids) == []
+
+
+def test_row_count_stale_index_falls_back(spark, two_tables, tmp_path):
+    import os
+
+    ws = two_tables
+    n = ws.row_count("facts_a")
+    # drop a foreign parquet into the tree -> index stale -> footer walk
+    extra = (
+        ws.read_table(spark, "facts_a").limit(7).drop(
+            "tp_partition", "tp_index", "tp_year", "tp_month"
+        )
+    )
+    extra.coalesce(1).write.mode("append").parquet(str(tmp_path / "x"))
+    import shutil
+
+    src = [
+        os.path.join(str(tmp_path / "x"), f)
+        for f in os.listdir(str(tmp_path / "x"))
+        if f.endswith(".parquet")
+    ][0]
+    dst_dir = None
+    for root, _d, files in os.walk(ws.table_dir("facts_a")):
+        if any(f.endswith(".parquet") for f in files):
+            dst_dir = root
+            break
+    shutil.copy(src, os.path.join(dst_dir, "zzz_foreign.parquet"))
+    assert ws.row_count("facts_a") == n + 7
