@@ -30,36 +30,39 @@ from tailpipe_spark.queries import build_registry
 # entries themselves, and finally the oldest-driver-signal cohort
 # (r4 then r5) to refresh their signal.
 _VERIFY_FIRST = [
-    # --- r10 rotation (r9 verdict ask #6): changed plans first, then
-    # the never-refreshed tail, strictly oldest-driver-signal-first.
-    # Signal ages computed from CORRECTNESS_r01..r09: the q_stream_*/
-    # misc cohort below last saw driver hash signal in round 6, the
-    # text_*/sim_*/data_*/emb_* cohort in round 7. The driver samples
-    # the first ~50 entries; this list holds 57 (11 r10-new/changed +
-    # 11 r6 + 35 r7), so the LAST SEVEN — equal-age r7 entries
-    # (text_pii_redact, text_quality, text_repetition,
-    # text_tfidf_topterms, text_token_stats, mm_checksums,
-    # mm_video_raw) — fall outside the window and are r11's rotation
-    # front. All 57 (and the whole registry) are green in the four
-    # committed full-registry r10 artifacts regardless. ---
-    # changed in r10: rollup writer lock (EPERM + TOCTOU fix) and
-    # manifest generation self-compaction sit on the maintenance path
-    # both rollup entries exercise end-to-end.
+    # --- r11 rotation (r10 verdict ask #4): r11-new/changed plans
+    # first, then the SEVEN equal-age r7 entries that fell outside
+    # r10's 50-entry window (named there as r11's rotation front) —
+    # after this round every registry entry has driver hash signal
+    # <=3 rounds old. The remainder keeps r10's order (freshest signal
+    # last). ---
+    # NEW in r11: size-driven filter-join planner (broadcast vs
+    # bloom-prune picked from build-side row count)
+    "q_auto_filter_join",
+    # changed in r11: order-agnostic winner tiebreak (row_number window
+    # replaces numeric-only max_by)
+    "dedup_resolve_quality",
+    # changed in r11: deterministic ORDER BY doc_id on both engines
+    "dedup_substring_spans",
+    # r10 leftovers (equal-age r7 signal, named as r11's front)
+    "text_pii_redact",
+    "text_quality",
+    "text_repetition",
+    "text_tfidf_topterms",
+    "text_token_stats",
+    "mm_checksums",
+    "mm_video_raw",
+    # r10-verified cohort, freshest-first order preserved below the fold
     "q_rollup_manifest",
     "q_rollup_continuous",
-    # NEW in r10: mergeable fixed-point histogram quantile sketch
     "q_quantile_sketch",
     "q_quantile_sketch_rollup",
-    # NEW in r10 second wave: bloom-pruned semi join, substring-span
-    # dedup, mergeable count-min sketch
     "q_bloom_prune_join",
-    "dedup_substring_spans",
     "dedup_prefix_jaccard",
     "dedup_span_removal",
-    "dedup_resolve_quality",
     "q_bloom_prune_anti",
     "text_countmin_topk",
-    # r6 cohort (11)
+    # r6 cohort (r10-refreshed)
     "q_stream_dedup",
     "q_stream_static_join",
     "q_stream_stream_join",
@@ -71,7 +74,7 @@ _VERIFY_FIRST = [
     "q_window_ranks",
     "sec_zscore_outliers",
     "text_hash_embedding",
-    # r7 cohort (33)
+    # r7 cohort (r10-refreshed)
     "data_mixture_rates",
     "data_sample_fraction",
     "data_stratified_sample",
@@ -100,14 +103,6 @@ _VERIFY_FIRST = [
     "text_fingerprint",
     "text_language_id",
     "text_pack",
-    "text_pii_redact",
-    "text_quality",
-    "text_repetition",
-    "text_tfidf_topterms",
-    "text_token_stats",
-    # oldest-r8 top-up to fill the ~50 window
-    "mm_checksums",
-    "mm_video_raw",
 ]
 
 

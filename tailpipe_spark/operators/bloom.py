@@ -130,6 +130,60 @@ def _shiftleft_one(bits: Column) -> Column:
     return F.call_function("shiftleft", F.lit(1).cast("long"), bits)
 
 
+def _auto_num_bits(n_keys: int) -> int:
+    """m = 16·n rounded up to a power of two (FPR ≈ 1.4 % at k=2),
+    floored at 64 Kib, capped at 2^27 bits (16 MiB broadcast)."""
+    return 1 << max(16, min(27, (16 * max(n_keys, 1) - 1).bit_length()))
+
+
+def auto_filter_join(
+    big: DataFrame,
+    small: DataFrame,
+    key: str,
+    how: str = "semi",
+    build_rows: int | None = None,
+    broadcast_max_rows: int = 1_000_000,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    seed: int = 0,
+) -> DataFrame:
+    """Planner for exact ``big SEMI/ANTI JOIN small ON key`` that picks
+    the physical strategy from the BUILD side's row count — the
+    automatic counterpart of the reference engine's perfect-hash join
+    pruning (DuckDB applies it without being asked; callers here should
+    not need to know bloom_prune_* exists either).
+
+    Decision, in build-size order:
+    - ``build_rows <= broadcast_max_rows``: broadcast the distinct build
+      keys and let Catalyst plan a Broadcast{HashJoin} — no fact-side
+      shuffle at all, the cheapest possible shape when the build side
+      fits (the 1M default is ~8 MB of bigint keys; size the threshold
+      to executor memory at cluster scale).
+    - otherwise: Bloom-pruned join (:func:`bloom_prune_semi_join` /
+      :func:`bloom_prune_anti_join`) with the bitmap auto-sized from
+      ``build_rows`` — the fixed-size broadcastable filter drops (semi)
+      or proves-clean (anti) the bulk of the fact side before the exact
+      shuffle that guarantees the result.
+
+    ``build_rows`` should come from catalog metadata when the build
+    side is a cataloged table — ``Catalog.row_count`` serves it from
+    parquet footers with NO Spark job. When None, one O(small) count
+    job runs (same cost the bloom auto-sizing would pay).
+
+    Both branches return the EXACT join result (plan shape is
+    semantically invisible — pinned by the q_auto_filter_join oracle
+    entry and tests/test_bloom_countmin_spans.py plan pins)."""
+    if how not in ("semi", "anti"):
+        raise ValueError(f"how must be 'semi' or 'anti', got {how!r}")
+    if build_rows is None:
+        build_rows = small.select(key).count()
+    if build_rows <= broadcast_max_rows:
+        keys = F.broadcast(small.select(key).distinct())
+        return big.join(keys, key, f"left_{how}")
+    num_bits = _auto_num_bits(build_rows)
+    prune = bloom_prune_semi_join if how == "semi" else bloom_prune_anti_join
+    return prune(big, small, key, num_bits=num_bits, num_hashes=num_hashes, seed=seed)
+
+
 def bloom_prune_semi_join(
     big: DataFrame,
     small: DataFrame,
@@ -175,8 +229,7 @@ def bloom_prune_semi_join(
     ordering is pinned in tests/test_bloom_countmin_spans.py.
     """
     if num_bits is None:
-        n_keys = small.select(key).count()
-        num_bits = 1 << max(16, min(27, (16 * max(n_keys, 1) - 1).bit_length()))
+        num_bits = _auto_num_bits(small.select(key).count())
     bf = bloom_build(small.select(key), key, num_bits, num_hashes, seed)
     pruned = (
         big.crossJoin(F.broadcast(bf))
@@ -231,8 +284,7 @@ def bloom_prune_anti_join(
     (non-scan) plan; leave it False for plain parquet scans, where the
     rescan is cheaper than materializing the table."""
     if num_bits is None:
-        n_keys = small.select(key).count()
-        num_bits = 1 << max(16, min(27, (16 * max(n_keys, 1) - 1).bit_length()))
+        num_bits = _auto_num_bits(small.select(key).count())
     bf = bloom_build(small.select(key), key, num_bits, num_hashes, seed)
     probe = bloom_might_contain(F.col("bf"), F.col(key), num_bits, num_hashes, seed)
     with_bf = big.crossJoin(F.broadcast(bf))

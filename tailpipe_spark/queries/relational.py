@@ -824,6 +824,69 @@ GROUP BY l_returnflag ORDER BY l_returnflag
 """
 
 
+def q_auto_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Size-driven filter-join PLANNER (operators/bloom.py
+    auto_filter_join): the reference's perfect-hash pruning is
+    automatic, so ours is too — the caller states the semi/anti intent
+    and the planner picks broadcast-keys vs bloom-prune from the build
+    side's row count (catalog footer counts when cataloged; one
+    O(build) count otherwise).
+
+    Two build sides through the SAME planner with a 1 000-row
+    threshold: the nation-1 supplier keys (a handful — broadcast
+    branch at every SF) and the 1-URGENT order keys (crosses the
+    threshold between sf0.001 and sf0.01, so the PLAN flips shape with
+    scale while this oracle stays hash-identical — plan shape is
+    provably semantics-free; branch pins live in
+    tests/test_bloom_countmin_spans.py). Semi direction on the
+    supplier build, anti on the orders build."""
+    from tailpipe_spark.operators.bloom import auto_filter_join
+
+    li = _t(spark, sf_dir, "lineitem")
+    sup_keys = (
+        _t(spark, sf_dir, "supplier")
+        .filter(F.col("s_nationkey") == 1)
+        .select(F.col("s_suppkey").alias("l_suppkey"))
+    )
+    ord_keys = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_orderkey").alias("l_orderkey"))
+    )
+
+    def summarize(df: DataFrame, label: str) -> DataFrame:
+        return df.agg(
+            F.lit(label).alias("build_side"),
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"),
+        ).select("build_side", "n_items", "revenue")
+
+    semi = auto_filter_join(li, sup_keys, "l_suppkey", "semi", broadcast_max_rows=1000)
+    anti = auto_filter_join(li, ord_keys, "l_orderkey", "anti", broadcast_max_rows=1000)
+    return (
+        summarize(semi, "supplier_semi")
+        .unionByName(summarize(anti, "orders_anti"))
+        .orderBy("build_side")
+    )
+
+
+Q_AUTO_FILTER_SQL = f"""
+SELECT 'supplier_semi' AS build_side, CAST(COUNT(*) AS BIGINT) AS n_items,
+       {oracle_dsum('l_extendedprice * (1 - l_discount)')} AS revenue
+FROM lineitem
+WHERE l_suppkey IN (SELECT s_suppkey FROM supplier WHERE s_nationkey = 1)
+UNION ALL
+SELECT 'orders_anti', CAST(COUNT(*) AS BIGINT),
+       {oracle_dsum('l_extendedprice * (1 - l_discount)')}
+FROM lineitem l
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_orderkey = l.l_orderkey AND o.o_orderpriority = '1-URGENT'
+)
+ORDER BY build_side
+"""
+
+
 SPECS = [
     QuerySpec("q01_pricing_summary", q01_pricing_summary, Q01_SQL, "TPC-H Q1 pricing summary: filter + hash agg + exact decimal sums (double surface)"),
     QuerySpec("q01_pricing_summary_dec", q01_pricing_summary_dec, Q01_DEC_SQL, "q01 exactness twin: DECIMAL(38,6) surface, local typed harness only (DECIMAL output is driver-hash-unsafe)", local_only=True),
@@ -850,4 +913,5 @@ SPECS = [
     QuerySpec("q_approx_distinct", q_approx_distinct, None, "approx_count_distinct / approx_percentile (engine-specific sketches; rows-only)"),
     QuerySpec("q_bloom_prune_join", q_bloom_prune_join, Q_BLOOM_PRUNE_SQL, "Bloom-filter pre-pruned semi join (broadcast auto-sized bitmap, exact result)"),
     QuerySpec("q_bloom_prune_anti", q_bloom_prune_anti, Q_BLOOM_ANTI_SQL, "Bloom pre-partitioned exact anti join (probe-failing rows provably clean, suspects exact-verified)"),
+    QuerySpec("q_auto_filter_join", q_auto_filter_join, Q_AUTO_FILTER_SQL, "size-driven filter-join planner: broadcast-keys vs bloom-prune chosen from build-side row count (semi + anti)"),
 ]

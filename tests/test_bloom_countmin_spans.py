@@ -472,3 +472,48 @@ def test_bloom_anti_join_empty_small_keeps_all(spark):
     small = spark.range(0, 10).select(F.col("id").alias("k")).where(F.lit(False))
     big = spark.range(0, 100).select(F.col("id").alias("k"))
     assert bl.bloom_prune_anti_join(big, small, "k").count() == 100
+
+
+def _exec_plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_auto_filter_join_branch_pins(spark):
+    """The planner flips physical shape on build-side size; both
+    branches return the exact join result (semi AND anti)."""
+    big = spark.range(0, 5000).select(
+        F.pmod(F.col("id"), F.lit(400)).alias("k"), F.col("id").alias("v")
+    )
+    small = spark.range(0, 100).select((F.col("id") * 3).alias("k"))
+
+    for how in ("semi", "anti"):
+        want = sorted(
+            map(tuple, big.join(small.distinct(), "k", f"left_{how}").collect())
+        )
+        # build side UNDER the threshold -> broadcast keys, no bloom probe
+        bcast = bl.auto_filter_join(big, small, "k", how, broadcast_max_rows=1000)
+        p = _exec_plan(bcast)
+        assert "BroadcastHashJoin" in p or "BroadcastNestedLoop" in p
+        assert "xxhash64" not in p  # no bloom machinery in this branch
+        assert sorted(map(tuple, bcast.collect())) == want
+
+        # build side OVER the threshold -> bloom-pruned branch
+        bloom = bl.auto_filter_join(big, small, "k", how, broadcast_max_rows=10)
+        p = _exec_plan(bloom)
+        assert "xxhash64" in p  # the probe is in the plan
+        assert sorted(map(tuple, bloom.collect())) == want
+
+    # catalog-style hint: build_rows supplied -> branch picked WITHOUT
+    # counting the build side (no job during plan construction)
+    sc = spark.sparkContext
+    sc.setJobGroup("auto-filter-probe", "must stay empty")
+    try:
+        bl.auto_filter_join(big, small, "k", "semi", build_rows=50)
+        bl.auto_filter_join(big, small, "k", "anti", build_rows=5_000_000)
+    finally:
+        ids = sc.statusTracker().getJobIdsForGroup("auto-filter-probe")
+        sc.setJobGroup("", "")
+    assert list(ids) == []
+
+    with pytest.raises(ValueError):
+        bl.auto_filter_join(big, small, "k", "inner")

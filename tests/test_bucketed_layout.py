@@ -121,6 +121,72 @@ def test_bucket_rewrite_auto_sizes_and_cli_e2e(spark, two_tables, capsys):
     assert lay["bucket_by"] == ["k"] and lay["num_buckets"] == 8
 
 
+def test_q05_smj_zero_fact_exchange_product_path(spark, workspace):
+    """The r10 sf10 A/B's cluster-scale plan, now through the PRODUCT
+    path: orders+lineitem ingested as catalog tables, bucketed by their
+    orderkey via `compact --bucket-by`, q05's SMJ shape planned over
+    `read_table` — both fact Exchanges gone, results identical."""
+    from tailpipe_spark import writer
+    from tailpipe_spark.cli import main
+    from tailpipe_spark.functions.exact import dsum
+    from tailpipe_spark.session import read_table as rt
+
+    sf = "/root/testdata/sf0.001"
+    for name, ts in (("orders", "o_orderdate"), ("lineitem", "l_shipdate")):
+        df = (
+            rt(spark, f"{sf}/{name}.parquet")
+            .withColumn("tp_timestamp", F.col(ts))
+            .withColumn("tp_partition", F.lit(name))
+            .withColumn("tp_index", F.lit("default"))
+        )
+        workspace.ensure_table(
+            name, {f.name: f.dataType.simpleString() for f in df.schema.fields}
+        )
+        writer.append(workspace, name, df)
+        workspace.refresh_file_index(name)
+
+    def q05(orders, li):
+        region = rt(spark, f"{sf}/region.parquet").filter(F.col("r_name") == "ASIA")
+        nation = rt(spark, f"{sf}/nation.parquet")
+        cust = rt(spark, f"{sf}/customer.parquet")
+        sup = rt(spark, f"{sf}/supplier.parquet")
+        orders = orders.filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+        ).hint("merge")  # the shape that survives when orders outgrows broadcast
+        return (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .join(cust, orders.o_custkey == cust.c_custkey)
+            .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+            .filter(cust.c_nationkey == sup.s_nationkey)
+            .join(F.broadcast(nation), sup.s_nationkey == nation.n_nationkey)
+            .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+            .groupBy("n_name")
+            .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+            .orderBy(F.col("revenue").desc(), F.col("n_name").asc())
+        )
+
+    plain = q05(
+        workspace.read_table(spark, "orders"), workspace.read_table(spark, "lineitem")
+    )
+    plain_plan = _plan(plain)
+    want = [tuple(r) for r in plain.collect()]
+
+    for t, k in (("orders", "o_orderkey"), ("lineitem", "l_orderkey")):
+        assert main(
+            ["--workspace", workspace.workspace, "compact", t, "--bucket-by", f"{k}:8"]
+        ) == 0
+
+    bucketed = q05(
+        workspace.read_table(spark, "orders"), workspace.read_table(spark, "lineitem")
+    )
+    b_plan = _plan(bucketed)
+    assert "SortMergeJoin" in b_plan
+    # the co-located layout deletes BOTH fact-side Exchanges
+    assert b_plan.count("Exchange") == plain_plan.count("Exchange") - 2
+    assert [tuple(r) for r in bucketed.collect()] == want
+
+
 def test_row_count_no_spark_job(spark, two_tables):
     """Catalog row_count serves counts from parquet footers/file index —
     NO Spark job may run (the corpus_size feed for dedup/bloom)."""
