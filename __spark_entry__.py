@@ -39,6 +39,9 @@ _VERIFY_FIRST = [
     # NEW in r11: size-driven filter-join planner (broadcast vs
     # bloom-prune picked from build-side row count)
     "q_auto_filter_join",
+    # NEW in r11: double-sum twin of q_topk_window (rows-only; the
+    # q01_fast precedent — SCALE_PROOF names the 2.3 s determinism tax)
+    "q_topk_fast",
     # changed in r11: order-agnostic winner tiebreak (row_number window
     # replaces numeric-only max_by)
     "dedup_resolve_quality",

@@ -10,6 +10,21 @@ bucketing is the Spark-native translation of "co-locate by key").
 
 Bucket count: pick ~(table_size / 256 MB) rounded to a power of two,
 and the SAME count on both sides of an intended join.
+
+Product path (r11): ``compact --bucket-by col[:N]`` rewrites a
+cataloged table into this layout through the staged-swap path
+(compact.bucket_rewrite), the manifest records the spec, and
+``Catalog.read_table`` serves scans through a session-catalog
+registration that carries it — see tests/test_bucketed_layout.py.
+
+Layout guidance (SCALE_PROOF §product-path A/B, sf10): bucket the
+tables whose JOINS dominate — the co-location deletes the fact
+exchanges (q05 SMJ 8→6, q03 3→1) that are the network bill at cluster
+scale. Keep plain time-clustering where time-range FILTERS dominate:
+single-node, the hive-month × bucket file product (84×32 ≈ 2.7k files
+at sf10) costs more in scan overhead than the exchanges it saves
+(q03 regressed 47% single-node; q05 was parity). Both layouts are
+per-table choices and compaction is sticky to whichever is recorded.
 """
 
 from __future__ import annotations

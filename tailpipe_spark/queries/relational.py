@@ -566,12 +566,48 @@ ORDER BY op
 
 
 def q_topk_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 customers by revenue per nation.
+
+    Plan profile (SCALE_PROOF §q_topk_window, sf10 min-of-5
+    interleaved): the window stage costs ~nothing — Spark plans the
+    ``row_number <= 3`` filter as WindowGroupLimit (per-partition
+    partial limiting before the nation exchange), and an explicit
+    two-phase group-local top-k rewrite measured DEAD EVEN (5.146 vs
+    5.156 s). The wall is the rev aggregation: scan 0.24 / +SMJ 1.57 /
+    +dsum agg 5.47 — of which ~2.3 s is the decimal-accumulation
+    determinism discipline (the double-SUM twin ``q_topk_fast`` runs
+    the same plan in 3.46 s) and the rest is the 15M-row join +
+    1.5M-group agg engine constant that scale-out amortizes."""
     o = _t(spark, sf_dir, "orders")
     c = _t(spark, sf_dir, "customer")
     rev = (
         o.join(c, o.o_custkey == c.c_custkey)
         .groupBy("c_custkey", "c_nationkey")
         .agg(dsum("o_totalprice", "revenue"))
+    )
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.col("revenue").desc(), F.col("c_custkey").asc()
+    )
+    return (
+        rev.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .orderBy("c_nationkey", "rk")
+    )
+
+
+def q_topk_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_topk_window on the JVM-native double-sum path — what a user's
+    plain ``SUM(o_totalprice)`` runs (the q01_fast precedent). Rows-only
+    in the harness: double sums are partition-order-dependent, so the
+    revenue values (and tie order) can flap across engines; the exact
+    twin above carries the hash oracle. 1.7 s faster at sf10 (3.46 vs
+    5.15 — SCALE_PROOF §q_topk_window)."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    rev = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_custkey", "c_nationkey")
+        .agg(F.sum("o_totalprice").alias("revenue"))
     )
     w = Window.partitionBy("c_nationkey").orderBy(
         F.col("revenue").desc(), F.col("c_custkey").asc()
@@ -906,6 +942,7 @@ SPECS = [
     QuerySpec("q_distinct_agg", q_distinct_agg, Q_DISTINCT_SQL, "count distinct, multi-col distinct"),
     QuerySpec("q_set_ops", q_set_ops, Q_SET_OPS_SQL, "UNION ALL / INTERSECT / EXCEPT"),
     QuerySpec("q_topk_window", q_topk_window, Q_TOPK_WINDOW_SQL, "window rank top-k per group"),
+    QuerySpec("q_topk_fast", q_topk_fast, None, "q_topk_window on the JVM-native double-sum path (rows-only: double sums are partition-order-dependent)"),
     QuerySpec("q_scalar_functions", q_scalar_functions, Q_SCALAR_SQL, "string/date/math scalar function zoo"),
     QuerySpec("q_case_like", q_case_like, Q_CASE_LIKE_SQL, "CASE WHEN + LIKE predicates"),
     QuerySpec("q_cte_subquery", q_cte_subquery, Q_CTE_SQL, "CTE + scalar subquery threshold"),

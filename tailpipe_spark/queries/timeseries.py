@@ -172,7 +172,14 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     (inner-join semantics restored by the ``n_following > 0`` filter);
     measured 0.667 → 0.568 s min-of-9 interleaved at the 10× set. The
     generic ``range_join_time`` remains the two-table path and keeps
-    its own operator tests."""
+    its own operator tests.
+
+    r11 sf10 A/B (SCALE_PROOF §q_range_join): the early-filtered
+    two-bucket SMJ wins 13% single-node (3.15 vs 3.63 s) but shuffles
+    2× the bytes (its probe side explodes into 2 buckets) and AQE
+    runtime-broadcasts its ~1.7M-row error side at sf10 unless pinned
+    to merge (measured 8 GB driver OOM) — so the 1×-shuffle window
+    frame stays the product plan; the trade is recorded, not guessed."""
     from tailpipe_spark.operators.range_join import following_window_agg
 
     e = _t(spark, sf_dir, "events")
