@@ -161,3 +161,120 @@ def mixture_rates(
         )
         .select(group_col, "group_mass", "rate")
     )
+
+
+def distributed_cumsum(
+    df: DataFrame,
+    order_col: str,
+    value_col: str,
+    out_col: str = "cum_before",
+    partitions: int | None = None,
+) -> DataFrame:
+    """EXCLUSIVE running sum of ``value_col`` in global ``order_col``
+    order, without the single-partition global window.
+
+    The naive ``Window.orderBy(order_col)`` funnels the whole table
+    through ONE task — the classic 100 TB cumsum killer. This is the
+    standard two-phase rewrite, all-DataFrame (no collect):
+
+    1. range-repartition on the order key (partition i holds keys below
+       partition i+1's — repartitionByRange guarantees monotone ranges)
+       and cumsum WITHIN each partition (parallel windows);
+    2. per-partition totals (a partition-count-sized aggregate) get
+       their own exclusive cumsum on one tiny single-partition window,
+       and broadcast-join back as offsets.
+
+    The output is independent of where the sampled range boundaries
+    fall (offset(p) + local cumsum telescopes to the global prefix sum),
+    so results are deterministic even though repartitionByRange's
+    boundary sampling is not.
+    """
+    spark = df.sparkSession
+    n = partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    d = df.repartitionByRange(n, F.col(order_col)).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    local_w = Window.partitionBy("__pid").orderBy(order_col).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    part_totals = d.groupBy("__pid").agg(F.sum(value_col).alias("__psum"))
+    off_w = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = part_totals.select(
+        "__pid", F.coalesce(F.sum("__psum").over(off_w), F.lit(0)).alias("__off")
+    )
+    return (
+        d.join(F.broadcast(offsets), "__pid")
+        .withColumn(
+            out_col,
+            F.col("__off") + F.coalesce(F.sum(value_col).over(local_w), F.lit(0)),
+        )
+        .drop("__pid", "__off")
+    )
+
+
+def pps_systematic(
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    id_col: str = "doc_id",
+    phase: int = 0,
+) -> DataFrame:
+    """Deterministic probability-proportional-to-size SYSTEMATIC sample
+    of exactly ``k`` picks (with replacement for heavy rows): the
+    weighted sampler real pipelines run when "sample 1M documents
+    proportional to token count" must be reproducible and distributed.
+
+    Construction (all BIGINT arithmetic — the reason this carries a
+    full cross-engine hash oracle, unlike exp/log-based weighted
+    reservoirs whose key order can flip on the last ulp of a libm):
+    lay every document's integer weight end-to-end in ``id_col`` order
+    (exclusive prefix sum ``lo``, so the doc owns ``[lo, lo+w)`` of the
+    total mass ``W``), scale by k, and walk k evenly spaced points
+    ``p_j = j·W + phase`` (j = 0..k-1, 0 <= phase < W) through the
+    scaled ranges. Row j is picked once per covered point:
+
+        n_picks = ceil((hi·k - phase)/W) - ceil((lo·k - phase)/W)
+
+    which telescopes to exactly k picks total; E[n_picks] = k·w/W per
+    row, the PPS inclusion law. ``phase`` is the reproducibility knob
+    (same corpus + same phase -> byte-identical sample; vary phase for
+    independent draws).
+
+    Scale shape: one range shuffle for the distributed prefix sum
+    (:func:`distributed_cumsum` — no single-partition window), then
+    row-local arithmetic; the total-mass scalar rides a broadcast
+    one-row crossJoin. Returns picked rows only:
+    ``(id, weight, n_picks)``.
+    """
+    if k <= 0:
+        raise ValueError("k must be > 0")
+    w = F.col(weight_col).cast("long")
+    base = df.select(F.col(id_col), w.alias("__w")).where(w > 0)
+    # fresh names on BOTH crossJoin branches: Spark 4 name resolution
+    # sees the join children's hidden lineage attributes, so a column
+    # name appearing anywhere in both branches' plans (here `__w`,
+    # which the cumsum side and the total side inherit from the same
+    # base) resolves as AMBIGUOUS after the join
+    cum = distributed_cumsum(base, id_col, "__w", out_col="__lo").select(
+        F.col(id_col), F.col("__w").alias("__sw"), F.col("__lo").alias("__slo")
+    )
+    total = base.select(F.col("__w").alias("__wt")).agg(
+        F.sum("__wt").alias("__W")
+    )
+    scaled = cum.crossJoin(F.broadcast(total))
+    # ceil(a/W) for a > -W via (a + W - 1) DIV W — BIGINT `div`
+    # end-to-end (a double floor would lose exactness past 2^53;
+    # Spark `div` and DuckDB `//` agree on the non-negative operands
+    # the +W-1 shift guarantees). Caveat: k·W must fit int64 — at
+    # k=10^6 samples that bounds total mass at ~9·10^12, plenty for
+    # token-count weights; split the draw by stratum beyond that.
+    lo_ceil = F.expr(f"(__slo * {int(k)} - {int(phase)} + __W - 1) div __W")
+    hi_ceil = F.expr(
+        f"((__slo + __sw) * {int(k)} - {int(phase)} + __W - 1) div __W"
+    )
+    out = scaled.select(
+        F.col(id_col),
+        F.col("__sw").alias("weight"),
+        (hi_ceil - lo_ceil).cast("long").alias("n_picks"),
+    )
+    return out.where(F.col("n_picks") > 0)

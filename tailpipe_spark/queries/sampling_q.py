@@ -119,9 +119,49 @@ ORDER BY source
 """
 
 
+
+def data_pps_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic PPS systematic sample, k=500 picks proportional to
+    n_chars (operators/sampling.pps_systematic): all-BIGINT systematic
+    walk over the distributed prefix sum — byte-identical across
+    engines, hence the full hash oracle (an exp/log weighted reservoir
+    could flip key order on a libm ulp). The oracle replays the same
+    arithmetic over a single-node window cumsum; the Spark side uses
+    the two-phase range-partitioned cumsum (no single-partition
+    window)."""
+    docs = _docs(spark, sf_dir)
+    return sampling.pps_systematic(
+        docs.select("doc_id", "n_chars"), "n_chars", k=500, phase=7
+    ).orderBy("doc_id")
+
+
+DATA_PPS_SQL = """
+WITH w AS (
+  SELECT doc_id, CAST(n_chars AS BIGINT) AS weight
+  FROM documents WHERE n_chars > 0
+),
+cum AS (
+  SELECT doc_id, weight,
+         COALESCE(SUM(weight) OVER (ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS lo,
+         SUM(weight) OVER () AS W
+  FROM w
+),
+picks AS (
+  SELECT doc_id, weight,
+         CAST(((lo + weight) * 500 - 7 + W - 1) // W
+              - (lo * 500 - 7 + W - 1) // W AS BIGINT) AS n_picks
+  FROM cum
+)
+SELECT doc_id, weight, n_picks FROM picks
+WHERE n_picks > 0
+ORDER BY doc_id
+"""
+
 SPECS = [
     QuerySpec("data_split_counts", data_split_counts, DATA_SPLIT_SQL, "deterministic 90/5/5 hash split (row-local md5 bucketing), audited per source"),
     QuerySpec("data_stratified_sample", data_stratified_sample, DATA_STRAT_SQL, "deterministic n-per-group sample via salted-hash window rank"),
     QuerySpec("data_sample_fraction", data_sample_fraction, DATA_FRACTION_SQL, "deterministic fraction holdout via hash threshold"),
     QuerySpec("data_mixture_rates", data_mixture_rates, DATA_MIXTURE_SQL, "source-mixture balancing rates (cap any source at a target share)"),
+    QuerySpec("data_pps_sample", data_pps_sample, DATA_PPS_SQL, "deterministic PPS systematic sample (integer systematic walk over a distributed prefix sum)"),
 ]

@@ -69,9 +69,16 @@ def _filler(idcol, ntok=FILLER_TOK):
 
 
 def _boilerplate(idcol):
-    # 20% of docs (id % 5 == 0) append block id % BP_BLOCKS: 30 tokens
-    # shared VERBATIM by every doc carrying that block
-    block = F.pmod(idcol, F.lit(BP_BLOCKS))
+    # 20% of docs (id % 5 == 0) append block (id/5) % BP_BLOCKS: 30
+    # tokens shared VERBATIM by every doc carrying that block. The
+    # block id comes from id/5, NOT id: id % 200 over ids that are all
+    # multiples of 5 aliases to only 40 distinct blocks, whose gram df
+    # then crosses the 1000 hot-gram cap between D=125k and D=251k and
+    # the cap DROPS them — the first run of this proof measured exactly
+    # that collapse (inverted candidates 220M -> 47k). Real web
+    # boilerplate sits below any sane cap, which is the regime this
+    # corpus models; df here stays <= D/1000 <= 502 at every size.
+    block = F.pmod(F.floor(idcol / F.lit(5)).cast("long"), F.lit(BP_BLOCKS))
     toks = F.transform(
         F.sequence(F.lit(1), F.lit(BP_TOK)),
         lambda i: F.concat(F.lit("bp"), block.cast("string"), F.lit("_"), i.cast("string")),
