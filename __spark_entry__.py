@@ -42,6 +42,11 @@ _VERIFY_FIRST = [
     # NEW in r11: double-sum twin of q_topk_window (rows-only; the
     # q01_fast precedent — SCALE_PROOF names the 2.3 s determinism tax)
     "q_topk_fast",
+    # NEW in r11: deterministic PPS systematic sampler (all-BIGINT
+    # walk over a distributed prefix sum) and SemDeDup-shaped
+    # cluster-restricted semantic dedup
+    "data_pps_sample",
+    "emb_semantic_dedup",
     # changed in r11: order-agnostic winner tiebreak (row_number window
     # replaces numeric-only max_by)
     "dedup_resolve_quality",

@@ -353,6 +353,116 @@ LIMIT {_K}
 """
 
 
+
+def emb_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-shaped semantic dedup (Abbas et al. 2023): k-means
+    cluster the embedding space, generate candidate pairs ONLY within
+    clusters, drop the higher id of every pair with cosine >= t. The
+    cluster restriction is the scale move — it divides the quadratic
+    all-pairs term by ~nlist (the operator-level analog of IVF search;
+    the exact all-pairs baseline is dedup_embedding_cosine). Seed
+    centroids are deterministic (k lowest vec_ids, no refinement) so
+    the whole chain replays in SQL: full hash oracle.
+
+    Missed-pair caveat (inherent to SemDeDup, worth stating): a
+    near-dup pair split across cluster boundaries is NOT generated —
+    the paper's trade for the nlist-fold work cut. Output: per-cluster
+    (n_members, n_dup_pairs, n_dropped) + the dropped-id checksum, so
+    the hash pins both the pair set and the keep/drop decision."""
+    emb = _emb(spark, sf_dir)
+    cents = sim.ivf_index(emb, nlist=_KMEANS_K, refine_iters=0)
+    assigned = sim.assign_clusters(emb, cents)
+    a = assigned.select(
+        "cluster_id", F.col("vec_id").alias("id_a"), F.col("embedding").alias("__ea")
+    )
+    b = assigned.select(
+        "cluster_id", F.col("vec_id").alias("id_b"), F.col("embedding").alias("__eb")
+    )
+    pairs = (
+        a.join(b, "cluster_id")
+        .where(F.col("id_a") < F.col("id_b"))
+        .where(sim.exact_cosine(F.col("__ea"), F.col("__eb")) >= F.lit(0.4))
+        .select("cluster_id", "id_a", "id_b")
+    )
+    dropped = pairs.select("cluster_id", F.col("id_b").alias("vec_id")).distinct()
+    return (
+        assigned.select("cluster_id", "vec_id")
+        .join(dropped.withColumn("__drop", F.lit(1)), ["cluster_id", "vec_id"], "left")
+        .groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.sum(F.coalesce(F.col("__drop"), F.lit(0))).cast("long").alias("n_dropped"),
+            F.sum(F.when(F.col("__drop") == 1, F.col("vec_id"))).cast("long").alias("dropped_id_sum"),
+        )
+        .join(
+            pairs.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("n_dup_pairs")),
+            "cluster_id",
+            "left",
+        )
+        .select(
+            "cluster_id",
+            "n_members",
+            F.coalesce("n_dup_pairs", F.lit(0)).cast("long").alias("n_dup_pairs"),
+            "n_dropped",
+            F.coalesce("dropped_id_sum", F.lit(0)).cast("long").alias("dropped_id_sum"),
+        )
+        .orderBy("cluster_id")
+    )
+
+
+SEMANTIC_DEDUP_SQL = f"""
+WITH cents AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cluster_id,
+         embedding AS centroid
+  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT {_KMEANS_K})),
+ap AS (
+  SELECT e.vec_id, c.cluster_id,
+         unnest(e.embedding) AS x, unnest(c.centroid) AS y
+  FROM embeddings e, cents c),
+ast AS (
+  SELECT vec_id, cluster_id, {_DOT} AS dotp, {_SQX} AS nx, {_SQY} AS ny
+  FROM ap GROUP BY vec_id, cluster_id),
+assigned AS (
+  SELECT vec_id, cluster_id FROM (
+    SELECT vec_id, cluster_id,
+           ROW_NUMBER() OVER (PARTITION BY vec_id
+             ORDER BY {_q12('dotp / (SQRT(nx) * SQRT(ny))')} DESC, cluster_id ASC) AS rk
+    FROM ast) WHERE rk = 1),
+emb_a AS (SELECT a.cluster_id, a.vec_id, e.embedding
+          FROM assigned a JOIN embeddings e USING (vec_id)),
+pp AS (
+  SELECT a.cluster_id, a.vec_id AS id_a, b.vec_id AS id_b,
+         unnest(a.embedding) AS x, unnest(b.embedding) AS y
+  FROM emb_a a JOIN emb_a b
+    ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id),
+ps AS (
+  SELECT cluster_id, id_a, id_b, {_DOT} AS dotp, {_SQX} AS nx, {_SQY} AS ny
+  FROM pp GROUP BY cluster_id, id_a, id_b),
+dup_pairs AS (
+  SELECT cluster_id, id_a, id_b FROM ps
+  WHERE {_q12('dotp / (SQRT(nx) * SQRT(ny))')} >= 0.4),
+dropped AS (
+  SELECT DISTINCT cluster_id, id_b AS vec_id FROM dup_pairs),
+members AS (
+  SELECT a.cluster_id, a.vec_id,
+         CASE WHEN d.vec_id IS NULL THEN 0 ELSE 1 END AS is_drop
+  FROM assigned a LEFT JOIN dropped d
+    ON a.cluster_id = d.cluster_id AND a.vec_id = d.vec_id),
+per AS (
+  SELECT cluster_id, COUNT(*) AS n_members,
+         CAST(SUM(is_drop) AS BIGINT) AS n_dropped,
+         CAST(COALESCE(SUM(CASE WHEN is_drop = 1 THEN vec_id END), 0) AS BIGINT)
+           AS dropped_id_sum
+  FROM members GROUP BY cluster_id)
+SELECT p.cluster_id, p.n_members,
+       CAST(COALESCE(dp.n_dup_pairs, 0) AS BIGINT) AS n_dup_pairs,
+       p.n_dropped, p.dropped_id_sum
+FROM per p LEFT JOIN (
+  SELECT cluster_id, COUNT(*) AS n_dup_pairs FROM dup_pairs GROUP BY cluster_id
+) dp ON p.cluster_id = dp.cluster_id
+ORDER BY p.cluster_id
+"""
+
 SPECS = [
     QuerySpec("emb_kmeans_assign", emb_kmeans_assign, KMEANS_SQL, "k-means assignment step over seed centroids (broadcast, fixed-point exact)"),
     QuerySpec("sim_cosine_topk", sim_cosine_topk, SIM_TOPK_SQL, "exact brute-force cosine top-k (fixed-point exact)"),
@@ -360,5 +470,6 @@ SPECS = [
     QuerySpec("sim_lsh_topk_md5", sim_lsh_topk_md5, _lsh_md5_sql(), "portable LSH ANN chain: literal md5 sign matrix + fixed-point projections, bit-exact oracle"),
     QuerySpec("sim_ivf_topk", sim_ivf_topk, _ivf_sql(), "IVF ANN chain: seeds + fixed-point Lloyd step + shortlist + exact re-rank, bit-exact oracle"),
     QuerySpec("dedup_embedding_cosine", dedup_embedding_cosine, DEDUP_EMB_SQL, "embedding-cosine near-dup pairs (exact, fixed-point stable)"),
+    QuerySpec("emb_semantic_dedup", emb_semantic_dedup, SEMANTIC_DEDUP_SQL, "SemDeDup: k-means-clustered semantic dedup, pairs generated within clusters only (nlist-fold cut of the quadratic term)"),
     QuerySpec("emb_norm_stats", emb_norm_stats, EMB_NORM_SQL, "per-label embedding norm statistics"),
 ]

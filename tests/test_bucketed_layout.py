@@ -187,6 +187,34 @@ def test_q05_smj_zero_fact_exchange_product_path(spark, workspace):
     assert [tuple(r) for r in bucketed.collect()] == want
 
 
+def test_bucket_pruning_on_equality_filter(spark, two_tables):
+    """An equality filter on the bucket key scans ONE bucket of N —
+    the scan-side dividend of the layout (hash-route the predicate to
+    its bucket, skip the rest), on top of the join-side exchange
+    elimination.
+
+    Spark's DisableUnnecessaryBucketedScan (autoBucketedScan, default
+    on) trades this pruning away for full scan parallelism when no
+    join/agg consumes the bucket partitioning — a filter-only query
+    then reads every bucket. The flag-off branch pins that the layout
+    DOES carry the pruning capability; deployments with selective
+    point-lookups on the bucket key should disable autoBucketedScan."""
+    ws = two_tables
+    bucket_rewrite(spark, ws, "facts_a", ["k"], 4)
+    old = spark.conf.get("spark.sql.sources.bucketing.autoBucketedScan.enabled", "true")
+    try:
+        spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+        df = ws.read_table(spark, "facts_a").filter(F.col("k") == 42)
+        plan = _plan(df)
+        assert "SelectedBucketsCount: 1 out of 4" in plan, plan
+        # correctness of the pruned scan: k=42 hits i in {42,139,236,333}
+        assert sorted(r.va for r in df.collect()) == [
+            float(i) for i in range(42, 400, 97)
+        ]
+    finally:
+        spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", old)
+
+
 def test_row_count_no_spark_job(spark, two_tables):
     """Catalog row_count serves counts from parquet footers/file index —
     NO Spark job may run (the corpus_size feed for dedup/bloom)."""
