@@ -36,6 +36,16 @@ _VERIFY_FIRST = [
     # after this round every registry entry has driver hash signal
     # <=3 rounds old. The remainder keeps r10's order (freshest signal
     # last). ---
+    # NEW in r11 (late wave): large-star/small-star connected
+    # components (O(log^2 n) rounds vs O(diameter) propagation; same
+    # recursive-CTE oracle => hash match proves algorithm agreement)
+    # and the asymmetric n-gram containment join (subset/boilerplate
+    # duplication Jaccard misses). dedup_ngram_jaccard fronted too:
+    # its inverted-index core moved into the shared _inverted_common
+    # helper (verbatim extraction — re-verify the hash anyway).
+    "dedup_components_star",
+    "dedup_containment",
+    "dedup_ngram_jaccard",
     # NEW in r11: size-driven filter-join planner (broadcast vs
     # bloom-prune picked from build-side row count)
     "q_auto_filter_join",

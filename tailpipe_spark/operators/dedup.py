@@ -261,6 +261,50 @@ def ngram_jaccard_pairs(
     through the heaviest aggregation (~15% faster there, measured at
     14M pairs); results are identical either way.
     """
+    common, sizes, post_filter_safe = _inverted_common(
+        docs, n, text_col, id_col, max_gram_df, corpus_size, packable_ids
+    )
+    sz_a = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
+    sz_b = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
+    if post_filter_safe:
+        # ≤1M docs → the per-doc size table is ≤~16 MB: ship it to the
+        # pair side instead of shuffling both join inputs. At real scale
+        # sizes is corpus-sized and the sort-merge path is correct.
+        sz_a, sz_b = F.broadcast(sz_a), F.broadcast(sz_b)
+    return (
+        common.join(sz_a, "id_a")
+        .join(sz_b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("common")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("common"))
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def _inverted_common(
+    docs: DataFrame,
+    n: int,
+    text_col: str,
+    id_col: str,
+    max_gram_df: int | None,
+    corpus_size: int | None,
+    packable_ids: bool = False,
+):
+    """Shared inverted-index core for the exact set-overlap joins
+    (Jaccard and containment): one gram-keyed shuffle builds
+    gram → [doc ids] buckets, pair generation is row-local, and the
+    heavy aggregation counts shared grams per candidate pair.
+
+    Returns ``(common, sizes, post_filter_safe)`` where ``common`` is
+    (id_a, id_b, common) with id_a < id_b, ``sizes`` is the post-cap
+    per-doc informative-gram counts, and ``post_filter_safe`` tells the
+    caller the corpus is provably small enough to broadcast ``sizes``.
+    """
     # ONE shuffle keyed on gram builds inverted-index buckets
     # (gram → [doc ids]); everything the old plan did with a hot-gram
     # aggregation + broadcast anti-join + renamed-sides self-join falls
@@ -287,7 +331,7 @@ def ngram_jaccard_pairs(
             "every sharing doc id); keep a document-frequency cap on any "
             "corpus with hot grams",
             UserWarning,
-            stacklevel=2,
+            stacklevel=3,  # through the public jaccard/containment wrapper
         )
     if max_gram_df is not None:
         # A gram's document frequency is bounded by the corpus size, so
@@ -349,25 +393,72 @@ def ngram_jaccard_pairs(
         common = pairs.groupBy("id_a", "id_b").agg(
             F.count(F.lit(1)).alias("common")
         )
+    return common, sizes, post_filter_safe
+
+
+def ngram_containment_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_gram_df: int | None = 100_000,
+    corpus_size: int | None = None,
+) -> DataFrame:
+    """Exact n-gram CONTAINMENT join: ordered pairs (id_a, id_b,
+    containment) with containment = |grams(a) ∩ grams(b)| / |grams(a)|
+    >= threshold and a != b — id_a is the (mostly-)contained document,
+    id_b its container.
+
+    Jaccard is symmetric and structurally blind to subset duplication:
+    a 50-token boilerplate notice pasted into a 5,000-token document
+    has Jaccard ≈ 0.01 but containment(notice → doc) = 1.0. Broder's
+    resemblance-vs-containment distinction (SEQUENCES'97) is exactly
+    this split, and at training-data scale the contained class —
+    license headers, quoted posts, template wrappers, near-verbatim
+    excerpts — is the near-dup mass that resemblance thresholds skip.
+    (Reference analog: the dup detection surface around
+    internal/parse/*; the containment direction has no reference
+    counterpart — it exists for the LLM-pipeline requirement.)
+
+    Same single-shuffle inverted-index shape as ngram_jaccard_pairs
+    (shared _inverted_common core: hot-gram df cap, corpus-aware
+    shuffle sizing, row-local pair generation); the only differences
+    are the normalizer (|A| instead of |A∪B|) and that each unordered
+    candidate yields BOTH ordered directions before the threshold
+    filter. Since containment(a→b) >= jaccard(a,b), any threshold
+    admits at least the Jaccard pair set — keep it high (>=0.5) on
+    corpora where the symmetric join already fires.
+    """
+    common, sizes, post_filter_safe = _inverted_common(
+        docs, n, text_col, id_col, max_gram_df, corpus_size
+    )
     sz_a = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
     sz_b = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
     if post_filter_safe:
-        # ≤1M docs → the per-doc size table is ≤~16 MB: ship it to the
-        # pair side instead of shuffling both join inputs. At real scale
-        # sizes is corpus-sized and the sort-merge path is correct.
         sz_a, sz_b = F.broadcast(sz_a), F.broadcast(sz_b)
+    scored = common.join(sz_a, "id_a").join(sz_b, "id_b")
+    # both ordered directions from each unordered candidate; the
+    # union is row-local (no extra shuffle) and the filter prunes
+    # before anything downstream sees the doubled row count
+    fwd = scored.select(
+        F.col("id_a").alias("src"),
+        F.col("id_b").alias("dst"),
+        (F.col("common") / F.col("sz_a")).alias("containment"),
+    )
+    rev = scored.select(
+        F.col("id_b").alias("src"),
+        F.col("id_a").alias("dst"),
+        (F.col("common") / F.col("sz_b")).alias("containment"),
+    )
     return (
-        common.join(sz_a, "id_a")
-        .join(sz_b, "id_b")
+        fwd.union(rev)
+        .where(F.col("containment") >= threshold)
         .select(
-            "id_a",
-            "id_b",
-            (
-                F.col("common")
-                / (F.col("sz_a") + F.col("sz_b") - F.col("common"))
-            ).alias("jaccard"),
+            F.col("src").alias("id_a"),
+            F.col("dst").alias("id_b"),
+            "containment",
         )
-        .where(F.col("jaccard") >= threshold)
     )
 
 
@@ -530,6 +621,124 @@ def connected_components(
         if changed == 0:
             break
     return labels
+
+
+def connected_components_star(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iterations: int = 40,
+    _stats: dict | None = None,
+) -> DataFrame:
+    """Connected components by alternating large-star / small-star
+    contraction (Kiveris, Lattanzi, Mirrokni, Rastogi, Vassilvitskii —
+    "Connected Components in MapReduce and Beyond", SoCC'14). Same
+    contract as :func:`connected_components`: returns (node, comp)
+    with comp = the minimum node id in the node's component.
+
+    Why a second algorithm: min-label propagation costs one full-graph
+    shuffle per hop of component DIAMETER. Near-dup graphs are usually
+    shallow, but they are not provably so — chained near-dups
+    (A~B~C~…, each adjacent pair similar, the ends not) build paths,
+    and at 100 TB a pathological 10⁵-hop chain turns propagation into
+    10⁵ shuffles. Star contraction roughly halves component height per
+    large+small round-pair: convergence is O(log² n) rounds proven,
+    ~log₂(diameter) round-pairs observed, independent of corpus size.
+    tools/cc_scale_proof.py carries the measured separation (a path
+    graph where propagation cannot finish inside its iteration budget
+    and the star plan converges in a few dozen rounds) AND the honest
+    flip side: on genuinely shallow dup graphs propagation's cheaper
+    rounds win, which is why it stays the default in the dedup
+    entries.
+
+    Phases, on an edge SET kept canonically oriented (u, v), u > v:
+      large-star: for every node u, link every STRICTLY LARGER
+        neighbor w > u to m = min(N(u) ∪ {u}).
+      small-star: group edges by their larger endpoint u (all
+        neighbors smaller); link every neighbor and u itself to
+        m = min(N(u)) — dropping the self-loop m→m.
+    Both phases only ever connect nodes inside one component (m is a
+    neighbor-or-self, never from another component), so connectivity
+    is preserved exactly; the unique fixed point is a star per
+    component rooted at its minimum id.
+
+    Convergence check: |E| equality plus a left-anti count (edges in
+    the new set absent from the old). Both sets are distinct, so
+    equal-count + empty-anti ⟺ set equality — no hash shortcut that
+    could terminate early on a collision. Per round the edge set is
+    localCheckpointed to keep the loop's lineage flat.
+
+    ``_stats``: optional dict that receives {"rounds": R,
+    "converged": bool} for the scale-proof harness.
+    """
+    raw = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    # node universe BEFORE dropping self-loops: a self-loop-only node
+    # is a singleton component labeled with itself
+    nodes = (
+        raw.select(F.col("u").alias("node"))
+        .union(raw.select(F.col("v").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    e = (
+        raw.where(F.col("u") != F.col("v"))
+        .select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    prev_cnt = e.count()
+    rounds = 0
+    converged = prev_cnt == 0
+    for _ in range(max_iterations):
+        if converged:
+            break
+        rounds += 1
+        # --- large-star: m = min over the SYMMETRIC neighborhood ---
+        sym = e.union(
+            e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        mins = sym.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m")
+        )
+        large = (
+            sym.join(mins, "u")
+            .where(F.col("v") > F.col("u"))
+            # emitted as (w, m) with w > u >= m, so the (big, small)
+            # orientation is already canonical and w == m is impossible
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .distinct()
+        )
+        # --- small-star: edges grouped by larger endpoint ---
+        mins2 = large.groupBy("u").agg(F.min("v").alias("m"))
+        small = (
+            large.join(mins2, "u")
+            .select(F.col("v").alias("w"), "m")
+            .union(mins2.select(F.col("u").alias("w"), "m"))
+            .where(F.col("w") != F.col("m"))
+            .select(
+                F.greatest("w", "m").alias("u"),
+                F.least("w", "m").alias("v"),
+            )
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        cnt = small.count()
+        if cnt == prev_cnt:
+            if small.join(e, ["u", "v"], "left_anti").isEmpty():
+                converged = True
+        e = small
+        prev_cnt = cnt
+    if _stats is not None:
+        _stats["rounds"] = rounds
+        _stats["converged"] = converged
+    # At the fixed point e is a disjoint union of stars u → root; the
+    # min-agg is the identity there, and on a max_iterations truncation
+    # it still yields a well-defined (best-so-far) label per node —
+    # mirroring connected_components' truncation behavior.
+    parents = e.groupBy("u").agg(F.min("v").alias("comp"))
+    return nodes.join(
+        parents.select(F.col("u").alias("node"), "comp"), "node", "left"
+    ).select("node", F.coalesce("comp", F.col("node")).alias("comp"))
 
 
 def xxhash64_hash_fn(c, s: int):

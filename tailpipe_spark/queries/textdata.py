@@ -706,6 +706,76 @@ ORDER BY doc_id
 """
 
 
+def dedup_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same dup-pair graph resolved by the alternating large-star /
+    small-star contraction (Kiveris et al. SoCC'14) instead of label
+    propagation — O(log² n) rounds proven vs O(diameter), the variant
+    that survives adversarially deep components at 100 TB. The oracle
+    is the SAME recursive-CTE transitive closure as dedup_components,
+    so the hash match proves the two algorithms agree on every label."""
+    from tailpipe_spark.session import parquet_row_count
+
+    pairs = dd.ngram_jaccard_pairs(
+        _docs(spark, sf_dir, parallel=True), n=3, threshold=0.2,
+        max_gram_df=_MAX_GRAM_DF,
+        corpus_size=parquet_row_count(f"{sf_dir}/documents.parquet"),
+    ).select("id_a", "id_b")
+    cc = dd.connected_components_star(pairs)
+    sizes = cc.groupBy("comp").agg(F.count(F.lit(1)).alias("component_size"))
+    return (
+        cc.join(sizes, "comp")
+        .select(
+            F.col("node").alias("doc_id"),
+            F.col("comp").alias("component"),
+            "component_size",
+        )
+        .orderBy("doc_id")
+    )
+
+
+# --- asymmetric near-dup: n-gram containment join ---
+
+_CONTAIN_T = 0.5  # containment >= jaccard, so keep the bar higher
+
+
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram containment join (|A∩B| / |A|) — the asymmetric
+    metric that catches subset duplication (boilerplate, quoted posts,
+    excerpts) which symmetric Jaccard structurally misses. Ordered
+    pairs: id_a is the contained document, id_b its container."""
+    from tailpipe_spark.session import parquet_row_count
+
+    return dd.ngram_containment_pairs(
+        _docs(spark, sf_dir, parallel=True), n=3, threshold=_CONTAIN_T,
+        max_gram_df=_MAX_GRAM_DF,
+        corpus_size=parquet_row_count(f"{sf_dir}/documents.parquet"),
+    ).orderBy("id_a", "id_b")
+
+
+CONTAINMENT_SQL = f"""
+WITH {_GRAMS_SQL},
+gram_df AS (SELECT gram, COUNT(*) AS df FROM grams GROUP BY gram),
+kept AS (
+  SELECT g.doc_id, g.gram FROM grams g
+  JOIN gram_df d ON d.gram = g.gram AND d.df <= {_MAX_GRAM_DF}),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM kept GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
+  FROM kept a JOIN kept b ON a.gram = b.gram AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+both_dirs AS (
+  SELECT c.id_a AS src, c.id_b AS dst, c.common, sa.sz AS sz_src
+  FROM common c JOIN sizes sa ON sa.doc_id = c.id_a
+  UNION ALL
+  SELECT c.id_b, c.id_a, c.common, sb.sz
+  FROM common c JOIN sizes sb ON sb.doc_id = c.id_b)
+SELECT src AS id_a, dst AS id_b, common / sz_src AS containment
+FROM both_dirs
+WHERE common / sz_src >= {_CONTAIN_T}
+ORDER BY id_a, id_b
+"""
+
+
 # --- tf-idf characteristic terms ---
 
 def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1478,6 +1548,8 @@ SPECS = [
     QuerySpec("text_hash_embedding", text_hash_embedding, HASH_EMBEDDING_SQL, "feature-hashing bag-of-words embedding (integer buckets, bit-portable)"),
     QuerySpec("dedup_incremental", dedup_incremental, DEDUP_INCREMENTAL_SQL, "incremental dedup of a new batch against persisted md5 + LSH band indexes"),
     QuerySpec("dedup_components", dedup_components, COMPONENTS_SQL, "dup-cluster connected components (min-label propagation vs recursive-CTE oracle)"),
+    QuerySpec("dedup_components_star", dedup_components_star, COMPONENTS_SQL, "same components via large-star/small-star contraction (O(log^2 n) rounds; Kiveris et al.) — hash match proves algorithm agreement"),
+    QuerySpec("dedup_containment", dedup_containment, CONTAINMENT_SQL, "asymmetric n-gram containment join (|A∩B|/|A|) — subset/boilerplate duplication Jaccard misses"),
     QuerySpec("dedup_substring_spans", dedup_substring_spans, SUBSTRING_SPANS_SQL, "cross-doc duplicated k-token spans + interval-union coverage (Lee et al. substring dedup)"),
     QuerySpec("dedup_span_removal", dedup_span_removal, SPAN_REMOVAL_SQL, "span EXCISION transform: min-id owner keeps, others cut; rewritten text value-checked"),
     QuerySpec("text_countmin_topk", text_countmin_topk, _countmin_sql(), "mergeable count-min frequency sketch: per-source build -> cell-sum merge -> top-k probe (md5-portable)"),

@@ -728,6 +728,129 @@ def test_connected_components_chain_and_island(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 5: 5, 7: 5}
 
 
+def test_connected_components_star_chain_island_and_agreement(spark):
+    from tailpipe_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 4), (10, 11), (7, 5)], ["id_a", "id_b"]
+    )
+    stats: dict = {}
+    got = {
+        r["node"]: r["comp"]
+        for r in connected_components_star(edges, _stats=stats).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 5: 5, 7: 5}
+    assert stats["converged"]
+
+    # agreement with propagation on a denser random-ish graph
+    import random
+
+    rng = random.Random(13)
+    raw = [
+        (rng.randint(0, 40), rng.randint(0, 40)) for _ in range(60)
+    ]
+    raw = [(a, b) for a, b in raw if a != b]
+    df = spark.createDataFrame(raw, ["id_a", "id_b"])
+    prop = {r["node"]: r["comp"] for r in connected_components(df).collect()}
+    star = {
+        r["node"]: r["comp"] for r in connected_components_star(df).collect()
+    }
+    assert star == prop
+
+
+def test_connected_components_star_logarithmic_rounds(spark):
+    """The algorithm's reason to exist: a 64-node path has diameter 63
+    (63 propagation rounds) but the star contraction converges in
+    O(log) round-pairs — assert a wide margin, not an exact count."""
+    from tailpipe_spark.operators.dedup import connected_components_star
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(63)], ["id_a", "id_b"]
+    )
+    stats: dict = {}
+    got = {
+        r["node"]: r["comp"]
+        for r in connected_components_star(edges, _stats=stats).collect()
+    }
+    assert got == {i: 0 for i in range(64)}
+    assert stats["converged"] and stats["rounds"] <= 16, stats
+
+
+def test_connected_components_star_self_loops_and_empty(spark):
+    from tailpipe_spark.operators.dedup import connected_components_star
+
+    # self-loop-only node is a singleton component labeled with itself
+    edges = spark.createDataFrame([(5, 5), (1, 2)], ["id_a", "id_b"])
+    got = {
+        r["node"]: r["comp"]
+        for r in connected_components_star(edges).collect()
+    }
+    assert got == {5: 5, 1: 1, 2: 1}
+    empty = spark.createDataFrame([], "id_a long, id_b long")
+    assert connected_components_star(empty).count() == 0
+
+
+def test_ngram_containment_subset_direction(spark):
+    """A doc whose grams are a strict subset of another must reach
+    containment 1.0 in the contained→container direction only."""
+    from tailpipe_spark.operators.dedup import (
+        ngram_containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    inner = "alpha beta gamma delta epsilon"
+    outer = inner + " zeta eta theta iota kappa lam mu nu xi omicron pi"
+    docs = spark.createDataFrame(
+        [(1, inner), (2, outer), (3, "totally different words here now")],
+        ["doc_id", "text"],
+    )
+    rows = {
+        (r["id_a"], r["id_b"]): r["containment"]
+        for r in ngram_containment_pairs(docs, n=3, threshold=0.5).collect()
+    }
+    # inner has 3 grams, all present in outer (outer has 14 grams)
+    assert rows == {(1, 2): 1.0}
+    # …while symmetric Jaccard on the same pair is 3/14 — below any
+    # sane near-dup threshold: the metric this operator exists for
+    jac = ngram_jaccard_pairs(docs, n=3, threshold=0.05).collect()
+    assert all(r["jaccard"] < 0.25 for r in jac)
+
+
+def test_ngram_containment_matches_brute_force(spark):
+    """Both directions vs a driver-side exact computation."""
+    from tailpipe_spark.operators.dedup import ngram_containment_pairs
+
+    texts = {
+        1: "a b c d e f g",
+        2: "a b c d e",
+        3: "c d e f g h i j",
+        4: "x y z w v",
+    }
+    docs = spark.createDataFrame(list(texts.items()), ["doc_id", "text"])
+
+    def grams(t):
+        w = t.split()
+        return {tuple(w[i : i + 3]) for i in range(len(w) - 2)}
+
+    want = {}
+    for a in texts:
+        for b in texts:
+            if a == b:
+                continue
+            ga, gb = grams(texts[a]), grams(texts[b])
+            c = len(ga & gb) / len(ga)
+            if c >= 0.4:
+                want[(a, b)] = c
+    got = {
+        (r["id_a"], r["id_b"]): r["containment"]
+        for r in ngram_containment_pairs(docs, n=3, threshold=0.4).collect()
+    }
+    assert got == want
+
+
 def test_bpe_token_counts_splits_runs(spark):
     from tailpipe_spark.operators.text import bpe_token_counts
 
