@@ -45,6 +45,10 @@ _VERIFY_FIRST = [
     # helper (verbatim extraction — re-verify the hash anyway).
     "dedup_components_star",
     "dedup_containment",
+    # NEW in r11 (late wave): per-key interval union (gaps-and-islands)
+    # and token-budget curation over the distributed prefix sum
+    "q_interval_merge",
+    "data_token_budget",
     "dedup_ngram_jaccard",
     # NEW in r11: size-driven filter-join planner (broadcast vs
     # bloom-prune picked from build-side row count)

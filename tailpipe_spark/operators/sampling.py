@@ -165,7 +165,7 @@ def mixture_rates(
 
 def distributed_cumsum(
     df: DataFrame,
-    order_col: str,
+    order_col: str | list[str],
     value_col: str,
     out_col: str = "cum_before",
     partitions: int | None = None,
@@ -188,13 +188,18 @@ def distributed_cumsum(
     fall (offset(p) + local cumsum telescopes to the global prefix sum),
     so results are deterministic even though repartitionByRange's
     boundary sampling is not.
+
+    ``order_col`` may be a list of columns; the combination must be a
+    TOTAL order (include a unique tiebreak) or the prefix sum at tied
+    keys is partition-placement-dependent.
     """
     spark = df.sparkSession
     n = partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
-    d = df.repartitionByRange(n, F.col(order_col)).withColumn(
+    order_cols = [order_col] if isinstance(order_col, str) else list(order_col)
+    d = df.repartitionByRange(n, *[F.col(c) for c in order_cols]).withColumn(
         "__pid", F.spark_partition_id()
     )
-    local_w = Window.partitionBy("__pid").orderBy(order_col).rowsBetween(
+    local_w = Window.partitionBy("__pid").orderBy(*order_cols).rowsBetween(
         Window.unboundedPreceding, -1
     )
     part_totals = d.groupBy("__pid").agg(F.sum(value_col).alias("__psum"))
@@ -209,6 +214,42 @@ def distributed_cumsum(
             F.col("__off") + F.coalesce(F.sum(value_col).over(local_w), F.lit(0)),
         )
         .drop("__pid", "__off")
+    )
+
+
+def budget_select(
+    df: DataFrame,
+    order_cols: list[str],
+    value_col: str,
+    budget: int,
+    out_col: str = "cum_total",
+) -> DataFrame:
+    """Greedy prefix selection under a resource budget: rank rows by
+    ``order_cols`` (a total order — best first, unique tiebreak last)
+    and keep the maximal prefix whose inclusive running ``value_col``
+    sum stays <= ``budget``.
+
+    This is the token-budget curation step of a training-data pipeline
+    ("take the highest-quality documents until N tokens"): with
+    strictly positive values the inclusive prefix sum is strictly
+    monotone along the ranking, so `cum <= budget` selects a contiguous
+    prefix — no iterative stop-scan needed. Built on
+    :func:`distributed_cumsum` (two-phase range-partitioned prefix sum)
+    so there is NO single-partition global window anywhere: the classic
+    "ORDER BY quality LIMIT-by-sum" driver-side loop becomes two
+    shuffles and a broadcast of partition offsets, the same plan at
+    60k docs and 100 TB.
+
+    Returns the selected rows with ``out_col`` = inclusive running
+    total (the audit column: max(out_col) is the spend).
+    """
+    with_cum = distributed_cumsum(
+        df, order_cols, value_col, out_col="__cum_before"
+    )
+    return (
+        with_cum.withColumn(out_col, F.col("__cum_before") + F.col(value_col))
+        .where(F.col(out_col) <= budget)
+        .drop("__cum_before")
     )
 
 

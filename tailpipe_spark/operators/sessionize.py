@@ -52,3 +52,46 @@ def session_stats(
         F.sum("n_events").alias("n_events"),
         F.max("span_sec").alias("max_span_sec"),
     )
+
+
+def merge_intervals(
+    df: DataFrame,
+    key: str,
+    start_col: str,
+    end_col: str,
+) -> DataFrame:
+    """Coalesce overlapping-or-touching intervals per key (interval
+    union, the gaps-and-islands rewrite): returns one row per merged
+    island with (key, island_start, island_end, n_rows).
+
+    Classic in log/timeseries analytics (outage windows, session
+    spans, span-coverage audits). Plan shape: ONE shuffle on the key,
+    per-key sort, two window passes — a row starts a new island iff
+    its start lies strictly after the running max of all previous
+    ends (touching endpoints merge); the island id is the running
+    count of starts. No self-join, no interval pair materialization —
+    the same cumulative-max trick dedup's span coverage uses
+    (operators/dedup.py duplicated_span_coverage), promoted to a
+    standalone keyed operator. Per-key windows parallelize across
+    keys; a single hot key degrades to that key's row count, not the
+    corpus.
+    """
+    w = Window.partitionBy(key).orderBy(
+        F.col(start_col).asc(), F.col(end_col).asc()
+    )
+    prev_max_end = F.max(end_col).over(w.rowsBetween(Window.unboundedPreceding, -1))
+    flagged = df.withColumn(
+        "__new_island",
+        F.when(
+            prev_max_end.isNull() | (F.col(start_col) > prev_max_end), 1
+        ).otherwise(0),
+    )
+    islands = flagged.withColumn(
+        "__island",
+        F.sum("__new_island").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return islands.groupBy(key, "__island").agg(
+        F.min(start_col).alias("island_start"),
+        F.max(end_col).alias("island_end"),
+        F.count(F.lit(1)).alias("n_rows"),
+    ).drop("__island")

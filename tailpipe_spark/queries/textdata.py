@@ -358,6 +358,61 @@ FROM feat ORDER BY doc_id
 """
 
 
+# --- token-budget curation (greedy prefix under budget) ---
+
+_TOKEN_BUDGET = 12_000  # strict-subset budget at every shipped sf
+
+
+def data_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Select the best documents until a token budget is exhausted:
+    rank by (quality keep flag first, longer docs first, doc_id
+    tiebreak) and keep the maximal prefix whose inclusive token sum
+    stays <= the budget. The running sum is the two-phase
+    range-partitioned distributed_cumsum — NO single-partition global
+    window — so the same plan stands at 100 TB; the oracle replays the
+    ranking with a plain windowed SUM."""
+    from tailpipe_spark.operators import sampling as sp
+
+    feats = tx.quality_features(_docs(spark, sf_dir, parallel=True)).select(
+        "doc_id",
+        "q_words",
+        F.when(F.col("q_keep"), F.lit(0)).otherwise(F.lit(1)).alias("not_keep"),
+        (-F.col("q_words")).alias("neg_words"),
+    )
+    sel = sp.budget_select(
+        feats, ["not_keep", "neg_words", "doc_id"], "q_words", _TOKEN_BUDGET
+    )
+    # cum_total is already LONG (F.sum over int + int); no cast needed
+    return sel.select("doc_id", "q_words", "cum_total").orderBy("doc_id")
+
+
+DATA_TOKEN_BUDGET_SQL = f"""
+WITH base AS (
+  SELECT doc_id, {_NORM_SQL} AS norm, string_split({_NORM_SQL}, ' ') AS words
+  FROM documents),
+feat AS (
+  SELECT doc_id, len(words) AS q_words, length(norm) AS q_chars
+  FROM base),
+flagged AS (
+  SELECT doc_id, q_words,
+         CASE WHEN q_words >= 5 AND q_words <= 100000
+                   AND (q_chars - (q_words - 1)) / q_words >= 2.0
+                   AND (q_chars - (q_words - 1)) / q_words <= 12.0
+              THEN 0 ELSE 1 END AS not_keep
+  FROM feat),
+ranked AS (
+  SELECT doc_id, q_words,
+         CAST(SUM(q_words) OVER (
+           ORDER BY not_keep ASC, q_words DESC, doc_id ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum_total
+  FROM flagged)
+SELECT doc_id, q_words, cum_total
+FROM ranked WHERE cum_total <= {_TOKEN_BUDGET}
+ORDER BY doc_id
+"""
+
+
 # --- token statistics ---
 
 def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1550,6 +1605,7 @@ SPECS = [
     QuerySpec("dedup_components", dedup_components, COMPONENTS_SQL, "dup-cluster connected components (min-label propagation vs recursive-CTE oracle)"),
     QuerySpec("dedup_components_star", dedup_components_star, COMPONENTS_SQL, "same components via large-star/small-star contraction (O(log^2 n) rounds; Kiveris et al.) — hash match proves algorithm agreement"),
     QuerySpec("dedup_containment", dedup_containment, CONTAINMENT_SQL, "asymmetric n-gram containment join (|A∩B|/|A|) — subset/boilerplate duplication Jaccard misses"),
+    QuerySpec("data_token_budget", data_token_budget, DATA_TOKEN_BUDGET_SQL, "token-budget curation: quality-ranked greedy prefix via distributed prefix sum (no single-partition window)"),
     QuerySpec("dedup_substring_spans", dedup_substring_spans, SUBSTRING_SPANS_SQL, "cross-doc duplicated k-token spans + interval-union coverage (Lee et al. substring dedup)"),
     QuerySpec("dedup_span_removal", dedup_span_removal, SPAN_REMOVAL_SQL, "span EXCISION transform: min-id owner keeps, others cut; rewritten text value-checked"),
     QuerySpec("text_countmin_topk", text_countmin_topk, _countmin_sql(), "mergeable count-min frequency sketch: per-source build -> cell-sum merge -> top-k probe (md5-portable)"),

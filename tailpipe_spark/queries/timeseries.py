@@ -11,7 +11,7 @@ from pyspark.sql import functions as F
 
 from tailpipe_spark.functions.exact import dsum, dwindow_sum, oracle_dsum
 from tailpipe_spark.operators.asof import asof_join
-from tailpipe_spark.operators.sessionize import session_stats
+from tailpipe_spark.operators.sessionize import merge_intervals, session_stats
 from tailpipe_spark.queries import QuerySpec
 
 
@@ -123,6 +123,71 @@ WITH flagged AS (
 SELECT user_id, COUNT(*) AS n_sessions, CAST(SUM(n_events) AS BIGINT) AS n_events,
        MAX(span_sec) AS max_span_sec
 FROM per_session GROUP BY user_id ORDER BY user_id
+"""
+
+
+# --- interval union (gaps-and-islands merge) ---
+
+def q_interval_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user union of overlapping event intervals (each event opens
+    a deterministic (event_id % 900 + 60)-second window), reduced to
+    per-user coverage stats. The operator is one keyed shuffle + two
+    window passes — no interval self-join (operators/sessionize.py
+    merge_intervals)."""
+    e = _t(spark, sf_dir, "events")
+    iv = e.select(
+        "user_id",
+        F.unix_micros("ts").alias("start_us"),
+        (
+            F.unix_micros("ts")
+            + (F.col("event_id") % 900 + 60) * F.lit(1_000_000)
+        ).alias("end_us"),
+    )
+    merged = merge_intervals(iv, "user_id", "start_us", "end_us")
+    return (
+        merged.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_islands"),
+            F.sum(F.col("island_end") - F.col("island_start")).alias(
+                "covered_us"
+            ),
+            F.max(F.col("island_end") - F.col("island_start")).alias(
+                "max_island_us"
+            ),
+            F.sum("n_rows").alias("n_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
+Q_INTERVAL_MERGE_SQL = """
+WITH iv AS (
+  SELECT user_id, epoch_us(ts) AS start_us,
+         epoch_us(ts) + (event_id % 900 + 60) * 1000000 AS end_us
+  FROM events),
+flagged AS (
+  SELECT user_id, start_us, end_us,
+         CASE WHEN MAX(end_us) OVER w IS NULL
+                   OR start_us > MAX(end_us) OVER w
+              THEN 1 ELSE 0 END AS brk
+  FROM iv
+  WINDOW w AS (PARTITION BY user_id ORDER BY start_us ASC, end_us ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+islands AS (
+  SELECT user_id, start_us, end_us,
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY start_us ASC, end_us ASC
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS island
+  FROM flagged),
+per_island AS (
+  SELECT user_id, island, MIN(start_us) AS s, MAX(end_us) AS e,
+         COUNT(*) AS c
+  FROM islands GROUP BY 1, 2)
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_islands,
+       CAST(SUM(e - s) AS BIGINT) AS covered_us,
+       CAST(MAX(e - s) AS BIGINT) AS max_island_us,
+       CAST(SUM(c) AS BIGINT) AS n_events
+FROM per_island GROUP BY user_id ORDER BY user_id
 """
 
 
@@ -607,6 +672,7 @@ SPECS = [
     QuerySpec("q_window_functions", q_window_functions, Q_WINDOW_SQL, "row_number/rank/lag/lead/running+moving sums"),
     QuerySpec("q_time_bucket_hourly", q_time_bucket_hourly, Q_TIME_BUCKET_SQL, "tumbling-window rollup (batch)"),
     QuerySpec("q_sessionize", q_sessionize, Q_SESSIONIZE_SQL, "gap-based sessionization"),
+    QuerySpec("q_interval_merge", q_interval_merge, Q_INTERVAL_MERGE_SQL, "per-key overlapping-interval union (gaps-and-islands, no self-join)"),
     QuerySpec("q_asof_join", q_asof_join, Q_ASOF_SQL, "as-of join (union+window plan vs DuckDB ASOF JOIN)"),
     QuerySpec("q_range_join", q_range_join, Q_RANGE_JOIN_SQL, "interval range join (bucketed equi-join plan)"),
     QuerySpec("q_json_extract", q_json_extract, Q_JSON_SQL, "JSON field extraction + agg"),

@@ -1131,3 +1131,36 @@ def test_dsum_dec_is_decimal_and_engine_exact(spark):
         for i in range(4)
     )
     assert row["s"] == expect
+
+
+def test_merge_intervals_overlap_touch_and_gap(spark):
+    from tailpipe_spark.operators.sessionize import merge_intervals
+
+    rows = [
+        # key a: [0,10] + [5,20] overlap; [20,30] touches (merges);
+        # [40,50] gapped -> two islands
+        ("a", 0, 10), ("a", 5, 20), ("a", 20, 30), ("a", 40, 50),
+        # key b: nested interval [0,100] contains [10,20]
+        ("b", 0, 100), ("b", 10, 20),
+    ]
+    df = spark.createDataFrame(rows, ["k", "s", "e"])
+    got = sorted(
+        map(tuple, merge_intervals(df, "k", "s", "e").collect())
+    )
+    assert got == [
+        ("a", 0, 30, 3),
+        ("a", 40, 50, 1),
+        ("b", 0, 100, 2),
+    ]
+
+
+def test_merge_intervals_nested_then_extend(spark):
+    """The cumulative-max (not lag) is the load-bearing part: after a
+    long interval swallows short ones, a later interval overlapping
+    only the LONG one must still merge."""
+    from tailpipe_spark.operators.sessionize import merge_intervals
+
+    rows = [("k", 0, 100), ("k", 10, 20), ("k", 90, 150), ("k", 200, 210)]
+    df = spark.createDataFrame(rows, ["k", "s", "e"])
+    got = sorted(map(tuple, merge_intervals(df, "k", "s", "e").collect()))
+    assert got == [("k", 0, 150, 3), ("k", 200, 210, 1)]

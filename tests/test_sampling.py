@@ -203,3 +203,49 @@ def test_pps_no_single_partition_window(spark):
             # every window spec must carry partition expressions OR run
             # over the tiny per-partition-totals side (bounded rows)
             assert "__pid" in line or "__psum" in line, line
+
+
+def test_budget_select_prefix_semantics(spark):
+    """Greedy prefix under budget: inclusive cumsum monotone -> the
+    selection is exactly the maximal affordable prefix of the ranking."""
+    rows = [(i, 10 * (10 - i)) for i in range(1, 10)]  # ids 1..9, vals 90..10
+    df = spark.createDataFrame(rows, ["doc_id", "tokens"])
+    # rank by tokens desc (doc_id asc tiebreak); budget 240 buys
+    # 90 + 80 + 70 = 240 exactly (boundary row kept at equality)
+    got = sorted(
+        (r["doc_id"], r["cum_total"])
+        for r in sampling.budget_select(
+            df, ["doc_id"], "tokens", 240
+        ).collect()
+    )
+    assert got == [(1, 90), (2, 170), (3, 240)]
+    # budget below the first row selects nothing
+    assert sampling.budget_select(df, ["doc_id"], "tokens", 80).count() == 0
+    # budget >= total selects everything
+    assert sampling.budget_select(df, ["doc_id"], "tokens", 10_000).count() == 9
+
+
+def test_budget_select_multi_col_order_and_layout_independence(spark):
+    import random
+
+    rng = random.Random(3)
+    rows = [(i, rng.randint(0, 1), rng.randint(5, 50)) for i in range(200)]
+    df = spark.createDataFrame(rows, ["doc_id", "not_keep", "tokens"])
+    want_order = sorted(rows, key=lambda r: (r[1], -r[2], r[0]))
+    budget, cum, want = 1500, 0, []
+    for i, nk, t in want_order:
+        cum += t
+        if cum > budget:
+            break
+        want.append((i, cum))
+    from pyspark.sql import functions as F
+
+    d2 = df.withColumn("neg_tokens", -F.col("tokens"))
+    for layout in (d2, d2.repartition(17)):
+        got = sorted(
+            (r["doc_id"], r["cum_total"])
+            for r in sampling.budget_select(
+                layout, ["not_keep", "neg_tokens", "doc_id"], "tokens", budget
+            ).collect()
+        )
+        assert got == sorted(want)
