@@ -1164,3 +1164,34 @@ def test_merge_intervals_nested_then_extend(spark):
     df = spark.createDataFrame(rows, ["k", "s", "e"])
     got = sorted(map(tuple, merge_intervals(df, "k", "s", "e").collect()))
     assert got == [("k", 0, 150, 3), ("k", 200, 210, 1)]
+
+
+def test_merge_intervals_random_vs_brute_force(spark):
+    import random
+
+    from tailpipe_spark.operators.sessionize import merge_intervals
+
+    rng = random.Random(99)
+    for trial in range(3):
+        rows = []
+        for k in ("a", "b"):
+            for _ in range(rng.randint(1, 25)):
+                s = rng.randint(0, 200)
+                rows.append((k, s, s + rng.randint(0, 40)))
+        # brute force: per key, sweep sorted intervals
+        want = []
+        for k in ("a", "b"):
+            ivs = sorted((s, e) for kk, s, e in rows if kk == k)
+            if not ivs:
+                continue
+            cs, ce, cn = ivs[0][0], ivs[0][1], 1
+            for s, e in ivs[1:]:
+                if s <= ce:
+                    ce, cn = max(ce, e), cn + 1
+                else:
+                    want.append((k, cs, ce, cn))
+                    cs, ce, cn = s, e, 1
+            want.append((k, cs, ce, cn))
+        df = spark.createDataFrame(rows, ["k", "s", "e"])
+        got = sorted(map(tuple, merge_intervals(df, "k", "s", "e").collect()))
+        assert got == sorted(want), f"trial {trial}"
