@@ -175,45 +175,102 @@ def distributed_cumsum(
 
     The naive ``Window.orderBy(order_col)`` funnels the whole table
     through ONE task — the classic 100 TB cumsum killer. This is the
-    standard two-phase rewrite, all-DataFrame (no collect):
+    two-phase rewrite: bucket rows by range of the order key, cumsum
+    WITHIN each bucket (parallel windows), prefix-sum the per-bucket
+    totals on one tiny window, broadcast the offsets back.
 
-    1. range-repartition on the order key (partition i holds keys below
-       partition i+1's — repartitionByRange guarantees monotone ranges)
-       and cumsum WITHIN each partition (parallel windows);
-    2. per-partition totals (a partition-count-sized aggregate) get
-       their own exclusive cumsum on one tiny single-partition window,
-       and broadcast-join back as offsets.
+    The bucket id is a PURE FUNCTION of the row's order-key values,
+    compared against cut points that are collected once and embedded
+    in the plan as literals (a balanced comparison tree, O(log n
+    buckets) struct comparisons per row). An earlier implementation
+    derived the bucket from ``repartitionByRange`` +
+    ``spark_partition_id()``; that is correct only while the totals
+    branch and the row branch see the SAME sampled range boundaries —
+    non-AQE exchange reuse guarantees it, but under AQE the two
+    consumers become separate query stages, each resamples boundaries
+    with a different seed, and the offsets land on misaligned
+    partition ids (measured: 48k of 50k prefix sums wrong with AQE on,
+    0 with it off). Value-determined buckets cannot disagree between
+    branches, under any planner.
 
-    The output is independent of where the sampled range boundaries
-    fall (offset(p) + local cumsum telescopes to the global prefix sum),
-    so results are deterministic even though repartitionByRange's
-    boundary sampling is not.
+    The cut points are found via a deterministic bottom-(32·n)-by-
+    xxhash64 sample (tie-broken by the full key, so the TakeOrdered
+    frontier is unique); boundary QUALITY only affects balance, never
+    correctness — the telescoping offset+local-cumsum identity holds
+    for any bucket assignment both phases agree on.
 
     ``order_col`` may be a list of columns; the combination must be a
     TOTAL order (include a unique tiebreak) or the prefix sum at tied
-    keys is partition-placement-dependent.
+    keys is placement-dependent. Rows whose order key contains NULL
+    sort first (bucket 0, nulls-first within the window) — prefer
+    non-null keys. The one collect is <= 32·n small tuples (the
+    boundary sketch), not data.
     """
     spark = df.sparkSession
     n = partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
     order_cols = [order_col] if isinstance(order_col, str) else list(order_col)
-    d = df.repartitionByRange(n, *[F.col(c) for c in order_cols]).withColumn(
-        "__pid", F.spark_partition_id()
+    key_cols = [F.col(c) for c in order_cols]
+    nonnull = F.lit(True)
+    for c in key_cols:
+        nonnull = nonnull & c.isNotNull()
+    # --- deterministic cut points (collected once -> plan literals) ---
+    m = max(n * 32, 64)
+    cand = (
+        df.select(*order_cols)
+        .where(nonnull)
+        .orderBy(F.xxhash64(*key_cols, F.lit(9001)).asc(), *order_cols)
+        .limit(m)
+        .collect()
     )
-    local_w = Window.partitionBy("__pid").orderBy(*order_cols).rowsBetween(
+    keys = sorted(tuple(r[c] for c in order_cols) for r in cand)
+    cuts: list[tuple] = []
+    for i in range(1, n):
+        j = (i * len(keys)) // n
+        if 0 < j < len(keys):
+            t = keys[j]
+            if not cuts or t > cuts[-1]:
+                cuts.append(t)
+
+    key_struct = F.struct(*key_cols)
+    # literal struct fields must carry the exact key column types or
+    # the struct comparison fails type resolution (INT lit vs BIGINT col)
+    key_types = [df.schema[c].dataType for c in order_cols]
+
+    def bucket_tree(lo: int, hi: int, base: int):
+        # cuts[lo:hi] split buckets [base, base + (hi-lo)]; balanced
+        # recursion => O(log n) struct comparisons per row
+        if lo >= hi:
+            return F.lit(base)
+        mid = (lo + hi) // 2
+        cut = F.struct(
+            *[
+                F.lit(v).cast(t).alias(c)
+                for v, t, c in zip(cuts[mid], key_types, order_cols)
+            ]
+        )
+        return F.when(key_struct < cut, bucket_tree(lo, mid, base)).otherwise(
+            bucket_tree(mid + 1, hi, base + (mid - lo) + 1)
+        )
+
+    bucket = F.when(~nonnull, F.lit(0)).otherwise(
+        bucket_tree(0, len(cuts), 0)
+    )
+    d = df.withColumn("__bkt", bucket)
+    local_w = Window.partitionBy("__bkt").orderBy(*order_cols).rowsBetween(
         Window.unboundedPreceding, -1
     )
-    part_totals = d.groupBy("__pid").agg(F.sum(value_col).alias("__psum"))
-    off_w = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    part_totals = d.groupBy("__bkt").agg(F.sum(value_col).alias("__psum"))
+    off_w = Window.orderBy("__bkt").rowsBetween(Window.unboundedPreceding, -1)
     offsets = part_totals.select(
-        "__pid", F.coalesce(F.sum("__psum").over(off_w), F.lit(0)).alias("__off")
+        "__bkt", F.coalesce(F.sum("__psum").over(off_w), F.lit(0)).alias("__off")
     )
     return (
-        d.join(F.broadcast(offsets), "__pid")
+        d.join(F.broadcast(offsets), "__bkt")
         .withColumn(
             out_col,
             F.col("__off") + F.coalesce(F.sum(value_col).over(local_w), F.lit(0)),
         )
-        .drop("__pid", "__off")
+        .drop("__bkt", "__off")
     )
 
 

@@ -202,7 +202,7 @@ def test_pps_no_single_partition_window(spark):
         if "Window" in line and "windowspecdefinition" in line:
             # every window spec must carry partition expressions OR run
             # over the tiny per-partition-totals side (bounded rows)
-            assert "__pid" in line or "__psum" in line, line
+            assert "__bkt" in line or "__psum" in line, line
 
 
 def test_budget_select_prefix_semantics(spark):
@@ -249,3 +249,65 @@ def test_budget_select_multi_col_order_and_layout_independence(spark):
             ).collect()
         )
         assert got == sorted(want)
+
+
+def test_distributed_cumsum_exact_under_aqe(spark):
+    """Regression for the AQE boundary-resample bug: the old
+    repartitionByRange + spark_partition_id() bucket derivation was
+    consistent between the totals branch and the row branch only via
+    non-AQE exchange reuse; under AQE the two query stages resampled
+    range boundaries independently and 48k of 50k prefix sums came out
+    wrong. Buckets are now a pure function of the order-key values
+    (plan-literal cut points), so the identity must hold with AQE
+    forced ON, repeatedly, on multi-partition data."""
+    from pyspark.sql import Window
+
+    old = spark.conf.get("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    try:
+        df = (
+            spark.range(50_000)
+            .repartition(16)
+            .select(
+                F.col("id").alias("doc_id"),
+                (F.xxhash64("id") % 97 + 97).alias("w"),
+            )
+            .persist()
+        )
+        df.count()
+        truth_w = Window.orderBy("doc_id").rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+        truth = df.withColumn(
+            "t", F.coalesce(F.sum("w").over(truth_w), F.lit(0))
+        ).select("doc_id", "t")
+        for _ in range(2):
+            got = sampling.distributed_cumsum(
+                df, "doc_id", "w", out_col="c"
+            ).select("doc_id", "c")
+            bad = got.join(truth, "doc_id").where(
+                F.col("c") != F.col("t")
+            ).count()
+            assert bad == 0
+        df.unpersist()
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", old)
+
+
+def test_pps_systematic_stable_under_aqe(spark):
+    """Same regression surface through the PPS sampler: repeated draws
+    with AQE on must be byte-identical."""
+    old = spark.conf.get("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    try:
+        docs = _docs_weighted(spark, 2000).persist()
+        docs.count()
+        draws = [
+            sorted(map(tuple, sampling.pps_systematic(docs, "w", 100).collect()))
+            for _ in range(3)
+        ]
+        assert draws[0] == draws[1] == draws[2]
+        assert sum(n for *_, n in draws[0]) == 100
+        docs.unpersist()
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", old)
