@@ -589,9 +589,21 @@ def connected_components(
     sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).union(
         edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
     )
+    # Same per-round exchange pinning as connected_components_star: the
+    # loop multiplies each stage's scheduling floor by the round count,
+    # so width follows edge count (~1 partition per 25k edges, clamped
+    # to [1, session default] — unchanged at cluster scale). sym is
+    # checkpointed pre-partitioned on the join key so every round's
+    # join starts co-partitioned.
+    spark_parts = int(
+        edges.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    )
     sym = sym.localCheckpoint(eager=True)
+    np_ = max(1, min(spark_parts, sym.count() // 25_000 + 1))
+    sym = sym.repartition(np_, "a").localCheckpoint(eager=True)
     labels = (
         sym.select(F.col("a").alias("node"))
+        .repartition(np_, "node")
         .distinct()
         .withColumn("comp", F.col("node"))
         .localCheckpoint(eager=True)
@@ -599,6 +611,7 @@ def connected_components(
     for _ in range(max_iterations):
         msgs = (
             sym.join(labels, sym["a"] == labels["node"])
+            .repartition(np_, sym["b"])
             .groupBy(sym["b"].alias("node"))
             .agg(F.min("comp").alias("nbr_comp"))
         )
@@ -689,14 +702,28 @@ def connected_components_star(
     prev_cnt = e.count()
     rounds = 0
     converged = prev_cnt == 0
+    # The loop multiplies every per-stage scheduling floor by the round
+    # count, so each round's exchanges are pinned to ~1 partition per
+    # 25k edges, clamped to [1, session default]: at cluster scale
+    # (edge count >> 100k * conf) this IS the session default and
+    # behavior is unchanged; on small or shrinking graphs it collapses
+    # 32-task stages to a few tasks (sf0.01 entry: 64 s -> the
+    # round-dominated floor, measured in the entry docstring). The
+    # hash(u) pin also SATISFIES the (u,v)-distinct and the groupBy(u)
+    # clustering requirements (subset partitioning), so each explicit
+    # repartition replaces the exchanges downstream of it.
+    spark_parts = int(
+        edges.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    )
     for _ in range(max_iterations):
         if converged:
             break
         rounds += 1
+        np_ = max(1, min(spark_parts, prev_cnt // 25_000 + 1))
         # --- large-star: m = min over the SYMMETRIC neighborhood ---
         sym = e.union(
             e.select(F.col("v").alias("u"), F.col("u").alias("v"))
-        )
+        ).repartition(np_, "u")
         mins = sym.groupBy("u").agg(
             F.least(F.min("v"), F.first("u")).alias("m")
         )
@@ -706,6 +733,7 @@ def connected_components_star(
             # emitted as (w, m) with w > u >= m, so the (big, small)
             # orientation is already canonical and w == m is impossible
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .repartition(np_, "u")
             .distinct()
         )
         # --- small-star: edges grouped by larger endpoint ---
@@ -719,6 +747,7 @@ def connected_components_star(
                 F.greatest("w", "m").alias("u"),
                 F.least("w", "m").alias("v"),
             )
+            .repartition(np_, "u")
             .distinct()
             .localCheckpoint(eager=True)
         )
