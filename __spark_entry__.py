@@ -45,6 +45,11 @@ _VERIFY_FIRST = [
     # helper (verbatim extraction — re-verify the hash anyway).
     "dedup_components_star",
     "dedup_containment",
+    # changed in r11 (late wave): per-round exchange pinning in BOTH
+    # CC loops (width from live edge count) — re-verify the
+    # component-consuming chain
+    "dedup_components",
+    "dedup_resolve",
     # NEW in r11 (late wave): per-key interval union (gaps-and-islands)
     # and token-budget curation over the distributed prefix sum
     "q_interval_merge",
