@@ -139,10 +139,21 @@ def _rotated() -> dict:
     # driver: its hasher fetches the DuckDB oracle pandas-style, turning
     # DECIMAL(38,6) into float64 while Spark collects Decimal — the
     # type-tagged hashes diverge on identical values (round-7 incident).
+    #
+    # Oracle-less (rows-only-by-design) entries sort BEHIND every
+    # oracle-bearing entry regardless of rotation position (r11 verdict
+    # "what's wrong" #1: q_topk_fast was fronted into the driver's
+    # 50-entry window and burned a sample slot on a structural
+    # `no_oracle` error line). Their hard signal comes from the local
+    # four-artifact sweeps and their hash twins; the driver window
+    # should spend all ~50 slots on entries it can actually hash.
     registry = {n: s for n, s in build_registry().items() if not s.local_only}
     front = {n: registry[n] for n in _VERIFY_FIRST if n in registry}
     rest = {n: s for n, s in registry.items() if n not in front}
-    return {**front, **rest}
+    merged = {**front, **rest}
+    with_oracle = {n: s for n, s in merged.items() if s.oracle is not None}
+    rows_only = {n: s for n, s in merged.items() if s.oracle is None}
+    return {**with_oracle, **rows_only}
 
 
 _REGISTRY = _rotated()

@@ -46,6 +46,55 @@ HEADLINE = [
 ]
 
 
+# Quiet-box reference for the DuckDB side of THIS bench (sf0.1, this
+# container): trailing median of duckdb_total across the r11 sessions
+# (2.691/2.937/3.494/4.316/2.709/2.907 → 2.92). DuckDB's wall is the
+# bench's built-in load cell — its code never changes round-to-round,
+# so when ITS total drifts well above the trailing median the box is
+# contended and the capture is self-labeling (r11's over-letter driver
+# capture showed DuckDB +25% in the same run). Override per-SF runs
+# with SPARK_GRAFT_DUCKDB_REF; <=0 disables the flag (non-sf0.1 runs
+# have no pinned reference).
+_DUCKDB_REF_SEC = 2.92
+_CONTENTION_DRIFT = 0.20
+
+
+def _loadavg() -> list[float]:
+    try:
+        with open("/proc/loadavg") as fh:
+            return [float(x) for x in fh.read().split()[:3]]
+    except OSError:
+        return []
+
+
+def _cpu_ticks() -> tuple[int, int, int]:
+    """(busy, idle, steal) jiffies from /proc/stat line 1. Steal is the
+    smoking gun the loadavg can't show: this box is a VM, and a noisy
+    co-tenant inflates BOTH engines uniformly (the r11 driver-capture
+    signature) while the guest's own loadavg stays low. steal_pct over
+    the bench window labels that directly."""
+    try:
+        with open("/proc/stat") as fh:
+            parts = [int(x) for x in fh.readline().split()[1:]]
+        idle = parts[3] + parts[4]  # idle + iowait
+        steal = parts[7] if len(parts) > 7 else 0
+        busy = sum(parts) - idle
+        return busy, idle, steal
+    except (OSError, ValueError, IndexError):
+        return 0, 0, 0
+
+
+def _running_procs() -> int:
+    """Count of currently-runnable processes (4th /proc/loadavg field,
+    numerator) — the concurrent-process snapshot the r11 verdict asked
+    for, without shelling out to ps."""
+    try:
+        with open("/proc/loadavg") as fh:
+            return int(fh.read().split()[3].split("/")[0])
+    except (OSError, ValueError, IndexError):
+        return -1
+
+
 def _input_bytes(sf_dir: str) -> int:
     total = 0
     for root, _dirs, names in os.walk(sf_dir):
@@ -80,6 +129,9 @@ def main() -> int:
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else 0.0
 
+    load_start = _loadavg()
+    procs_start = _running_procs()
+    ticks_start = _cpu_ticks()
     total_bytes = _input_bytes(sf_dir)
     spark = build_session(
         "tailpipe-bench", shuffle_partitions=_auto_shuffle_partitions(total_bytes)
@@ -256,6 +308,41 @@ def main() -> int:
     duck_floor = min((duck[n] for n in common), default=0.0)
     spark_above = sum(timings[n] - spark_floor for n in common)
     duck_above = sum(duck[n] - duck_floor for n in common)
+    # Contention telemetry (r11 verdict ask #1): the capture labels
+    # itself dirty when the DuckDB side — whose code is identical every
+    # round — drifts >20% above its quiet-box trailing median. Only
+    # meaningful when the FULL headline set ran against the pinned-SF
+    # reference (a subset run sums fewer queries).
+    duck_ref = float(os.environ.get("SPARK_GRAFT_DUCKDB_REF", "0")) or (
+        _DUCKDB_REF_SEC if abs(sf - 0.1) < 1e-9 and len(common) == len(HEADLINE) else 0.0
+    )
+    contended = bool(
+        duck_ref > 0 and duck_common > duck_ref * (1 + _CONTENTION_DRIFT)
+    )
+    ticks_end = _cpu_ticks()
+    d_busy = ticks_end[0] - ticks_start[0]
+    d_idle = ticks_end[1] - ticks_start[1]
+    d_steal = ticks_end[2] - ticks_start[2]
+    telemetry = {
+        "loadavg_start": load_start,
+        "loadavg_end": _loadavg(),
+        "running_procs_start": procs_start,
+        "running_procs_end": _running_procs(),
+        # share of this VM's CPU time stolen by the hypervisor over the
+        # whole bench window (steal is counted inside busy)
+        "steal_pct": (
+            round(100.0 * d_steal / (d_busy + d_idle), 2)
+            if (d_busy + d_idle) > 0
+            else None
+        ),
+        "busy_pct": (
+            round(100.0 * d_busy / (d_busy + d_idle), 2)
+            if (d_busy + d_idle) > 0
+            else None
+        ),
+        "duckdb_ref_sec": duck_ref if duck_ref > 0 else None,
+        "contended": contended,
+    }
     payload = (
             {
                 "metric": "headline_query_wall_sec",
@@ -280,6 +367,7 @@ def main() -> int:
                 "floor_corrected_ratio": (
                     round(spark_above / duck_above, 3) if duck_above > 0 else None
                 ),
+                "telemetry": telemetry,
                 "sf": sf,
             }
     )
@@ -328,7 +416,7 @@ def main() -> int:
         if stdout_payload.get("errors"):
             stdout_payload["errors"] = sorted(stdout_payload["errors"])
             line = json.dumps(stdout_payload)
-        for k in ("queries", "errors"):
+        for k in ("queries", "errors", "telemetry"):
             if len(line) <= 1900:
                 break
             stdout_payload.pop(k, None)

@@ -282,7 +282,28 @@ def bloom_prune_anti_join(
     ``big`` (MEMORY_AND_DISK) so the second branch reads the cache
     instead of rescanning — the right call when ``big`` is a derived
     (non-scan) plan; leave it False for plain parquet scans, where the
-    rescan is cheaper than materializing the table."""
+    rescan is cheaper than materializing the table.
+
+    AQE-safety (the distributed_cumsum class — two consumers of one
+    exchange disagreeing after an AQE re-plan): this IS a genuine
+    two-consumer plan — ``clean`` and ``suspect`` both read ``with_bf``
+    and are unioned, so AQE may re-execute the subtree once per branch
+    with no exchange reuse. It stays exact because every term is
+    DETERMINISTIC: the bitmap is a seeded-xxhash64 fold over ``small``
+    (bit-identical on re-execution), the probe is a pure function of
+    (key, bitmap), and the fence's ``monotonically_increasing_id() >=
+    0`` is value-independent — so each row passes exactly one branch's
+    filter under ANY re-plan, and clean ∪ suspect is a partition of
+    ``big`` verbatim. The one PRECONDITION: ``big`` itself must
+    re-execute deterministically. A nondeterministic upstream (a
+    ``rand()`` sample, a mono-id-derived column) could route a row
+    differently in the two re-executions — dropped from both branches
+    or emitted twice. For such inputs ``persist=True`` is the
+    CORRECTNESS switch, not a perf knob: both branches then read one
+    materialization. Same argument covers :func:`bloom_prune_semi_join`
+    (single consumer of the probe, build side consumed twice — both
+    deterministic) and the sketch rollups (linear chains, integer-exact
+    binning). Pinned by tests/test_aqe_multiconsumer.py."""
     if num_bits is None:
         num_bits = _auto_num_bits(small.select(key).count())
     bf = bloom_build(small.select(key), key, num_bits, num_hashes, seed)

@@ -608,6 +608,7 @@ def connected_components(
         .withColumn("comp", F.col("node"))
         .localCheckpoint(eager=True)
     )
+    converged = False
     for _ in range(max_iterations):
         msgs = (
             sym.join(labels, sym["a"] == labels["node"])
@@ -632,7 +633,24 @@ def connected_components(
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        # same contract as connected_components_star (r11 ADVICE): a
+        # truncated propagation returns labels that are only min-over-
+        # max_iterations-hops — on a component deeper than the budget
+        # they are NOT component minima, and the caller must hear it.
+        import warnings
+
+        warnings.warn(
+            f"connected_components exhausted max_iterations="
+            f"{max_iterations} without converging; returned labels are "
+            "min-within-budget-hops, NOT final component minima — raise "
+            "max_iterations (rounds needed = component diameter) or use "
+            "connected_components_star (O(log^2 n) rounds) for deep graphs",
+            UserWarning,
+            stacklevel=2,
+        )
     return labels
 
 
@@ -760,6 +778,24 @@ def connected_components_star(
     if _stats is not None:
         _stats["rounds"] = rounds
         _stats["converged"] = converged
+    if not converged:
+        # not silent (r11 ADVICE): an exhausted budget means the edge
+        # set is still mid-contraction — the min-agg below then labels
+        # nodes with sub-star parent pointers, not component minima,
+        # and a caller reading only the DataFrame would ship wrong
+        # component ids with no signal. The optional _stats dict is
+        # for harnesses; the warning is for everyone else.
+        import warnings
+
+        warnings.warn(
+            f"connected_components_star exhausted max_iterations="
+            f"{max_iterations} without converging ({prev_cnt} edges "
+            "still contracting); returned labels are best-so-far parent "
+            "pointers, NOT final component minima — raise max_iterations "
+            "(rounds needed ~ log^2 of the deepest component)",
+            UserWarning,
+            stacklevel=2,
+        )
     # At the fixed point e is a disjoint union of stars u → root; the
     # min-agg is the identity there, and on a max_iterations truncation
     # it still yields a well-defined (best-so-far) label per node —
@@ -1167,7 +1203,17 @@ def remove_duplicated_spans(
     array against the doc's collected interval list (intervals per doc
     are bounded by n_tokens/k after the union). No pair
     materialization, no position explode: cost is linear in corpus
-    token count, the same class as the span detector."""
+    token count, the same class as the span detector.
+
+    AQE-safety (the distributed_cumsum class — two consumers of one
+    exchange): ``wins`` feeds BOTH the duplicated-window aggregate and
+    the span join, and ``base`` is read again for the final excision —
+    so AQE may re-execute either subtree per consumer without exchange
+    reuse. Every column is a pure function of the input rows (md5 /
+    seeded xxhash64 over normalized tokens, posexplode positions — no
+    RNG, no partition-id, no mono-id), so re-executions are
+    bit-identical and the consumers cannot disagree under any re-plan.
+    Pinned by tests/test_aqe_multiconsumer.py."""
     from pyspark.sql import Window
 
     base = docs.select(

@@ -22,6 +22,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType, FloatType
 
 #: hash-space granularity: 4 hex chars = 65536 buckets
 _SPACE = 1 << 16
@@ -203,8 +204,16 @@ def distributed_cumsum(
     TOTAL order (include a unique tiebreak) or the prefix sum at tied
     keys is placement-dependent. Rows whose order key contains NULL
     sort first (bucket 0, nulls-first within the window) — prefer
-    non-null keys. The one collect is <= 32·n small tuples (the
-    boundary sketch), not data.
+    non-null keys. Float/double order keys containing NaN are EXCLUDED
+    from the boundary sketch (Python tuple comparison is non-transitive
+    with NaN, so ``sorted()`` over a NaN-bearing sample is undefined
+    and the cut points could come out non-monotone); the NaN rows
+    themselves stay correct — every cut literal is NaN-free, Spark
+    orders NaN above every other value, so NaN-keyed rows compare >=
+    all cuts, land deterministically in the LAST bucket, and the
+    within-bucket window puts them last, matching Spark's global
+    ``orderBy``. The one collect is <= 32·n small tuples (the boundary
+    sketch), not data.
     """
     spark = df.sparkSession
     n = partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
@@ -214,10 +223,16 @@ def distributed_cumsum(
     for c in key_cols:
         nonnull = nonnull & c.isNotNull()
     # --- deterministic cut points (collected once -> plan literals) ---
+    # NaN keys are kept OUT of the candidate sample (see docstring):
+    # cut literals must form a strict Python-sortable chain.
+    sketchable = nonnull
+    for c, name in zip(key_cols, order_cols):
+        if isinstance(df.schema[name].dataType, (FloatType, DoubleType)):
+            sketchable = sketchable & ~F.isnan(c)
     m = max(n * 32, 64)
     cand = (
         df.select(*order_cols)
-        .where(nonnull)
+        .where(sketchable)
         .orderBy(F.xxhash64(*key_cols, F.lit(9001)).asc(), *order_cols)
         .limit(m)
         .collect()

@@ -20,7 +20,27 @@ from pyspark.sql import functions as F
 
 
 def _salt_col(salt: int):
-    """Uniform [0, salt) bucket per row — shared by both skew rewrites."""
+    """Uniform [0, salt) bucket per row — shared by both skew rewrites.
+
+    AQE-safety (the distributed_cumsum class of bug — two consumers of
+    one nondeterministic exchange disagreeing after an AQE re-plan):
+    this column IS nondeterministic (monotonically_increasing_id is
+    partition-placement-dependent, so a re-executed stage can assign a
+    row a DIFFERENT salt), but both rewrites are salt-assignment-
+    INVARIANT, so no plan change can surface it. ``two_phase_agg`` is a
+    linear chain with a single consumer: whatever salt each row gets,
+    it lands in exactly one (key, salt) cell and phase 2 merges ALL
+    cells — count/sum/min/max are partition-of-the-multiset invariant
+    (for ``sum`` over doubles that holds up to FP reorder, the generic
+    double-sum caveat; the registry entry routes doubles through a
+    decimal cast so even the reorder is exact). ``salted_join``
+    replicates the small side over ALL salt values, so any salt the
+    big row draws matches exactly one replica — the join result is the
+    plain equi-join verbatim under every assignment. Neither rewrite
+    ever JOINS two frames that both derive from the same salt column,
+    which is the shape that actually broke distributed_cumsum. Pinned
+    by tests/test_aqe_multiconsumer.py (AQE forced on, results
+    compared to AQE off)."""
     return F.abs(F.xxhash64(F.monotonically_increasing_id()) % salt).cast("int")
 
 

@@ -779,8 +779,14 @@ def q_bloom_prune_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     semi-join shuffle — at 100 TB that is the difference between
     shuffling the whole fact table and shuffling a few percent of it.
     False positives are removed by the trailing exact semi-join, so the
-    result (and the oracle, a plain IN-subquery) is bloom-invisible."""
-    from tailpipe_spark.operators.bloom import bloom_prune_semi_join
+    result (and the oracle, a plain IN-subquery) is bloom-invisible.
+
+    Entered through :func:`auto_filter_join` — the planner is the ONE
+    code path for filter joins (r11 verdict ask #7); this entry pins
+    its BLOOM branch by setting ``broadcast_max_rows=0``, so the branch
+    taken is deterministic at every SF (the planner's size-driven flip
+    itself is pinned by ``q_auto_filter_join``)."""
+    from tailpipe_spark.operators.bloom import auto_filter_join
 
     li = _t(spark, sf_dir, "lineitem")
     urgent = (
@@ -792,7 +798,7 @@ def q_bloom_prune_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("o_orderkey").alias("l_orderkey"))
     )
     return (
-        bloom_prune_semi_join(li, urgent, "l_orderkey")
+        auto_filter_join(li, urgent, "l_orderkey", "semi", broadcast_max_rows=0)
         .groupBy("l_returnflag")
         .agg(
             F.count(F.lit(1)).alias("n_items"),
@@ -823,8 +829,12 @@ def q_bloom_prune_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast). Probe-failing rows are provably clean and skip the
     join entirely; only the suspect fraction pays the exact LEFT ANTI
     shuffle. The oracle is the plain NOT-IN-as-anti-join, so the hash
-    match pins bloom-invisibility for the anti direction too."""
-    from tailpipe_spark.operators.bloom import bloom_prune_anti_join
+    match pins bloom-invisibility for the anti direction too.
+
+    Entered through :func:`auto_filter_join` with
+    ``broadcast_max_rows=0`` — pins the planner's bloom-ANTI branch at
+    every SF (see q_bloom_prune_join for the rationale)."""
+    from tailpipe_spark.operators.bloom import auto_filter_join
 
     li = _t(spark, sf_dir, "lineitem")
     urgent = (
@@ -836,7 +846,7 @@ def q_bloom_prune_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("o_orderkey").alias("l_orderkey"))
     )
     return (
-        bloom_prune_anti_join(li, urgent, "l_orderkey")
+        auto_filter_join(li, urgent, "l_orderkey", "anti", broadcast_max_rows=0)
         .groupBy("l_returnflag")
         .agg(
             F.count(F.lit(1)).alias("n_items"),

@@ -17,6 +17,7 @@ from __future__ import annotations
 import os
 import sys
 import time
+import warnings
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -48,18 +49,28 @@ def _star_forest(spark, n: int, fanout: int = 20):
 
 
 def _run(label, edges, expect_comps, lines):
-    for algo, fn in (("propagation", None), ("star", None)):
+    for algo in ("propagation", "star"):
         t0 = time.time()
         stats: dict = {}
-        if algo == "star":
-            labels = connected_components_star(edges, _stats=stats)
-        else:
-            labels = connected_components(edges, max_iterations=PROP_BUDGET)
-        ncomp = labels.select("comp").distinct().count()
+        # Convergence is reported EXPLICITLY for both algorithms: star
+        # via its _stats hook, propagation via the unconverged-budget
+        # UserWarning both operators now emit (r11 ADVICE — the old
+        # fallback inferred propagation convergence from component-count
+        # equality, conflating "right answer" with "finished").
+        with warnings.catch_warnings(record=True) as caught:
+            warnings.simplefilter("always")
+            if algo == "star":
+                labels = connected_components_star(edges, _stats=stats)
+            else:
+                labels = connected_components(edges, max_iterations=PROP_BUDGET)
+            ncomp = labels.select("comp").distinct().count()
         wall = time.time() - t0
         ok = ncomp == expect_comps
+        unconverged_warned = any(
+            "without converging" in str(w.message) for w in caught
+        )
         rounds = stats.get("rounds", f"<= {PROP_BUDGET} (budget)")
-        conv = stats.get("converged", ok)
+        conv = stats.get("converged", not unconverged_warned)
         lines.append(
             f"| {label} | {algo} | {rounds} | {wall:.1f} | {ncomp}"
             f"{'' if ok else ' (WRONG — unconverged)'} | {conv} |"
