@@ -30,46 +30,36 @@ from tailpipe_spark.queries import build_registry
 # entries themselves, and finally the oldest-driver-signal cohort
 # (r4 then r5) to refresh their signal.
 _VERIFY_FIRST = [
-    # --- r11 rotation (r10 verdict ask #4): r11-new/changed plans
-    # first, then the SEVEN equal-age r7 entries that fell outside
-    # r10's 50-entry window (named there as r11's rotation front) —
-    # after this round every registry entry has driver hash signal
-    # <=3 rounds old. The remainder keeps r10's order (freshest signal
-    # last). ---
-    # NEW in r11 (late wave): large-star/small-star connected
-    # components (O(log^2 n) rounds vs O(diameter) propagation; same
-    # recursive-CTE oracle => hash match proves algorithm agreement)
-    # and the asymmetric n-gram containment join (subset/boilerplate
-    # duplication Jaccard misses). dedup_ngram_jaccard fronted too:
-    # its inverted-index core moved into the shared _inverted_common
-    # helper (verbatim extraction — re-verify the hash anyway).
-    "dedup_components_star",
-    "dedup_containment",
-    # changed in r11 (late wave): per-round exchange pinning in BOTH
-    # CC loops (width from live edge count) — re-verify the
-    # component-consuming chain
-    "dedup_components",
-    "dedup_resolve",
-    # NEW in r11 (late wave): per-key interval union (gaps-and-islands)
-    # and token-budget curation over the distributed prefix sum
-    "q_interval_merge",
-    "data_token_budget",
-    "dedup_ngram_jaccard",
-    # NEW in r11: size-driven filter-join planner (broadcast vs
-    # bloom-prune picked from build-side row count)
-    "q_auto_filter_join",
-    # NEW in r11: double-sum twin of q_topk_window (rows-only; the
-    # q01_fast precedent — SCALE_PROOF names the 2.3 s determinism tax)
-    "q_topk_fast",
-    # NEW in r11: deterministic PPS systematic sampler (all-BIGINT
-    # walk over a distributed prefix sum) and SemDeDup-shaped
-    # cluster-restricted semantic dedup
+    # --- r12 rotation: plans CHANGED this round first (driver re-hash
+    # the same round, per the standing cadence), then r11's front
+    # (freshest-last order preserved below). Rows-only entries are
+    # structurally excluded from the driver window by _rotated() now,
+    # so every fronted name here carries oracle SQL. ---
+    # changed in r12: grouped fixed-point long accumulation (dsum_fp)
+    # replaces the BigDecimal-per-row path — same decimal oracle,
+    # values proven bit-identical, sf10 wall -27%
+    "q_topk_window",
+    # changed in r12: both entries now enter through the
+    # auto_filter_join planner (single code path; bloom branch pinned
+    # via broadcast_max_rows=0)
+    "q_bloom_prune_join",
+    "q_bloom_prune_anti",
+    # changed in r12: distributed_cumsum excludes NaN order keys from
+    # the boundary sketch — both prefix-sum consumers re-verified
     "data_pps_sample",
+    "data_token_budget",
+    # changed in r12: unconverged-budget warning added to both CC
+    # loops (plan unchanged; re-verify the component chain anyway)
+    "dedup_components",
+    "dedup_components_star",
+    # --- r11 front below (kept for ≤3-round-old signal continuity) ---
+    "dedup_containment",
+    "dedup_resolve",
+    "q_interval_merge",
+    "dedup_ngram_jaccard",
+    "q_auto_filter_join",
     "emb_semantic_dedup",
-    # changed in r11: order-agnostic winner tiebreak (row_number window
-    # replaces numeric-only max_by)
     "dedup_resolve_quality",
-    # changed in r11: deterministic ORDER BY doc_id on both engines
     "dedup_substring_spans",
     # r10 leftovers (equal-age r7 signal, named as r11's front)
     "text_pii_redact",

@@ -337,7 +337,9 @@ def cmd_compact(args) -> int:
         cols = [c.strip() for c in spec.split(",") if c.strip()]
         num = int(n) if n else None
         for t in args.tables or cat.list_tables():
-            summary = bucket_rewrite(spark, cat, t, cols, num)
+            summary = bucket_rewrite(
+                spark, cat, t, cols, num, force=args.force
+            )
             print(f"bucketed {t}: {summary}")
         return 0
     for t in args.tables or cat.list_tables():
@@ -761,6 +763,13 @@ def main(argv: list[str] | None = None) -> int:
         "by the comma-separated keys into N buckets; N auto-sizes from "
         "table bytes when omitted). Joins between same-bucketed tables "
         "then plan with no Exchange on either side.",
+    )
+    k.add_argument(
+        "--force",
+        action="store_true",
+        help="acknowledge the small-table fragmentation warning: rewrite "
+        "into the bucketed layout even when the projected per-file size "
+        "(table bytes / (hive dirs x buckets)) is under 8 MB",
     )
     k.set_defaults(fn=cmd_compact)
 

@@ -30,6 +30,22 @@ from tailpipe_spark.catalog import PARTITION_COLS, Catalog
 
 TARGET_FILE_BYTES = 128 * 1024 * 1024
 
+# bucket_rewrite warns when the projected per-(hive dir x bucket) file
+# falls under this: sub-8MB shards pay more in per-file open/footer cost
+# than the deleted exchanges save single-node (r11 sf0.1 measurement:
+# 2,656 ~0.3 MB lineitem files -> q05 parity, q03 -47%)
+MIN_BUCKET_CELL_BYTES = 8 * 1024 * 1024
+
+
+def _hive_dir_count(tdir: str) -> int:
+    """Distinct directories holding parquet files — the hive-partition
+    fan-out factor of the projected bucketed layout."""
+    dirs = set()
+    for root, _dirs, names in os.walk(tdir):
+        if any(n.endswith(".parquet") for n in names):
+            dirs.add(root)
+    return max(1, len(dirs))
+
 
 @dataclass
 class FileStat:
@@ -171,6 +187,7 @@ def bucket_rewrite(
     bucket_by: list[str],
     num_buckets: int | None = None,
     sort_by: list[str] | None = None,
+    force: bool = False,
 ) -> dict:
     """Rewrite a cataloged table into a BUCKETED physical layout — the
     co-located-join answer at cluster scale (reference analog: the
@@ -196,13 +213,48 @@ def bucket_rewrite(
     ``num_buckets=None`` auto-sizes: table bytes / 256 MB rounded UP
     to a power of two (floor 4) — pick the SAME count on both sides of
     an intended join (the CLI's ``--bucket-by key:N`` pins it).
+
+    Small-scale guard (r11 verdict "what's wrong" #3): bucketing
+    multiplies the file count by ``hive dirs × N``, and at workspace
+    scale that fragments the table into sub-MB shards whose per-file
+    open/footer cost erases the exchange savings (measured at sf0.1:
+    month-partitioning × 32 buckets → 2,656 ~0.3 MB lineitem files,
+    q05 parity instead of a win). When the PROJECTED per-cell file
+    size — table bytes / (hive partition dirs × N) — falls under
+    ``MIN_BUCKET_CELL_BYTES`` (8 MB), the rewrite WARNS with the
+    numbers and the remedies (fewer buckets via ``key:N``, a coarser
+    hive layout such as yearly partitioning); ``force=True``
+    acknowledges the trade and silences it. The rewrite still runs —
+    the layout is a deliberate cluster-scale flag and a small
+    workspace may be about to grow into it — but the user hears the
+    single-node cost before paying it.
     """
     import shutil
 
+    stats = catalog.file_stats(table)
+    bytes_ = stats["bytes"]
     if num_buckets is None:
-        bytes_ = catalog.file_stats(table)["bytes"]
         n = max(1, -(-bytes_ // TARGET_FILE_BYTES // 2))  # ceil(bytes/256MB)
         num_buckets = max(4, 1 << (n - 1).bit_length())
+    hive_dirs = _hive_dir_count(catalog.table_dir(table))
+    cell = bytes_ / max(1, hive_dirs * int(num_buckets))
+    if not force and cell < MIN_BUCKET_CELL_BYTES:
+        import warnings
+
+        warnings.warn(
+            f"bucket_rewrite({table!r}, N={num_buckets}) fragments "
+            f"{bytes_ >> 20} MB across {hive_dirs} hive dirs x "
+            f"{num_buckets} buckets = ~{cell / (1 << 20):.2f} MB per "
+            f"file — below the {MIN_BUCKET_CELL_BYTES >> 20} MB floor "
+            "where per-file open cost erases the exchange savings at "
+            "single-node scale (measured: q05 parity at sf0.1 vs a 2-"
+            "Exchange win at size). Use fewer buckets (--bucket-by "
+            "key:N), a coarser partition layout (e.g. yearly), or "
+            "force=True to acknowledge a layout the table will grow "
+            "into.",
+            UserWarning,
+            stacklevel=2,
+        )
     sort_by = list(sort_by or bucket_by)
     df = catalog.read_table(spark, table)
     rows = catalog.row_count(table)

@@ -54,6 +54,34 @@ def dwindow_sum(col: Column | str, window) -> Column:
     return F.sum(u).over(window).cast("double") / F.lit(1e6)
 
 
+def dsum_fp(col: Column | str, alias: str | None = None) -> Column:
+    """Deterministic GROUPED sum via fixed-point long accumulation —
+    :func:`dwindow_sum`'s trick lifted to groupBy aggregates.
+
+    round(v*1e6) is the integer numerator of CAST(v AS DECIMAL(·,6))
+    for values on a <=6-decimal grid (prices etc. — verified 0
+    mismatching rows over orders at sf0.1 AND sf10), so the long sum
+    equals the decimal sum exactly while running in whole-stage-codegen
+    long addition instead of one BigDecimal add per row; the final
+    double(n)/1e6 is a single correctly-rounded IEEE divide, identical
+    to BigDecimal.doubleValue on the same quotient. Measured on
+    q_topk_window at sf10: the per-row BigDecimal path is ~45% of the
+    aggregation wall (SCALE_PROOF §q_topk_window r12).
+
+    Preconditions (caller's judgment, both violated loudly at the
+    oracle, not silently): (1) input values sit on a <=6-decimal grid
+    — derived EXPRESSIONS like price*(1-discount) do NOT qualify
+    (their double product is off-grid and round-vs-decimal-cast can
+    disagree by one micro-unit; keep :func:`dsum` there); (2) each
+    GROUP's |sum| stays under 2^53 micro-units (~9e9 in value units) —
+    right for per-entity groups (a customer's revenue), wrong for
+    whole-table rollups at 100 TB, which keep :func:`dsum`."""
+    c = F.col(col) if isinstance(col, str) else col
+    u = F.round(c * F.lit(1e6)).cast("long")
+    out = F.sum(u).cast("double") / F.lit(1e6)
+    return out.alias(alias) if alias else out
+
+
 def dsum_dec(col: Column | str, alias: str | None = None) -> Column:
     """Exact sum SURFACED AS DECIMAL(38,6) — no double conversion.
 

@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from tailpipe_spark.functions.exact import davg, dsum, oracle_davg, oracle_dsum, dsum_dec, oracle_dsum_dec
+from tailpipe_spark.functions.exact import davg, dsum, dsum_fp, oracle_davg, oracle_dsum, dsum_dec, oracle_dsum_dec
 from tailpipe_spark.queries import QuerySpec
 from tailpipe_spark.session import load_tables
 
@@ -573,17 +573,23 @@ def q_topk_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``row_number <= 3`` filter as WindowGroupLimit (per-partition
     partial limiting before the nation exchange), and an explicit
     two-phase group-local top-k rewrite measured DEAD EVEN (5.146 vs
-    5.156 s). The wall is the rev aggregation: scan 0.24 / +SMJ 1.57 /
-    +dsum agg 5.47 — of which ~2.3 s is the decimal-accumulation
-    determinism discipline (the double-SUM twin ``q_topk_fast`` runs
-    the same plan in 3.46 s) and the rest is the 15M-row join +
-    1.5M-group agg engine constant that scale-out amortizes."""
+    5.156 s). The wall was the rev aggregation: scan 0.24 / +SMJ 1.57 /
+    +dsum agg 5.47 — of which ~2.3 s was the BigDecimal-per-row
+    accumulation (the double-SUM twin ``q_topk_fast`` runs the same
+    plan in 3.46 s). r12 (verdict ask #2) recovers that tax WITHOUT
+    giving up cross-engine exactness: ``dsum_fp`` folds the 6-decimal
+    fixed-point LONG numerators in codegen and divides once per group
+    — exactly the decimal sum (o_totalprice is on a 2-decimal grid; a
+    customer's revenue is orders of magnitude under the 2^53-micro-
+    unit bound), hash-checked against the UNCHANGED decimal oracle.
+    The remaining wall is the 15M-row join + 1.5M-group agg engine
+    constant that scale-out amortizes."""
     o = _t(spark, sf_dir, "orders")
     c = _t(spark, sf_dir, "customer")
     rev = (
         o.join(c, o.o_custkey == c.c_custkey)
         .groupBy("c_custkey", "c_nationkey")
-        .agg(dsum("o_totalprice", "revenue"))
+        .agg(dsum_fp("o_totalprice", "revenue"))
     )
     w = Window.partitionBy("c_nationkey").orderBy(
         F.col("revenue").desc(), F.col("c_custkey").asc()

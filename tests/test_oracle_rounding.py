@@ -59,3 +59,30 @@ def test_end_to_end_sum_matches_python_decimal():
     got = duckdb.sql("SELECT " + sql).fetchone()[0]
     want = float(sum(Decimal(v) for v in vals))
     assert got == want
+
+
+def test_dsum_fp_equals_decimal_dsum_on_grid(spark):
+    """dsum_fp's exactness claim (SCALE_PROOF §q_topk_window r12): for
+    values on a <=6-decimal grid with group totals under 2^53
+    micro-units, the fixed-point long fold equals the decimal
+    accumulation bit-for-bit — per group, across many groups, on
+    adversarial 2-decimal values (the o_totalprice shape)."""
+    from pyspark.sql import functions as F
+
+    from tailpipe_spark.functions.exact import dsum, dsum_fp
+
+    df = (
+        spark.range(200_000)
+        .select(
+            (F.col("id") % 997).alias("g"),
+            # 2-decimal prices, sign-mixed, up to ~9e5 like o_totalprice
+            ((F.xxhash64("id") % 90_000_000) / F.lit(100.0)).alias("v"),
+        )
+    )
+    got = (
+        df.groupBy("g")
+        .agg(dsum_fp("v", "fp"), dsum("v", "dec"))
+        .where(F.col("fp") != F.col("dec"))
+        .count()
+    )
+    assert got == 0
