@@ -179,15 +179,20 @@ def main() -> int:
         # Tokens are stripped and unknown names are a hard error: the
         # old filter silently dropped typos/whitespace-padded names, so
         # a bad subset produced a partial-or-empty artifact that looked
-        # like a legitimate record (r9 ADVICE).
+        # like a legitimate record (r9 ADVICE). Any REGISTRY entry is
+        # benchable (r12: the sf10 stretch set includes heavy non-
+        # headline entries like dedup_containment); names outside the
+        # registry stay a hard error.
         wanted = [t.strip() for t in subset.split(",") if t.strip()]
-        unknown = sorted(set(wanted) - set(HEADLINE))
+        unknown = sorted(set(wanted) - set(registry))
         if unknown:
             raise SystemExit(
-                f"SPARK_GRAFT_BENCH_QUERIES names not in HEADLINE: {unknown}; "
-                f"valid: {HEADLINE}"
+                f"SPARK_GRAFT_BENCH_QUERIES names not in the registry: "
+                f"{unknown}"
             )
-        headline = [q for q in HEADLINE if q in set(wanted)]
+        headline = [q for q in HEADLINE if q in set(wanted)] + [
+            q for q in wanted if q not in set(HEADLINE)
+        ]
     else:
         headline = HEADLINE
     timings: dict[str, float] = {}
