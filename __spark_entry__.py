@@ -74,10 +74,8 @@ _VERIFY_FIRST = [
     "q_rollup_continuous",
     "q_quantile_sketch",
     "q_quantile_sketch_rollup",
-    "q_bloom_prune_join",
     "dedup_prefix_jaccard",
     "dedup_span_removal",
-    "q_bloom_prune_anti",
     "text_countmin_topk",
     # r6 cohort (r10-refreshed)
     "q_stream_dedup",

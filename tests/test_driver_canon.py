@@ -85,19 +85,31 @@ def test_no_driver_facing_entry_surfaces_decimal(spark):
 
 def test_verify_first_rotation_leads_queries_dict():
     """The driver hashes only the first ~50 queries() entries in dict
-    order; _VERIFY_FIRST must actually lead the dict, in its own order,
-    and name only real entries. (r8 pinned q01 at position 1 for the
-    r7-red refresh; r9+ rotates oldest-signal-first, so the pin is the
-    structure, not a specific name.)"""
+    order; the ORACLE-BEARING _VERIFY_FIRST names must lead the dict in
+    their own order, and every rows-only (oracle-less) entry must sort
+    behind every oracle-bearing one (r11 verdict "what's wrong" #1:
+    q_topk_fast burned a driver sample slot on a structural no_oracle
+    error; the driver window now spends all ~50 slots on hashable
+    entries)."""
     import __spark_entry__ as entry_mod
 
     q = list(entry_mod.queries())
-    present = [n for n in entry_mod._VERIFY_FIRST if n in q]
-    assert len(present) >= 50, "rotation must fill the driver's ~50 sample"
-    assert q[: len(present)] == present
+    oracles = entry_mod.oracle_sql()
+    front = [
+        n for n in entry_mod._VERIFY_FIRST if n in q and n in oracles
+    ]
+    assert len(front) >= 50, "rotation must fill the driver's ~50 sample"
+    assert q[: len(front)] == front
     assert q[0] == entry_mod._VERIFY_FIRST[0]
     missing = [n for n in entry_mod._VERIFY_FIRST if n not in q]
     assert missing == [], f"_VERIFY_FIRST names unknown entries: {missing}"
+    # no rows-only entry may precede any oracle-bearing entry
+    seen_rows_only = False
+    for n in q:
+        if n in oracles:
+            assert not seen_rows_only, f"oracle entry {n} after rows-only"
+        else:
+            seen_rows_only = True
 
 
 def test_driver_canon_cell_rewrite():
