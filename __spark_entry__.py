@@ -35,6 +35,9 @@ _VERIFY_FIRST = [
     # (freshest-last order preserved below). Rows-only entries are
     # structurally excluded from the driver window by _rotated() now,
     # so every fronted name here carries oracle SQL. ---
+    # NEW in r12: CCNet-style LM quality scoring — conditional char-
+    # trigram bits-per-gram over a charset-bounded broadcast model
+    "text_lm_score",
     # changed in r12: grouped fixed-point long accumulation (dsum_fp)
     # replaces the BigDecimal-per-row path — same decimal oracle,
     # values proven bit-identical, sf10 wall -27%

@@ -423,3 +423,119 @@ def hash_embedding(
         f"collect_list(struct(bucket, v))), i), 0L))"
     )
     return per_bucket.groupBy(id_col).agg(dense.alias("embedding"))
+
+
+def char_ngram_model(
+    docs: DataFrame, n: int = 3, text_col: str = "text"
+) -> DataFrame:
+    """Corpus-level character n-gram counts — the MODEL half of the
+    CCNet-style LM quality filter (Wenzek et al., "CCNet: Extracting
+    High Quality Monolingual Datasets from Web Crawl Data", LREC 2020:
+    score documents by language-model perplexity, keep the
+    low-perplexity head). KenLM is out of scope for a pure-Spark
+    engine; a conditional character n-gram model is the Spark-first
+    analog — and unlike a word model its size is CORPUS-INDEPENDENT
+    (bounded by |charset|^n, ~1e6 rows for printable text at n=3), so
+    the model broadcasts at any corpus scale and scoring never joins
+    two big sides.
+
+    Returns (gram, cnt): one count per distinct n-gram of the
+    normalized text. Plan: one row-local transform/sequence explode +
+    ONE gram-keyed aggregation (partial map-side combine does the
+    heavy lifting — output cardinality is charset-bounded).
+    """
+    grams = docs.select(
+        normalize_text(F.col(text_col)).alias("__norm")
+    ).select(
+        F.explode(_char_grams_arr(n)).alias("gram")
+    )
+    return grams.groupBy("gram").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def _char_grams_arr(n: int):
+    """All char n-grams of ``__norm`` as an array; EXPLICITLY empty for
+    docs shorter than n — ``sequence(1, 0)`` in Spark auto-steps
+    DESCENDING ([1, 0]), which would fabricate two truncated grams per
+    short doc (caught by the short-doc pytest, not the oracle: the
+    testdata corpus has no sub-n documents)."""
+    return F.when(
+        F.length("__norm") >= n,
+        F.expr(
+            f"transform(sequence(1, length(__norm) - {n - 1}),"
+            f" i -> substr(__norm, i, {n}))"
+        ),
+    ).otherwise(F.expr("array()"))
+
+
+def lm_score(
+    docs: DataFrame,
+    model: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Score each document's typicality under a char n-gram model from
+    :func:`char_ngram_model` — the FILTER half of the CCNet-style LM
+    quality step: low bits-per-gram ≈ fluent/common text, high ≈
+    gibberish, boilerplate soup, or wrong-language content.
+
+    The conditional probability is defined ENGINE-REPLAYABLY:
+    p(gram) = cnt(gram) / ctx(prefix), where ctx(prefix) = Σ cnt over
+    the model's grams sharing the (n-1)-char prefix — a definition
+    that sums to 1 per context and needs no separate (n-1)-gram pass,
+    so both engines compute the identical rational number per gram.
+    bits_per_gram = -(1/m) Σ log2 p over the doc's m grams, quantized
+    to the 1e-9 grid (the :func:`operators.similarity.quantize`
+    discipline: per-gram log2 differs across engines by an ulp and the
+    per-doc sum drifts ~1e-12; the shared grid absorbs it — the
+    sec_entropy_scan precedent). Docs shorter than n normalized chars
+    get m=0 and NULL bits. Grams absent from the model (cross-corpus
+    scoring) are skipped and reported in ``oov_grams`` rather than
+    smoothed — add-one smoothing needs |charset|^n as a constant,
+    which would silently bind the score to a charset assumption.
+
+    Scale shape: the model and its prefix-context rollup are
+    charset-bounded (corpus-size-INDEPENDENT), so both sides broadcast;
+    the doc side is one row-local gram explode, two broadcast joins,
+    and one doc-keyed partial-agg shuffle — linear end to end, no big
+    join, no collect.
+    """
+    ctx = model.groupBy(
+        F.substring(F.col("gram"), 1, n - 1).alias("prefix")
+    ).agg(F.sum("cnt").alias("ctx_cnt"))
+    grams = docs.select(
+        F.col(id_col), normalize_text(F.col(text_col)).alias("__norm")
+    ).select(
+        id_col,
+        F.posexplode_outer(_char_grams_arr(n)).alias("pos", "gram"),
+    )
+    scored = (
+        grams.join(F.broadcast(model), "gram", "left")
+        .join(
+            F.broadcast(ctx),
+            F.substring(F.col("gram"), 1, n - 1) == F.col("prefix"),
+            "left",
+        )
+        .groupBy(id_col)
+        .agg(
+            F.count("gram").alias("n_grams"),
+            F.count(F.when(F.col("gram").isNotNull() & F.col("cnt").isNull(), 1)).alias("oov_grams"),
+            F.sum(
+                F.log2(F.col("cnt").cast("double") / F.col("ctx_cnt"))
+            ).alias("__logsum"),
+        )
+    )
+    from tailpipe_spark.operators.similarity import quantize
+
+    bits = F.when(
+        (F.col("n_grams") - F.col("oov_grams")) > 0,
+        quantize(
+            -F.col("__logsum") / (F.col("n_grams") - F.col("oov_grams")), 9
+        ),
+    )
+    return scored.select(
+        id_col,
+        F.col("n_grams").cast("long").alias("n_grams"),
+        F.col("oov_grams").cast("long").alias("oov_grams"),
+        bits.alias("bits_per_gram"),
+    )

@@ -1571,6 +1571,55 @@ ORDER BY true_cnt DESC, tok ASC
 """
 
 
+def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality scoring (Wenzek et al., LREC 2020) on a
+    conditional CHARACTER-trigram model built over the corpus itself
+    (operators/text.py char_ngram_model + lm_score): bits_per_gram is
+    the perplexity proxy — low = fluent/common text, high = gibberish
+    or boilerplate soup. The model is charset-bounded (corpus-size-
+    INDEPENDENT), so both the counts and their prefix-context rollup
+    broadcast at any corpus scale; the doc side is one row-local gram
+    explode + two broadcast joins + one doc-keyed partial-agg shuffle.
+    The conditional p(gram) = cnt(gram)/Σ cnt(prefix·*) is a rational
+    number both engines compute identically; the per-doc log2 sum is
+    quantized to the 1e-9 grid (the sec_entropy_scan discipline), so
+    the entry carries a FULL hash oracle."""
+    from tailpipe_spark.operators.text import char_ngram_model, lm_score
+
+    d = _docs(spark, sf_dir, parallel=True)
+    model = char_ngram_model(d, n=3)
+    return lm_score(d, model, n=3).orderBy("doc_id")
+
+
+TEXT_LM_SQL = f"""
+WITH norm AS (SELECT doc_id, {_NORM_SQL} AS t FROM documents),
+g AS (
+  SELECT doc_id, substr(t, CAST(i AS INT), 3) AS gram
+  FROM (SELECT doc_id, t,
+               unnest(range(1, CAST(greatest(len(t) - 2, 0) AS BIGINT) + 1)) AS i
+        FROM norm)
+),
+model AS (SELECT gram, COUNT(*) AS cnt FROM g GROUP BY gram),
+ctx AS (SELECT substr(gram, 1, 2) AS prefix, SUM(cnt) AS ctx_cnt
+        FROM model GROUP BY prefix),
+sc AS (
+  SELECT n.doc_id,
+         COUNT(g.gram) AS m,
+         SUM(log2(CAST(mo.cnt AS DOUBLE) / c.ctx_cnt)) AS logsum
+  FROM norm n
+  LEFT JOIN g ON g.doc_id = n.doc_id
+  LEFT JOIN model mo ON mo.gram = g.gram
+  LEFT JOIN ctx c ON c.prefix = substr(g.gram, 1, 2)
+  GROUP BY n.doc_id
+)
+SELECT doc_id, CAST(m AS BIGINT) AS n_grams, CAST(0 AS BIGINT) AS oov_grams,
+       CASE WHEN m > 0
+            THEN CAST(ROUND(-logsum / m * 1e9) AS BIGINT) / 1e9
+       END AS bits_per_gram
+FROM sc ORDER BY doc_id
+"""
+
+
 SPECS = [
     QuerySpec("mm_checksums", mm_checksums, MM_CHECKSUMS_SQL, "multimodal binary payloads through Arrow mapInPandas (checksum parity)"),
     QuerySpec("mm_audio_stats", mm_audio_stats, MM_AUDIO_SQL, "real WAV encode->decode roundtrip vs arithmetic oracle (square-wave RMS exactness)"),
@@ -1609,4 +1658,5 @@ SPECS = [
     QuerySpec("dedup_substring_spans", dedup_substring_spans, SUBSTRING_SPANS_SQL, "cross-doc duplicated k-token spans + interval-union coverage (Lee et al. substring dedup)"),
     QuerySpec("dedup_span_removal", dedup_span_removal, SPAN_REMOVAL_SQL, "span EXCISION transform: min-id owner keeps, others cut; rewritten text value-checked"),
     QuerySpec("text_countmin_topk", text_countmin_topk, _countmin_sql(), "mergeable count-min frequency sketch: per-source build -> cell-sum merge -> top-k probe (md5-portable)"),
+    QuerySpec("text_lm_score", text_lm_score, TEXT_LM_SQL, "CCNet-style LM quality scoring: conditional char-trigram bits-per-gram (charset-bounded broadcast model, 1e-9-grid portable)"),
 ]

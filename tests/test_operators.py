@@ -1195,3 +1195,60 @@ def test_merge_intervals_random_vs_brute_force(spark):
         df = spark.createDataFrame(rows, ["k", "s", "e"])
         got = sorted(map(tuple, merge_intervals(df, "k", "s", "e").collect()))
         assert got == sorted(want), f"trial {trial}"
+
+
+# --- CCNet-style char n-gram LM scoring (operators/text.py) ---
+
+def _lm(spark, rows):
+    return spark.createDataFrame(rows, "doc_id string, text string")
+
+
+def test_lm_score_perfectly_predictable_doc_is_zero_bits(spark):
+    from tailpipe_spark.operators.text import char_ngram_model, lm_score
+
+    docs = _lm(spark, [("a", "aaaa")])
+    model = char_ngram_model(docs, n=3)
+    out = lm_score(docs, model, n=3).collect()[0]
+    # grams: aaa, aaa -> p(a|aa) = 1 everywhere -> 0 bits
+    assert out.n_grams == 2 and out.oov_grams == 0
+    assert out.bits_per_gram == 0.0
+
+
+def test_lm_score_uniform_context_is_one_bit(spark):
+    from tailpipe_spark.operators.text import char_ngram_model, lm_score
+
+    # contexts 'ab' -> {c, d} equally often: p = 1/2, 1 bit per gram
+    docs = _lm(spark, [("a", "abcabd"), ("b", "abdabc")])
+    model = char_ngram_model(docs, n=3)
+    got = {r.doc_id: r for r in lm_score(docs, model, n=3).collect()}
+    for r in got.values():
+        assert r.n_grams == 4 and r.oov_grams == 0
+    # grams per doc: abc/abd (1 bit each under ctx 'ab'), bca|bda etc.
+    # unique contexts contribute 0 bits; 2 of 4 grams cost 1 bit
+    assert got["a"].bits_per_gram == got["b"].bits_per_gram == 0.5
+
+
+def test_lm_score_short_doc_null_bits_and_oov_skipped(spark):
+    from tailpipe_spark.operators.text import char_ngram_model, lm_score
+
+    ref = _lm(spark, [("r", "abcabc")])
+    model = char_ngram_model(ref, n=3)
+    docs = _lm(spark, [("s", "ab"), ("x", "abcxyz")])
+    got = {r.doc_id: r for r in lm_score(docs, model, n=3).collect()}
+    # shorter than n: zero grams, NULL score
+    assert got["s"].n_grams == 0 and got["s"].bits_per_gram is None
+    # 'abcxyz' grams: abc (in model), bcx/cxy/xyz (OOV) -> scored over
+    # the 1 in-model gram only; p(c|ab)=1 -> 0 bits
+    assert got["x"].n_grams == 4 and got["x"].oov_grams == 3
+    assert got["x"].bits_per_gram == 0.0
+
+
+def test_lm_model_is_charset_bounded_and_broadcast_planned(spark):
+    from tailpipe_spark.operators.text import char_ngram_model, lm_score
+
+    docs = _lm(spark, [(str(i), "the quick brown fox " * 3) for i in range(50)])
+    model = char_ngram_model(docs, n=3)
+    # distinct grams bounded by charset^3, not by corpus size
+    assert model.count() < 200
+    plan = lm_score(docs, model, n=3)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastHashJoin") >= 2  # model + ctx both broadcast
