@@ -38,10 +38,11 @@ _VERIFY_FIRST = [
     # NEW in r12: CCNet-style LM quality scoring — conditional char-
     # trigram bits-per-gram over a charset-bounded broadcast model
     "text_lm_score",
-    # changed in r12: grouped fixed-point long accumulation (dsum_fp)
-    # replaces the BigDecimal-per-row path — same decimal oracle,
-    # values proven bit-identical, sf10 wall -27%
+    # changed in r12: grouped fixed-point long accumulation (dsum_fp /
+    # dsum_fp_revenue) replaces the BigDecimal-per-row path — same
+    # decimal oracles, values proven bit-identical, sf10 walls -27%/-9%
     "q_topk_window",
+    "q03_shipping_priority",
     # changed in r12: both entries now enter through the
     # auto_filter_join planner (single code path; bloom branch pinned
     # via broadcast_max_rows=0)

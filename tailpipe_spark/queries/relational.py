@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from tailpipe_spark.functions.exact import davg, dsum, dsum_fp, oracle_davg, oracle_dsum, dsum_dec, oracle_dsum_dec
+from tailpipe_spark.functions.exact import davg, dsum, dsum_fp, dsum_fp_revenue, oracle_davg, oracle_dsum, dsum_dec, oracle_dsum_dec
 from tailpipe_spark.queries import QuerySpec
 from tailpipe_spark.session import load_tables
 
@@ -184,10 +184,14 @@ def q03_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     reduced = orders.join(
         F.broadcast(cust), orders.o_custkey == cust.c_custkey, "left_semi"
     )
+    # r12: revenue via dsum_fp_revenue — q03's groups are PER-ORDER
+    # (<=17 line items, a bound independent of SF), so the exact
+    # integer fixed-point path applies where per-nation rollups (q05)
+    # cannot; values bit-identical to the decimal path, same oracle.
     return (
         li.join(reduced, li.l_orderkey == reduced.o_orderkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+        .agg(dsum_fp_revenue("l_extendedprice", "l_discount", "revenue"))
         .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
         .limit(10)
     )

@@ -86,3 +86,29 @@ def test_dsum_fp_equals_decimal_dsum_on_grid(spark):
         .count()
     )
     assert got == 0
+
+
+def test_dsum_fp_revenue_equals_decimal_on_grid(spark):
+    """dsum_fp_revenue's exactness claim: for 2-decimal price and
+    discount grids, price_micro x (100 - discount_cents) is exactly
+    100x the DECIMAL(27,6) numerator of the double product, so the
+    grouped sums match the decimal path bit-for-bit."""
+    from pyspark.sql import functions as F
+
+    from tailpipe_spark.functions.exact import dsum, dsum_fp_revenue
+
+    df = spark.range(200_000).select(
+        (F.col("id") % 991).alias("g"),
+        ((F.xxhash64("id") % 9_000_000) / F.lit(100.0) + 901.0).alias("p"),
+        ((F.xxhash64("id", F.lit(1)) % 11) / F.lit(100.0)).alias("d"),
+    )
+    got = (
+        df.groupBy("g")
+        .agg(
+            dsum_fp_revenue("p", "d", "fp"),
+            dsum(F.col("p") * (1 - F.col("d")), "dec"),
+        )
+        .where(F.col("fp") != F.col("dec"))
+        .count()
+    )
+    assert got == 0
