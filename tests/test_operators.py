@@ -1250,5 +1250,6 @@ def test_lm_model_is_charset_bounded_and_broadcast_planned(spark):
     model = char_ngram_model(docs, n=3)
     # distinct grams bounded by charset^3, not by corpus size
     assert model.count() < 200
+    # model + ctx both broadcast, never shuffled
     plan = lm_score(docs, model, n=3)._jdf.queryExecution().executedPlan().toString()
-    assert plan.count("BroadcastHashJoin") >= 2  # model + ctx both broadcast
+    assert plan.count("BroadcastHashJoin") >= 2
