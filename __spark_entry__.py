@@ -36,8 +36,10 @@ _VERIFY_FIRST = [
     # structurally excluded from the driver window by _rotated() now,
     # so every fronted name here carries oracle SQL. ---
     # NEW in r12: CCNet-style LM quality scoring — conditional char-
-    # trigram bits-per-gram over a charset-bounded broadcast model
+    # trigram bits-per-gram over a charset-bounded broadcast model —
+    # and symmetric int8 embedding quantization (deterministic codes)
     "text_lm_score",
+    "emb_quantize_int8",
     # changed in r12: grouped fixed-point long accumulation (dsum_fp /
     # dsum_fp_revenue) replaces the BigDecimal-per-row path — same
     # decimal oracles, values proven bit-identical, sf10 walls -27%/-9%

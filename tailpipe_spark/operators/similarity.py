@@ -542,3 +542,38 @@ def lsh_topk(
         .where(F.col("__rk") <= k)
         .drop("__rk")
     )
+
+
+def quantize_embeddings_int8(
+    df: DataFrame, emb_col: str = "embedding", id_col: str = "vec_id"
+) -> DataFrame:
+    """Symmetric per-vector INT8 quantization — the memory-scale path
+    for ANN at 100 TB: an int8 codebook is 4x smaller than float32 (8x
+    vs float64), turning a 100 GB embedding column into 25 GB of
+    broadcast-or-cache-friendly codes while keeping enough resolution
+    (~0.4% of max-abs) for candidate generation; rerank the survivors
+    against the full-precision column.
+
+    q_i = round(v_i * 127 / max_abs), scale = max_abs / 127 (so
+    v_i ≈ q_i * scale); |q_i| <= 127 by construction, no clamp branch.
+    All-zero vectors quantize to zeros with scale 0. Deterministic
+    WITHOUT a quantization grid on q: both engines evaluate the
+    IDENTICAL double expression (float→double cast is exact, IEEE
+    multiply/divide are correctly rounded, ROUND is half-away-from-zero
+    in both), so the integer codes match bit-for-bit; only the
+    surfaced ``scale`` double rides the 1e-12 grid. Row-local (one
+    projection, no shuffle) — scales to any corpus.
+    """
+    v = F.col(emb_col)
+    m = F.array_max(F.transform(v, lambda x: F.abs(x.cast("double"))))
+    q = F.transform(
+        v,
+        lambda x: F.when(m == 0, F.lit(0))
+        .otherwise(F.round(x.cast("double") * 127 / m))
+        .cast("int"),
+    )
+    return df.select(
+        F.col(id_col),
+        quantize12(m / 127).alias("scale"),
+        q.alias("q"),
+    )

@@ -463,7 +463,40 @@ FROM per p LEFT JOIN (
 ORDER BY p.cluster_id
 """
 
+def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector INT8 quantization
+    (operators/similarity.py quantize_embeddings_int8): the ANN
+    memory-scale path — int8 codes are 4x smaller than float32, and
+    candidate generation over codes + full-precision rerank is the
+    standard big-corpus recipe. The integer codes are deterministic
+    WITHOUT a grid (both engines evaluate the identical IEEE double
+    expression and round half-away), so the whole code array is
+    hash-checked; only the surfaced scale rides the 1e-12 grid.
+    Row-local single projection — no shuffle at any corpus size."""
+    from tailpipe_spark.operators.similarity import quantize_embeddings_int8
+
+    return quantize_embeddings_int8(_emb(spark, sf_dir)).orderBy("vec_id")
+
+
+EMB_INT8_SQL = f"""
+SELECT vec_id,
+       CAST(ROUND((list_max(list_transform(embedding,
+                    v -> abs(CAST(v AS DOUBLE)))) / 127) * {_F}) AS BIGINT)
+         / {_F} AS scale,
+       CASE WHEN list_max(list_transform(embedding,
+                    v -> abs(CAST(v AS DOUBLE)))) = 0
+            THEN list_transform(embedding, v -> 0)
+            ELSE list_transform(embedding,
+                   v -> CAST(ROUND(CAST(v AS DOUBLE) * 127 /
+                        list_max(list_transform(embedding,
+                          u -> abs(CAST(u AS DOUBLE))))) AS INT))
+       END AS q
+FROM embeddings ORDER BY vec_id
+"""
+
+
 SPECS = [
+    QuerySpec("emb_quantize_int8", emb_quantize_int8, EMB_INT8_SQL, "symmetric per-vector int8 quantization (deterministic integer codes, 4x memory cut for ANN candidate generation)"),
     QuerySpec("emb_kmeans_assign", emb_kmeans_assign, KMEANS_SQL, "k-means assignment step over seed centroids (broadcast, fixed-point exact)"),
     QuerySpec("sim_cosine_topk", sim_cosine_topk, SIM_TOPK_SQL, "exact brute-force cosine top-k (fixed-point exact)"),
     QuerySpec("sim_lsh_topk", sim_lsh_topk, None, "hyperplane-LSH bucketed ANN + exact re-rank (rows-only; md5 twin carries the value check)"),

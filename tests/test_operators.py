@@ -1253,3 +1253,24 @@ def test_lm_model_is_charset_bounded_and_broadcast_planned(spark):
     # model + ctx both broadcast, never shuffled
     plan = lm_score(docs, model, n=3)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_quantize_embeddings_int8_bounds_and_reconstruction(spark):
+    from tailpipe_spark.operators.similarity import quantize_embeddings_int8
+
+    rows = [
+        (1, [0.5, -1.0, 0.25, 0.0]),
+        (2, [0.0, 0.0, 0.0, 0.0]),      # zero vector
+        (3, [1e-8, -1e-8, 1e-8, 0.0]),  # tiny magnitudes
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r.vec_id: r for r in quantize_embeddings_int8(df).collect()}
+    # codes bounded, extremes hit +/-127 exactly
+    assert out[1].q == [64, -127, 32, 0]
+    # zero vector -> zero codes, zero scale (no div-by-zero NaNs)
+    assert out[2].q == [0, 0, 0, 0] and out[2].scale == 0.0
+    # reconstruction error bounded by scale/2 per component
+    for vid, emb in [(1, rows[0][1]), (3, rows[2][1])]:
+        r = out[vid]
+        for v, q in zip(emb, r.q):
+            assert abs(v - q * r.scale) <= r.scale / 2 + 1e-12
