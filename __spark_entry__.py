@@ -40,6 +40,7 @@ _VERIFY_FIRST = [
     # and symmetric int8 embedding quantization (deterministic codes)
     "text_lm_score",
     "emb_quantize_int8",
+    "sim_int8_topk",
     # changed in r12: grouped fixed-point long accumulation (dsum_fp /
     # dsum_fp_revenue) replaces the BigDecimal-per-row path — same
     # decimal oracles, values proven bit-identical, sf10 walls -27%/-9%

@@ -577,3 +577,77 @@ def quantize_embeddings_int8(
         quantize12(m / 127).alias("scale"),
         q.alias("q"),
     )
+
+
+def int8_topk(
+    emb: DataFrame,
+    probe: DataFrame,
+    k: int = 10,
+    shortlist: int = 50,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Quantized ANN: integer-dot candidate generation over INT8 codes
+    (:func:`quantize_embeddings_int8`), exact fixed-point cosine
+    re-rank of the shortlist — the standard big-corpus recipe the int8
+    codes exist for. At 100 TB the candidate pass streams 4x less data
+    than float32 and its arithmetic is pure integer multiply-add; only
+    ``shortlist`` rows per probe touch full precision again.
+
+    Determinism without any grid in the candidate pass: the codes are
+    bit-identical across engines (see quantize_embeddings_int8), the
+    candidate score idot/sqrt(sum q²) divides IEEE-identical integers,
+    and the shortlist cut orders by (score desc, id asc). The re-rank
+    is the shared fixed-point exact cosine. Probe rows are excluded
+    and broadcast (probe count is user-query-sized, never corpus-
+    sized).
+    """
+    codes = quantize_embeddings_int8(emb, emb_col, id_col)
+    pcodes = (
+        quantize_embeddings_int8(probe, emb_col, id_col)
+        .select(F.col(id_col).alias("probe_id"), F.col("q").alias("pq"))
+    )
+    idot = F.aggregate(
+        F.zip_with("q", "pq", lambda a, b: a.cast("long") * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    qq = F.aggregate(
+        F.transform("q", lambda a: a.cast("long") * a),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    cand = (
+        codes.crossJoin(F.broadcast(pcodes))
+        .where(F.col(id_col) != F.col("probe_id"))
+        .select(
+            "probe_id",
+            id_col,
+            (idot.cast("double") / F.sqrt(F.greatest(qq, F.lit(1)).cast("double"))).alias("__approx"),
+        )
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("__approx").desc(), F.col(id_col).asc()
+    )
+    short = (
+        cand.withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") <= shortlist)
+        .select("probe_id", id_col)
+    )
+    full = short.join(emb.select(id_col, emb_col), id_col)
+    pfull = probe.select(
+        F.col(id_col).alias("probe_id"), F.col(emb_col).alias("__pemb")
+    )
+    rer = full.join(F.broadcast(pfull), "probe_id").select(
+        "probe_id",
+        id_col,
+        exact_cosine(F.col(emb_col), F.col("__pemb")).alias("cosine"),
+    )
+    w2 = Window.partitionBy("probe_id").orderBy(
+        F.col("cosine").desc(), F.col(id_col).asc()
+    )
+    return (
+        rer.withColumn("__rk", F.row_number().over(w2))
+        .where(F.col("__rk") <= k)
+        .drop("__rk")
+    )

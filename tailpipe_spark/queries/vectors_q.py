@@ -495,8 +495,66 @@ FROM embeddings ORDER BY vec_id
 """
 
 
+def sim_int8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantized ANN (operators/similarity.py int8_topk): integer-dot
+    candidate generation over the int8 codes, exact fixed-point cosine
+    re-rank of a 50-deep shortlist — the recipe the int8 codes exist
+    for. Every stage is engine-replayable (bit-identical codes, integer
+    dots, IEEE-identical shortlist scores, fixed-point re-rank), so the
+    FULL chain carries a hash oracle, unlike the xxhash64-bucketed LSH
+    sibling. Recall vs the exact brute force is pinned in pytest."""
+    from tailpipe_spark.operators.similarity import int8_topk
+
+    emb = _emb(spark, sf_dir)
+    probe = emb.filter(F.col("vec_id") == _PROBE_ID)
+    out = int8_topk(emb, probe, k=_K, shortlist=50)
+    return out.select("probe_id", "vec_id", "cosine").orderBy(
+        F.col("cosine").desc(), F.col("vec_id").asc()
+    )
+
+
+SIM_INT8_SQL = f"""
+WITH base AS (
+  SELECT vec_id, embedding,
+         list_max(list_transform(embedding, v -> abs(CAST(v AS DOUBLE)))) AS m
+  FROM embeddings),
+codes AS (
+  SELECT vec_id, embedding,
+         CASE WHEN m = 0 THEN list_transform(embedding, v -> CAST(0 AS BIGINT))
+              ELSE list_transform(embedding,
+                     v -> CAST(ROUND(CAST(v AS DOUBLE) * 127 / m) AS BIGINT))
+         END AS q
+  FROM base),
+pc AS (SELECT q AS pq, embedding AS pemb FROM codes WHERE vec_id = {_PROBE_ID}),
+cand AS (
+  SELECT vec_id,
+         CAST(SUM(x * y) AS DOUBLE)
+           / SQRT(CAST(greatest(SUM(x * x), 1) AS DOUBLE)) AS approx
+  FROM (SELECT c.vec_id, unnest(c.q) AS x, unnest(p.pq) AS y
+        FROM codes c, pc p WHERE c.vec_id <> {_PROBE_ID})
+  GROUP BY vec_id),
+short AS (
+  SELECT vec_id FROM cand ORDER BY approx DESC, vec_id ASC LIMIT 50),
+pairs AS (
+  SELECT {_PROBE_ID} AS probe_id, e.vec_id,
+         unnest(e.embedding) AS x, unnest(p.pemb) AS y
+  FROM embeddings e JOIN short s ON e.vec_id = s.vec_id, pc p),
+stats AS (
+  SELECT probe_id, vec_id,
+         {_DOT} AS dotp, {_SQX} AS nx, {_SQY} AS ny
+  FROM pairs GROUP BY probe_id, vec_id),
+scored AS (
+  SELECT probe_id, vec_id, {_q12("dotp / (SQRT(nx) * SQRT(ny))")} AS cosine
+  FROM stats)
+SELECT probe_id, vec_id, cosine FROM scored
+ORDER BY cosine DESC, vec_id ASC
+LIMIT {_K}
+"""
+
+
 SPECS = [
     QuerySpec("emb_quantize_int8", emb_quantize_int8, EMB_INT8_SQL, "symmetric per-vector int8 quantization (deterministic integer codes, 4x memory cut for ANN candidate generation)"),
+    QuerySpec("sim_int8_topk", sim_int8_topk, SIM_INT8_SQL, "quantized ANN: int8 integer-dot shortlist + exact fixed-point cosine re-rank, full chain hash-checked"),
     QuerySpec("emb_kmeans_assign", emb_kmeans_assign, KMEANS_SQL, "k-means assignment step over seed centroids (broadcast, fixed-point exact)"),
     QuerySpec("sim_cosine_topk", sim_cosine_topk, SIM_TOPK_SQL, "exact brute-force cosine top-k (fixed-point exact)"),
     QuerySpec("sim_lsh_topk", sim_lsh_topk, None, "hyperplane-LSH bucketed ANN + exact re-rank (rows-only; md5 twin carries the value check)"),
