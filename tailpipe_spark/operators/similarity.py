@@ -563,6 +563,13 @@ def quantize_embeddings_int8(
     in both), so the integer codes match bit-for-bit; only the
     surfaced ``scale`` double rides the 1e-12 grid. Row-local (one
     projection, no shuffle) — scales to any corpus.
+
+    Preconditions: embeddings must be NaN-free (like the all-zero case,
+    this is a data contract, not handled): a NaN element makes max_abs
+    NaN, and Spark's non-ANSI NaN→int cast yields 0 while DuckDB's
+    CAST(ROUND(NaN) AS INT) raises — silently-wrong codes on one engine
+    vs a loud error on the other. Validate upstream if the source can
+    carry NaN.
     """
     v = F.col(emb_col)
     m = F.array_max(F.transform(v, lambda x: F.abs(x.cast("double"))))

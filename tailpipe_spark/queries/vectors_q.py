@@ -470,27 +470,62 @@ def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate generation over codes + full-precision rerank is the
     standard big-corpus recipe. The integer codes are deterministic
     WITHOUT a grid (both engines evaluate the identical IEEE double
-    expression and round half-away), so the whole code array is
+    expression and round half-away), so the full code vector is
     hash-checked; only the surfaced scale rides the 1e-12 grid.
-    Row-local single projection — no shuffle at any corpus size."""
+    Row-local single projection — no shuffle at any corpus size.
+
+    Driver surface: the code vector is serialized to a CSV string
+    (``q_csv``) because the driver's pandas canonicalizer sorts over all
+    output columns and a raw list column is unhashable there — the r12
+    CORRECTNESS err row, the ArrayType twin of the round-7 DECIMAL
+    incident. Integer→string rendering is locale-free and identical in
+    Spark and DuckDB, so the CSV carries the complete bit-exact code
+    information. The raw ``array<int>`` surface lives in the local_only
+    twin :func:`emb_quantize_int8_arr` (typed Arrow harness only)."""
+    from tailpipe_spark.operators.similarity import quantize_embeddings_int8
+
+    out = quantize_embeddings_int8(_emb(spark, sf_dir))
+    return out.select(
+        "vec_id",
+        "scale",
+        F.array_join(
+            F.transform("q", lambda x: x.cast("string")), ","
+        ).alias("q_csv"),
+    ).orderBy("vec_id")
+
+
+def emb_quantize_int8_arr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """local_only exactness twin of :func:`emb_quantize_int8` surfacing
+    the raw ``q: array<int>`` codes. The builder's typed harness
+    (tools/check_correctness.py, Arrow fetch) hash-compares list cells
+    fine; the driver's pandas canonicalizer cannot (unhashable list), so
+    this twin never reaches queries()/oracle_sql()."""
     from tailpipe_spark.operators.similarity import quantize_embeddings_int8
 
     return quantize_embeddings_int8(_emb(spark, sf_dir)).orderBy("vec_id")
 
 
+_INT8_M = "list_max(list_transform(embedding, v -> abs(CAST(v AS DOUBLE))))"
+
+_INT8_CODES = f"""
+CASE WHEN {_INT8_M} = 0
+     THEN list_transform(embedding, v -> CAST(0 AS INT))
+     ELSE list_transform(embedding,
+            v -> CAST(ROUND(CAST(v AS DOUBLE) * 127 / {_INT8_M}) AS INT))
+END
+"""
+
 EMB_INT8_SQL = f"""
 SELECT vec_id,
-       CAST(ROUND((list_max(list_transform(embedding,
-                    v -> abs(CAST(v AS DOUBLE)))) / 127) * {_F}) AS BIGINT)
-         / {_F} AS scale,
-       CASE WHEN list_max(list_transform(embedding,
-                    v -> abs(CAST(v AS DOUBLE)))) = 0
-            THEN list_transform(embedding, v -> 0)
-            ELSE list_transform(embedding,
-                   v -> CAST(ROUND(CAST(v AS DOUBLE) * 127 /
-                        list_max(list_transform(embedding,
-                          u -> abs(CAST(u AS DOUBLE))))) AS INT))
-       END AS q
+       CAST(ROUND(({_INT8_M} / 127) * {_F}) AS BIGINT) / {_F} AS scale,
+       array_to_string({_INT8_CODES}, ',') AS q_csv
+FROM embeddings ORDER BY vec_id
+"""
+
+EMB_INT8_ARR_SQL = f"""
+SELECT vec_id,
+       CAST(ROUND(({_INT8_M} / 127) * {_F}) AS BIGINT) / {_F} AS scale,
+       {_INT8_CODES} AS q
 FROM embeddings ORDER BY vec_id
 """
 
@@ -553,7 +588,8 @@ LIMIT {_K}
 
 
 SPECS = [
-    QuerySpec("emb_quantize_int8", emb_quantize_int8, EMB_INT8_SQL, "symmetric per-vector int8 quantization (deterministic integer codes, 4x memory cut for ANN candidate generation)"),
+    QuerySpec("emb_quantize_int8", emb_quantize_int8, EMB_INT8_SQL, "symmetric per-vector int8 quantization (deterministic integer codes, 4x memory cut for ANN candidate generation); codes CSV-serialized on the driver surface"),
+    QuerySpec("emb_quantize_int8_arr", emb_quantize_int8_arr, EMB_INT8_ARR_SQL, "raw array<int> surface of the int8 codes (typed Arrow harness only: pandas canonicalizers cannot sort list cells)", local_only=True),
     QuerySpec("sim_int8_topk", sim_int8_topk, SIM_INT8_SQL, "quantized ANN: int8 integer-dot shortlist + exact fixed-point cosine re-rank, full chain hash-checked"),
     QuerySpec("emb_kmeans_assign", emb_kmeans_assign, KMEANS_SQL, "k-means assignment step over seed centroids (broadcast, fixed-point exact)"),
     QuerySpec("sim_cosine_topk", sim_cosine_topk, SIM_TOPK_SQL, "exact brute-force cosine top-k (fixed-point exact)"),

@@ -83,6 +83,51 @@ def test_no_driver_facing_entry_surfaces_decimal(spark):
     assert offenders == {}, f"driver-unsafe DECIMAL surfaces: {offenders}"
 
 
+def test_no_driver_facing_entry_surfaces_complex_types(spark):
+    """r12 incident guard (the ArrayType twin of the r7 DECIMAL hole):
+    the driver's pandas canonicalizer sorts rows over all output columns
+    and crashes on list cells (`TypeError: unhashable type: 'list'` —
+    emb_quantize_int8's err row in CORRECTNESS_r12). No driver-facing
+    entry may surface an array/map/struct column; serialize (CSV/JSON)
+    or digest instead, and keep the raw surface in a local_only twin."""
+    import __spark_entry__ as entry_mod
+
+    from tools.check_correctness import _complex_cols
+
+    offenders = {}
+    for name, fn in entry_mod.queries().items():
+        try:
+            schema = fn(spark, SF).schema
+        except Exception:
+            continue
+        cols = _complex_cols(schema)
+        if cols:
+            offenders[name] = cols
+    assert offenders == {}, f"driver-unsafe complex surfaces: {offenders}"
+
+
+def test_int8_csv_surface_matches_arr_twin(spark):
+    """The driver-facing CSV serialization carries the complete code
+    vector: re-splitting q_csv reproduces the local_only twin's raw
+    array exactly."""
+    from tailpipe_spark.queries.vectors_q import (
+        emb_quantize_int8,
+        emb_quantize_int8_arr,
+    )
+
+    csv_rows = {
+        r["vec_id"]: r for r in emb_quantize_int8(spark, SF).collect()
+    }
+    arr_rows = {
+        r["vec_id"]: r for r in emb_quantize_int8_arr(spark, SF).collect()
+    }
+    assert csv_rows.keys() == arr_rows.keys() and len(csv_rows) > 0
+    for vid, c in csv_rows.items():
+        a = arr_rows[vid]
+        assert c["scale"] == a["scale"]
+        assert [int(x) for x in c["q_csv"].split(",")] == list(a["q"])
+
+
 def test_verify_first_rotation_leads_queries_dict():
     """The driver hashes only the first ~50 queries() entries in dict
     order; the ORACLE-BEARING _VERIFY_FIRST names must lead the dict in

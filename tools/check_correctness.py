@@ -126,6 +126,22 @@ def _decimal_cols(schema) -> list[str]:
     return [f.name for f in schema.fields if has_dec(f.dataType)]
 
 
+def _complex_cols(schema) -> list[str]:
+    """Names of top-level output columns with a complex (array/map/struct)
+    type. Driver-hash-unsafe for a different reason than DECIMAL: the
+    driver's pandas canonicalizer sorts rows over all columns, and a list
+    cell is unhashable there (`TypeError: unhashable type: 'list'` — the
+    r12 emb_quantize_int8 err row). Only local_only twins may surface
+    them; driver entries serialize (CSV/JSON) or digest instead."""
+    from pyspark.sql import types as T
+
+    return [
+        f.name
+        for f in schema.fields
+        if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType))
+    ]
+
+
 def main() -> int:
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     json_out = next(
@@ -180,6 +196,17 @@ def main() -> int:
                 "err": f"driver-unsafe DECIMAL surface: {dec_cols}",
             }
             print(f"FAIL {name}: driver-unsafe DECIMAL output columns {dec_cols}")
+            continue
+        cpx_cols = _complex_cols(sdf.schema)
+        if cpx_cols and name not in local_only:
+            # Lint (both modes): array/map/struct output columns crash the
+            # driver's pandas row sort (r12 emb_quantize_int8 incident).
+            failures.append(name)
+            results[name] = {
+                "status": "fail",
+                "err": f"driver-unsafe complex surface: {cpx_cols}",
+            }
+            print(f"FAIL {name}: driver-unsafe complex output columns {cpx_cols}")
             continue
         if name not in oracles:
             results[name] = {"status": "rows_only", "rows": len(srows)}
