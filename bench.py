@@ -124,108 +124,22 @@ def _auto_shuffle_partitions(total_bytes: int) -> int:
     return max(8, min(2000, total_bytes // (64 * 1024 * 1024)))
 
 
-def main() -> int:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    m = re.search(r"sf([0-9.]+)", sf_dir)
-    sf = float(m.group(1)) if m else 0.0
-
+def _run_attempt(
+    spark, con, registry, headline, reps, sf_dir, sf, setup_errors, oracle_twin
+) -> dict:
+    """One full interleaved measurement pass over ``headline``; returns
+    the complete artifact payload including its own contention telemetry
+    (load/steal/busy bracketed around exactly this pass). main() retries
+    this when the pass self-labels ``contended`` (r12 verdict ask #2:
+    the telemetry landed in r12 but the dirty capture still shipped —
+    now the flag drives a bounded re-capture instead of only labeling)."""
     load_start = _loadavg()
     procs_start = _running_procs()
     ticks_start = _cpu_ticks()
-    total_bytes = _input_bytes(sf_dir)
-    spark = build_session(
-        "tailpipe-bench", shuffle_partitions=_auto_shuffle_partitions(total_bytes)
-    )
-    # AQE earns its keep re-planning real shuffles; under ~1 GB its extra
-    # stage materialization is pure overhead (~40% at sf0.1) — toggle by
-    # data size, exactly what a scale-aware engine should do.
-    spark.conf.set(
-        "spark.sql.adaptive.enabled",
-        "false" if total_bytes < (1 << 30) else "true",
-    )
-    spark.conf.set(
-        "spark.sql.files.maxPartitionBytes",
-        str(_auto_max_partition_bytes(total_bytes)),
-    )
-    registry = build_registry()
-
-    # warmup: JIT + codegen on the small SF, then a plain count over the
-    # bench-SF tables (parquet footer + OS page caches, scan codegen) so
-    # the first measured query doesn't pay one-time JIT cost. No measured
-    # query runs before its timing.
-    from tailpipe_spark.session import read_table
-
-    registry["q01_pricing_summary"].fn(spark, "/root/testdata/sf0.001").count()
-    for t in ("lineitem", "orders", "events", "documents", "embeddings"):
-        read_table(spark, f"{sf_dir}/{t}.parquet").count()
-
-    # Per-query minimum over N repetitions: the shared bench box carries
-    # unpredictable background load (observed >50% inflation), and the
-    # min is the standard low-variance estimator of the code's actual
-    # cost. Reps are sequential full executions, not cached results.
-    # Round-4 lesson: one analysis error must NOT kill the artifact —
-    # each query is contained, failures land in an "errors" map, and the
-    # partial totals always print.
-    # 7 reps: the shared box shows 2-3× rep-to-rep inflation under
-    # background load (r5's 2-rep mins read ~0.3 s high per query), and
-    # r6's 5-rep series were still monotonically falling at rep 5 (JIT/
-    # code-cache warming: q01_fast 1.05→0.49→0.42→0.42→0.38) — min of 7
-    # captures steady state to ~±0.03 s for ~25 s more wall.
-    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "7"))
-    # optional subset (comma-separated) for targeted scale runs, e.g.
-    # the sf10 stretch bench over the five heaviest queries
-    subset = os.environ.get("SPARK_GRAFT_BENCH_QUERIES", "")
-    if subset:
-        # Tokens are stripped and unknown names are a hard error: the
-        # old filter silently dropped typos/whitespace-padded names, so
-        # a bad subset produced a partial-or-empty artifact that looked
-        # like a legitimate record (r9 ADVICE). Any REGISTRY entry is
-        # benchable (r12: the sf10 stretch set includes heavy non-
-        # headline entries like dedup_containment); names outside the
-        # registry stay a hard error.
-        wanted = [t.strip() for t in subset.split(",") if t.strip()]
-        unknown = sorted(set(wanted) - set(registry))
-        if unknown:
-            raise SystemExit(
-                f"SPARK_GRAFT_BENCH_QUERIES names not in the registry: "
-                f"{unknown}"
-            )
-        headline = [q for q in HEADLINE if q in set(wanted)] + [
-            q for q in wanted if q not in set(HEADLINE)
-        ]
-    else:
-        headline = HEADLINE
     timings: dict[str, float] = {}
     detail: dict[str, dict] = {}
-    errors: dict[str, str] = {}
+    errors: dict[str, str] = dict(setup_errors)
     duck: dict[str, float] = {}
-
-    # In-artifact baseline setup: DuckDB running the IDENTICAL oracle
-    # SQL over the same parquet, same process. Each query's Spark and
-    # DuckDB reps run ADJACENT IN TIME (interleaved per query, not two
-    # separated phases): the shared box's background load drifts on a
-    # minutes scale, and a phase-separated protocol let one engine
-    # absorb a load spike the other never saw — observed as a 2x swing
-    # in the headline ratio between otherwise identical runs.
-    con = None
-    oracle_twin = {"q01_fast": "q01_pricing_summary",
-                   "dedup_minhash_fast": "dedup_minhash_lsh"}
-    try:
-        import duckdb
-
-        con = duckdb.connect()
-        con.execute(f"SET threads TO {os.cpu_count() or 8}")
-        for t in TEST_TABLES:
-            # generated bench sets (tools/gen_sf.py) are directories of
-            # part files; DuckDB needs the glob form for those
-            path = f"{sf_dir}/{t}.parquet"
-            src = f"{path}/*.parquet" if os.path.isdir(path) else path
-            con.execute(
-                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{src}')"
-            )
-    except Exception as e:  # noqa: BLE001 — baseline is best-effort
-        errors["duckdb"] = f"{type(e).__name__}: {e}"[:200]
-        con = None
 
     for name in headline:
         fn = registry[name].fn
@@ -317,10 +231,19 @@ def main() -> int:
     # itself dirty when the DuckDB side — whose code is identical every
     # round — drifts >20% above its quiet-box trailing median. Only
     # meaningful when the FULL headline set ran against the pinned-SF
-    # reference (a subset run sums fewer queries).
-    duck_ref = float(os.environ.get("SPARK_GRAFT_DUCKDB_REF", "0")) or (
-        _DUCKDB_REF_SEC if abs(sf - 0.1) < 1e-9 and len(common) == len(HEADLINE) else 0.0
-    )
+    # reference (a subset run sums fewer queries). The env override is
+    # parsed explicitly: "0" (or any <=0) DISABLES the flag — the old
+    # `float(env or) or fallback` made "0" falsy and silently fell
+    # through to the pinned reference (r12 ADVICE).
+    env_ref = os.environ.get("SPARK_GRAFT_DUCKDB_REF")
+    if env_ref is not None:
+        duck_ref = max(0.0, float(env_ref))
+    else:
+        duck_ref = (
+            _DUCKDB_REF_SEC
+            if abs(sf - 0.1) < 1e-9 and len(common) == len(HEADLINE)
+            else 0.0
+        )
     contended = bool(
         duck_ref > 0 and duck_common > duck_ref * (1 + _CONTENTION_DRIFT)
     )
@@ -348,34 +271,175 @@ def main() -> int:
         "duckdb_ref_sec": duck_ref if duck_ref > 0 else None,
         "contended": contended,
     }
-    payload = (
-            {
-                "metric": "headline_query_wall_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                # both estimators so cross-round comparisons stay
-                # apples-to-apples: "single" = first TIMED rep of each
-                # query (after the untimed warm rep, r9 protocol),
-                # "min" = best of reps (low-variance on a noisy box)
-                "queries_detail": detail,
-                "errors": errors,
-                "reps": max(1, reps),
-                "single_total": round(sum(d["single"] for d in detail.values()), 3),
-                "duckdb_queries": duck,
-                "duckdb_total": round(duck_common, 3),
-                "spark_vs_duckdb_ratio": (
-                    round(spark_common / duck_common, 3) if duck_common else None
-                ),
-                "spark_floor_sec": round(spark_floor, 3),
-                "duckdb_floor_sec": round(duck_floor, 3),
-                "floor_corrected_ratio": (
-                    round(spark_above / duck_above, 3) if duck_above > 0 else None
-                ),
-                "telemetry": telemetry,
-                "sf": sf,
-            }
+    return {
+        "metric": "headline_query_wall_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        # both estimators so cross-round comparisons stay
+        # apples-to-apples: "single" = first TIMED rep of each
+        # query (after the untimed warm rep, r9 protocol),
+        # "min" = best of reps (low-variance on a noisy box)
+        "queries_detail": detail,
+        "errors": errors,
+        "reps": max(1, reps),
+        "single_total": round(sum(d["single"] for d in detail.values()), 3),
+        "duckdb_queries": duck,
+        "duckdb_total": round(duck_common, 3),
+        "spark_vs_duckdb_ratio": (
+            round(spark_common / duck_common, 3) if duck_common else None
+        ),
+        "spark_floor_sec": round(spark_floor, 3),
+        "duckdb_floor_sec": round(duck_floor, 3),
+        "floor_corrected_ratio": (
+            round(spark_above / duck_above, 3) if duck_above > 0 else None
+        ),
+        "telemetry": telemetry,
+        "sf": sf,
+    }
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else 0.0
+
+    total_bytes = _input_bytes(sf_dir)
+    spark = build_session(
+        "tailpipe-bench", shuffle_partitions=_auto_shuffle_partitions(total_bytes)
     )
+    # AQE earns its keep re-planning real shuffles; under ~1 GB its extra
+    # stage materialization is pure overhead (~40% at sf0.1) — toggle by
+    # data size, exactly what a scale-aware engine should do.
+    spark.conf.set(
+        "spark.sql.adaptive.enabled",
+        "false" if total_bytes < (1 << 30) else "true",
+    )
+    spark.conf.set(
+        "spark.sql.files.maxPartitionBytes",
+        str(_auto_max_partition_bytes(total_bytes)),
+    )
+    registry = build_registry()
+
+    # warmup: JIT + codegen on the small SF, then a plain count over the
+    # bench-SF tables (parquet footer + OS page caches, scan codegen) so
+    # the first measured query doesn't pay one-time JIT cost. No measured
+    # query runs before its timing.
+    from tailpipe_spark.session import read_table
+
+    registry["q01_pricing_summary"].fn(spark, "/root/testdata/sf0.001").count()
+    for t in ("lineitem", "orders", "events", "documents", "embeddings"):
+        read_table(spark, f"{sf_dir}/{t}.parquet").count()
+
+    # Per-query minimum over N repetitions: the shared bench box carries
+    # unpredictable background load (observed >50% inflation), and the
+    # min is the standard low-variance estimator of the code's actual
+    # cost. Reps are sequential full executions, not cached results.
+    # Round-4 lesson: one analysis error must NOT kill the artifact —
+    # each query is contained, failures land in an "errors" map, and the
+    # partial totals always print.
+    # 7 reps: the shared box shows 2-3× rep-to-rep inflation under
+    # background load (r5's 2-rep mins read ~0.3 s high per query), and
+    # r6's 5-rep series were still monotonically falling at rep 5 (JIT/
+    # code-cache warming: q01_fast 1.05→0.49→0.42→0.42→0.38) — min of 7
+    # captures steady state to ~±0.03 s for ~25 s more wall.
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "7"))
+    # optional subset (comma-separated) for targeted scale runs, e.g.
+    # the sf10 stretch bench over the five heaviest queries
+    subset = os.environ.get("SPARK_GRAFT_BENCH_QUERIES", "")
+    if subset:
+        # Tokens are stripped and unknown names are a hard error: the
+        # old filter silently dropped typos/whitespace-padded names, so
+        # a bad subset produced a partial-or-empty artifact that looked
+        # like a legitimate record (r9 ADVICE). Any REGISTRY entry is
+        # benchable (r12: the sf10 stretch set includes heavy non-
+        # headline entries like dedup_containment); names outside the
+        # registry stay a hard error.
+        # de-dup while preserving order: a repeated name would otherwise
+        # run twice, double-count in spark_total, and let the second run
+        # overwrite the first's timing entry (r12 ADVICE)
+        wanted = list(dict.fromkeys(t.strip() for t in subset.split(",") if t.strip()))
+        unknown = sorted(set(wanted) - set(registry))
+        if unknown:
+            raise SystemExit(
+                f"SPARK_GRAFT_BENCH_QUERIES names not in the registry: "
+                f"{unknown}"
+            )
+        headline = [q for q in HEADLINE if q in set(wanted)] + [
+            q for q in wanted if q not in set(HEADLINE)
+        ]
+    else:
+        headline = HEADLINE
+
+    # In-artifact baseline setup: DuckDB running the IDENTICAL oracle
+    # SQL over the same parquet, same process. Each query's Spark and
+    # DuckDB reps run ADJACENT IN TIME (interleaved per query, not two
+    # separated phases): the shared box's background load drifts on a
+    # minutes scale, and a phase-separated protocol let one engine
+    # absorb a load spike the other never saw — observed as a 2x swing
+    # in the headline ratio between otherwise identical runs.
+    con = None
+    setup_errors: dict[str, str] = {}
+    oracle_twin = {"q01_fast": "q01_pricing_summary",
+                   "dedup_minhash_fast": "dedup_minhash_lsh"}
+    try:
+        import duckdb
+
+        con = duckdb.connect()
+        con.execute(f"SET threads TO {os.cpu_count() or 8}")
+        for t in TEST_TABLES:
+            # generated bench sets (tools/gen_sf.py) are directories of
+            # part files; DuckDB needs the glob form for those
+            path = f"{sf_dir}/{t}.parquet"
+            src = f"{path}/*.parquet" if os.path.isdir(path) else path
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{src}')"
+            )
+    except Exception as e:  # noqa: BLE001 — baseline is best-effort
+        setup_errors["duckdb"] = f"{type(e).__name__}: {e}"[:200]
+        con = None
+
+    # Bounded auto-retry on the capture's own contention flag (r12
+    # verdict ask #2): the r11/r12 grading artifacts were both captured
+    # under hypervisor CPU steal that the in-artifact telemetry correctly
+    # labeled — but the dirty capture still shipped as the round's
+    # number. Now a `contended: true` pass triggers a cool-down and a
+    # full re-measure (≤SPARK_GRAFT_BENCH_RETRIES attempts). Selection
+    # among attempts is LOAD-based, never result-based: prefer
+    # non-contended attempts, tie-break on the lowest DuckDB total (the
+    # built-in load cell, whose code never changes) — retries therefore
+    # cannot cherry-pick a lucky Spark number, only a quiet window.
+    # Every attempt's telemetry ships in the artifact for audit.
+    max_attempts = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RETRIES", "3")))
+    cooldown = float(os.environ.get("SPARK_GRAFT_BENCH_COOLDOWN_SEC", "45"))
+    attempts: list[dict] = []
+    for i in range(max_attempts):
+        if i:
+            time.sleep(cooldown)
+        p = _run_attempt(
+            spark, con, registry, headline, reps, sf_dir, sf,
+            setup_errors, oracle_twin,
+        )
+        attempts.append(p)
+        if not p["telemetry"]["contended"]:
+            break
+    clean = [p for p in attempts if not p["telemetry"]["contended"]] or attempts
+    payload = min(
+        clean,
+        key=lambda p: p["duckdb_total"] if p["duckdb_total"] > 0 else float("inf"),
+    )
+    payload["attempt_count"] = len(attempts)
+    if len(attempts) > 1:
+        payload["attempts_telemetry"] = [
+            {
+                "value": p["value"],
+                "duckdb_total": p["duckdb_total"],
+                "spark_vs_duckdb_ratio": p["spark_vs_duckdb_ratio"],
+                "selected": p is payload,
+                "telemetry": p["telemetry"],
+            }
+            for p in attempts
+        ]
     # full artifact on disk FIRST: the driver's stdout capture keeps only
     # the last ~2000 chars (BENCH_r06/r07 both arrived front-truncated and
     # unparseable), so the on-disk file is the complete record and the
@@ -408,7 +472,9 @@ def main() -> int:
     # line stays well under the driver's 2000-char tail window and
     # json.loads(last_line) always succeeds.
     stdout_payload = {
-        k: v for k, v in payload.items() if k not in ("queries_detail", "duckdb_queries")
+        k: v
+        for k, v in payload.items()
+        if k not in ("queries_detail", "duckdb_queries", "attempts_telemetry")
     }
     if not stdout_payload.get("errors"):
         stdout_payload.pop("errors", None)
