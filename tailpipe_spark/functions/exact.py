@@ -98,11 +98,15 @@ def dsum_fp_revenue(
     double→decimal casts). One long multiply-add per row in codegen,
     one correctly-rounded divide by 1e8 per group.
 
-    Precondition: per-GROUP |sum| under 2^63 in micro-x-100 units
-    (~9.2e4 rows x max-price per group; per-row term <=1.7e13 here).
-    Right for per-order groups (line items per order are BOUNDED — 17
+    Precondition: per-GROUP |sum| under 2^53 in micro-x-100 units (NOT
+    2^63: the long sum is exact to 2^63, but the final
+    ``cast('double')/1e8`` silently rounds any integer above 2^53, so
+    the bit-exact-vs-decimal contract ends there — same bound as
+    :func:`dsum_fp`). That is ~5.3e2 rows x max-price 1.7e13 per group;
+    right for per-order groups (line items per order are BOUNDED — 17
     in this corpus — independent of SF); wrong for per-nation /
-    whole-table rollups, which keep :func:`dsum`."""
+    whole-table rollups, which keep :func:`dsum` (or need a decimal
+    surface for the quotient)."""
     p = F.col(price) if isinstance(price, str) else price
     d = F.col(discount) if isinstance(discount, str) else discount
     u = F.round(p * F.lit(1e6)).cast("long") * (

@@ -208,12 +208,14 @@ def distributed_cumsum(
     from the boundary sketch (Python tuple comparison is non-transitive
     with NaN, so ``sorted()`` over a NaN-bearing sample is undefined
     and the cut points could come out non-monotone); the NaN rows
-    themselves stay correct — every cut literal is NaN-free, Spark
-    orders NaN above every other value, so NaN-keyed rows compare >=
-    all cuts, land deterministically in the LAST bucket, and the
-    within-bucket window puts them last, matching Spark's global
-    ``orderBy``. The one collect is <= 32·n small tuples (the boundary
-    sketch), not data.
+    themselves stay correct — bucketing remains CONSISTENT with Spark's
+    struct ordering against the NaN-free cut literals: a row whose
+    FIRST order key is NaN compares above every cut (Spark orders NaN
+    last) and lands in the last bucket; a NaN in a later tiebreak
+    column resolves on the earlier columns and buckets by the leading
+    key as usual. Either way the within-bucket window uses the same
+    ordering, matching Spark's global ``orderBy``. The one collect is
+    <= 32·n small tuples (the boundary sketch), not data.
     """
     spark = df.sparkSession
     n = partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
