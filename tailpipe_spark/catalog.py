@@ -43,32 +43,140 @@ def _footer_jsonable(v):
     return None  # unindexable type -> treated as no-stats
 
 
-def _footer_col_stats(md, name):
-    """min/max/null_count for one column across a footer's row groups,
-    or None when any row group lacks usable stats."""
-    lo = hi = None
-    nulls = 0
-    for rg in range(md.num_row_groups):
-        group = md.row_group(rg)
-        col = next(
-            (
-                group.column(i)
-                for i in range(group.num_columns)
-                if group.column(i).path_in_schema == name
-            ),
-            None,
-        )
-        stats = col.statistics if col is not None else None
-        if stats is None or not stats.has_min_max:
-            return None  # any stat-less row group poisons the file
-        nulls += stats.null_count or 0
-        mn, mx = stats.min, stats.max
-        lo = mn if lo is None else min(lo, mn)
-        hi = mx if hi is None else max(hi, mx)
-    jlo, jhi = _footer_jsonable(lo), _footer_jsonable(hi)
+class FooterInfo:
+    """Parquet footer metadata behind one tolerant reader.
+
+    pyarrow is the primary backend; when it cannot parse the footer at
+    all — a logical type newer than the installed pyarrow, concretely
+    VARIANT written by Spark for ``json``-typed table columns (pyarrow
+    <18 raises ``OSError: Thrift LogicalType that is not recognized``
+    for the WHOLE file) — the same num_rows + per-column min/max/nulls
+    are read through DuckDB's ``parquet_metadata()`` at the same
+    O(footer) cost. Raw stat values keep pyarrow's types (tz-aware UTC
+    datetimes for timestamps, int/float/str otherwise) so compaction's
+    datetime arithmetic and the file index see one representation
+    regardless of backend."""
+
+    def __init__(self, path: str):
+        try:
+            import pyarrow.parquet as pq
+
+            md = pq.read_metadata(path)
+            self.num_rows = md.num_rows
+            self._md = md
+            self._duck = None
+        except OSError:
+            self._md = None
+            self.num_rows, self._duck = _duck_footer(path)
+
+    def col_stats(self, name: str):
+        """(min, max, null_count) raw-typed for one top-level column
+        across all row groups, or None when any row group lacks usable
+        stats (a stat-less group poisons the file — a partial range
+        would under-report overlaps)."""
+        if self._md is None:
+            return self._duck.get(name)
+        md = self._md
+        lo = hi = None
+        nulls = 0
+        for rg in range(md.num_row_groups):
+            group = md.row_group(rg)
+            col = next(
+                (
+                    group.column(i)
+                    for i in range(group.num_columns)
+                    if group.column(i).path_in_schema == name
+                ),
+                None,
+            )
+            stats = col.statistics if col is not None else None
+            if stats is None or not stats.has_min_max:
+                return None
+            nulls += stats.null_count or 0
+            mn, mx = stats.min, stats.max
+            lo = mn if lo is None else min(lo, mn)
+            hi = mx if hi is None else max(hi, mx)
+        return lo, hi, int(nulls)
+
+
+def _duck_stat_value(physical_type: str, s: str):
+    """One DuckDB-rendered stat string back to pyarrow's raw type,
+    keyed by the parquet PHYSICAL type (unambiguous, carried in the
+    same metadata row). Raises ValueError on anything unconvertible."""
+    import datetime as _dt
+
+    if physical_type in ("INT32", "INT64"):
+        try:
+            return int(s)
+        except ValueError:
+            # logical TIMESTAMP renders as a timestamp string
+            return _dt.datetime.fromisoformat(str(s))
+    if physical_type in ("FLOAT", "DOUBLE"):
+        return float(s)
+    if physical_type == "BOOLEAN":
+        return str(s).lower() == "true"
+    if physical_type == "INT96":
+        return _dt.datetime.fromisoformat(str(s))
+    return str(s)  # BYTE_ARRAY / FIXED_LEN_BYTE_ARRAY: UTF8 rendering
+
+
+def _duck_footer(path: str):
+    """(num_rows, {column: (min, max, nulls) | None}) via DuckDB.
+
+    Only TOP-LEVEL leaf columns get stats (a shredded variant's
+    subcolumn paths contain ', ' and never match a column name — their
+    stats are meaningless for file skipping anyway)."""
+    import duckdb
+
+    con = duckdb.connect()
+    try:
+        n_rows, n_groups = con.execute(
+            "SELECT num_rows, num_row_groups FROM parquet_file_metadata(?)",
+            [path],
+        ).fetchone()
+        rows = con.execute(
+            "SELECT path_in_schema, type, stats_min_value, stats_max_value,"
+            " stats_null_count FROM parquet_metadata(?)",
+            [path],
+        ).fetchall()
+    finally:
+        con.close()
+    per_col: dict[str, list] = {}
+    for name, typ, mn, mx, nc in rows:
+        per_col.setdefault(name, []).append((typ, mn, mx, nc))
+    stats: dict[str, tuple | None] = {}
+    for name, groups in per_col.items():
+        if len(groups) < int(n_groups):
+            stats[name] = None
+            continue
+        lo = hi = None
+        nulls = 0
+        ok = True
+        for typ, mn, mx, nc in groups:
+            if mn is None or mx is None:
+                ok = False
+                break
+            try:
+                mn, mx = _duck_stat_value(typ, mn), _duck_stat_value(typ, mx)
+            except (ValueError, TypeError):
+                ok = False
+                break
+            nulls += int(nc or 0)
+            lo = mn if lo is None else min(lo, mn)
+            hi = mx if hi is None else max(hi, mx)
+        stats[name] = (lo, hi, nulls) if ok else None
+    return int(n_rows), stats
+
+
+def _footer_col_stats(md: "FooterInfo", name: str):
+    """JSON-able min/max/null_count for the file index, or None."""
+    raw = md.col_stats(name)
+    if raw is None:
+        return None
+    jlo, jhi = _footer_jsonable(raw[0]), _footer_jsonable(raw[1])
     if jlo is None or jhi is None:
         return None
-    return {"min": jlo, "max": jhi, "nulls": int(nulls)}
+    return {"min": jlo, "max": jhi, "nulls": raw[2]}
 
 
 
@@ -272,8 +380,6 @@ class Catalog:
 
     # --- file/row stats (A30) ---
     def file_stats(self, table: str) -> dict:
-        import pyarrow.parquet as pq
-
         tdir = self.table_dir(table)
         files, bytes_, rows = 0, 0, 0
         for root, _dirs, names in os.walk(tdir):
@@ -283,7 +389,7 @@ class Catalog:
                 p = os.path.join(root, n)
                 files += 1
                 bytes_ += os.path.getsize(p)
-                rows += pq.read_metadata(p).num_rows
+                rows += FooterInfo(p).num_rows
         return {"table": table, "files": files, "bytes": bytes_, "rows": rows}
 
     # --- manifest-based data skipping -------------------------------
@@ -366,10 +472,8 @@ class Catalog:
 
     def _index_entry(self, tdir: str, relpath: str, columns) -> dict:
         """One file-index entry from a single footer read."""
-        import pyarrow.parquet as pq
-
         p = os.path.join(tdir, relpath)
-        md = pq.read_metadata(p)
+        md = FooterInfo(p)
         ts = _footer_col_stats(md, "tp_timestamp")
         entry = {
             "path": relpath,

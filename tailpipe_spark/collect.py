@@ -61,7 +61,17 @@ def apply_table_mapping(df: DataFrame, table: TableConfig) -> DataFrame:
             # reference emits NULL for unmapped declared columns)
             col = F.col(c.name) if c.name in df.columns else F.lit(None)
         if c.type:
-            col = col.cast(parse_type(c.type))
+            from pyspark.sql import types as T
+
+            target = parse_type(c.type)
+            if isinstance(target, T.VariantType):
+                # json-typed column: tokenize ONCE here, store variant
+                # binary (the reference's json storage type,
+                # ducklake_table.go:77-79). try_* keeps malformed input
+                # null-tolerant, matching the validation contract.
+                col = F.try_parse_json(col.cast("string"))
+            else:
+                col = col.cast(target)
         null_if = c.null_if if c.null_if is not None else table.null_if
         if null_if is not None:
             col = F.when(col.cast("string") == F.lit(null_if), None).otherwise(col)

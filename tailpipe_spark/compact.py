@@ -96,8 +96,13 @@ def enumerate_partition_keys(catalog: Catalog, table: str) -> list[PartitionKey]
 
 
 def file_stats(catalog: Catalog, table: str, key: PartitionKey) -> list[FileStat]:
-    """A22: per-file stats from parquet footers (no data read)."""
-    import pyarrow.parquet as pq
+    """A22: per-file stats from parquet footers (no data read).
+
+    Footers go through catalog.FooterInfo so files carrying types the
+    installed pyarrow cannot parse (VARIANT from json-typed columns)
+    still compact; a file with any stat-less row group is treated as
+    unranged rather than getting a partial (overlap-missing) range."""
+    from tailpipe_spark.catalog import FooterInfo
 
     d = os.path.join(catalog.table_dir(table), key.relpath)
     out = []
@@ -105,17 +110,9 @@ def file_stats(catalog: Catalog, table: str, key: PartitionKey) -> list[FileStat
         if not name.endswith(".parquet"):
             continue
         p = os.path.join(d, name)
-        md = pq.read_metadata(p)
-        mn = mx = None
-        try:
-            idx = md.schema.to_arrow_schema().get_field_index("tp_timestamp")
-            for rg in range(md.num_row_groups):
-                st = md.row_group(rg).column(idx).statistics
-                if st is not None and st.has_min_max:
-                    mn = st.min if mn is None else min(mn, st.min)
-                    mx = st.max if mx is None else max(mx, st.max)
-        except (KeyError, ValueError):
-            pass
+        md = FooterInfo(p)
+        ts = md.col_stats("tp_timestamp")
+        mn, mx = (ts[0], ts[1]) if ts else (None, None)
         out.append(FileStat(p, md.num_rows, os.path.getsize(p), mn, mx))
     return out
 

@@ -76,3 +76,22 @@ def json_get_int(col: Column | str, key: str) -> Column:
     fast = F.when(raw.rlike(r"^-?(?:0|[1-9]\d{0,8})$"), raw).cast("int")
     slow = F.try_variant_get(F.try_parse_json(c), f"$.{key}", "int")
     return F.when(flat & fast.isNotNull(), fast).otherwise(slow)
+
+
+def variant_get_int(col: Column | str, key: str) -> Column:
+    """Extract ``$.key`` as an integer from a STORED VARIANT column —
+    the fast path for ``json``-typed table columns, which the collect
+    pipeline parses once at ingest (collect.apply_table_mapping) and
+    stores as variant binary, mirroring the reference's DuckDB json
+    storage type (reference: internal/database/ducklake_table.go:77-79).
+
+    Probing the stored binary skips the per-query tokenizer entirely:
+    measured at the 10x bench scale (10M events), the same
+    extraction+agg runs 0.444 s over a stored-variant column vs 4.19 s
+    re-parsing the JSON string per query (min-of-5, value-identical;
+    SCALE_PROOF §json-ingest). Use :func:`json_get_int` only when the
+    column is still a raw JSON string."""
+    c = F.col(col) if isinstance(col, str) else col
+    if not key.replace("_", "").isalnum():
+        raise ValueError(f"variant_get_int key must be a plain name, got {key!r}")
+    return F.try_variant_get(c, f"$.{key}", "int")

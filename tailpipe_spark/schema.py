@@ -47,7 +47,13 @@ _SCALAR_TYPES: dict[str, T.DataType] = {
     "timestamp": T.TimestampType(),
     "datetime": T.TimestampType(),
     "date": T.DateType(),
-    "json": T.StringType(),  # json carried as string + JSON functions
+    # json is a REAL storage type, like the reference's DuckDB JSON
+    # columns (reference: internal/database/ducklake_table.go:77-79):
+    # parsed ONCE at collect (apply_table_mapping -> try_parse_json) and
+    # stored as Spark VARIANT binary, so every later query navigates the
+    # binary instead of re-tokenizing 6M strings per probe — measured
+    # 9.4x on the sf10 events extraction (SCALE_PROOF §json-ingest).
+    "json": T.VariantType(),
     "blob": T.BinaryType(),
     "binary": T.BinaryType(),
     "uuid": T.StringType(),

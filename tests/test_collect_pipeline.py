@@ -72,6 +72,83 @@ def test_collect_end_to_end(spark, workspace, metrics_chunks):
     assert st["rows_total"] == 10 and st["watermark"]
 
 
+def test_collect_json_column_stored_as_variant(spark, workspace, tmp_path):
+    """A ``json``-typed column is tokenized ONCE at collect and stored
+    as variant binary (the reference's DuckDB json storage type,
+    ducklake_table.go:77-79); queries then navigate the binary via
+    variant_get_int without re-parsing — measured 9.4x at 10M rows
+    (SCALE_PROOF §json-ingest). Malformed documents store NULL (try_
+    semantics), like the validation contract elsewhere."""
+    from pyspark.sql import types as T
+
+    from tailpipe_spark.functions.json_fast import variant_get_int
+    from tailpipe_spark.sources.formats import read_jsonl
+
+    rows = [
+        {"id": 1, "props": '{"k": 7, "tag": "a"}', "time": "2024-05-01T00:00:00"},
+        {"id": 2, "props": '{"k": -3, "nested": {"x": 1}}', "time": "2024-05-01T01:00:00"},
+        {"id": 3, "props": "not json at all", "time": "2024-05-01T02:00:00"},
+        {"id": 4, "props": None, "time": "2024-05-01T03:00:00"},
+    ]
+    p = tmp_path / "j.jsonl"
+    p.write_text("\n".join(json.dumps(r) for r in rows))
+    table = TableConfig(
+        name="jlogs",
+        columns=[
+            ColumnConfig(name="id", type="bigint"),
+            ColumnConfig(name="props", type="json"),
+            ColumnConfig(name="tp_timestamp", type="timestamp", source="time"),
+        ],
+        map_fields=[],
+    )
+    res = collect(
+        spark,
+        workspace,
+        table,
+        PartitionConfig("jlogs", "default"),
+        source_df=read_jsonl(spark, [str(p)]),
+    )
+    assert res.rows_written == 4
+    workspace.register_views(spark)
+    view = spark.table("jlogs")
+    assert isinstance(view.schema["props"].dataType, T.VariantType)
+    got = {
+        r["id"]: r["k"]
+        for r in view.select("id", variant_get_int("props", "k").alias("k")).collect()
+    }
+    assert got == {1: 7, 2: -3, 3: None, 4: None}
+    # catalog type string round-trips as "json"
+    assert workspace.table_schema("jlogs")["props"] == "json"
+
+
+def test_footer_backends_agree(spark, tmp_path):
+    """FooterInfo's DuckDB fallback (used when pyarrow can't parse a
+    footer carrying VARIANT) must report the SAME num_rows and raw-typed
+    column stats as the pyarrow primary — compaction's datetime
+    arithmetic and the jsonable file index both consume them."""
+    from tailpipe_spark.catalog import FooterInfo, _duck_footer
+
+    df = spark.createDataFrame(
+        [(i, datetime(2024, 5, 1 + i, 12, 0, 0), float(i)) for i in range(5)],
+        "id long, tp_timestamp timestamp, v double",
+    )
+    (tmp_path / "plain").mkdir()
+    df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "plain"))
+    pfile = next(
+        str(f) for f in (tmp_path / "plain").iterdir()
+        if f.name.endswith(".parquet")
+    )
+    fi = FooterInfo(pfile)
+    assert fi._md is not None  # pyarrow path on a plain file
+    duck_rows, duck_stats = _duck_footer(pfile)
+    assert duck_rows == fi.num_rows == 5
+    for col in ("id", "tp_timestamp", "v"):
+        pa = fi.col_stats(col)
+        dk = duck_stats[col]
+        assert pa is not None and dk is not None
+        assert pa == dk, f"{col}: pyarrow {pa} vs duckdb {dk}"
+
+
 def test_collect_drops_invalid_rows(spark, workspace, tmp_path):
     p = tmp_path / "c.jsonl"
     p.write_text(

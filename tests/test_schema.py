@@ -16,7 +16,10 @@ def test_parse_scalars():
     assert parse_type("INTEGER") == T.IntegerType()
     assert parse_type("double") == T.DoubleType()
     assert parse_type("timestamp") == T.TimestampType()
-    assert parse_type("json") == T.StringType()
+    # json is a real storage type (variant binary), parsed once at
+    # collect — the reference's DuckDB json column analog
+    assert parse_type("json") == T.VariantType()
+    assert to_type_string(T.VariantType()) == "json"
 
 
 def test_parse_nested():
