@@ -170,9 +170,29 @@ def distributed_cumsum(
     value_col: str,
     out_col: str = "cum_before",
     partitions: int | None = None,
+    persist_input: bool = False,
 ) -> DataFrame:
     """EXCLUSIVE running sum of ``value_col`` in global ``order_col``
     order, without the single-partition global window.
+
+    ``persist_input=True`` caches ``df`` (MEMORY_AND_DISK) before the
+    three consumers touch it — the boundary sketch, the per-bucket
+    totals branch (materialized for the offsets broadcast), and the
+    bucketed row branch each re-evaluate df's ENTIRE upstream plan
+    otherwise. Turn it on when that upstream is expensive (token-budget
+    curation featurizes every document's text: measured sf10, the same
+    plan drops 4.29 -> 2.70 s min-of-5 because featurization runs once
+    instead of three times; SCALE_PROOF §token-budget-jobs). Leave it
+    off when df is a cheap scan. Scale bound: what's cached is the
+    caller's PRUNED projection (order keys + value, tens of bytes per
+    row — orders of magnitude under corpus bytes), it spills to disk,
+    and the entry is reclaimed by Spark's ContextCleaner once the
+    returned plan is unreachable. A shared-exchange rewrite
+    (repartition on the bucket id as both branches' common child) was
+    tried first and does NOT work: column pruning rewrites each
+    branch's copy of the exchange child differently, so the subtrees
+    never match for ReusedExchange and the repartition only adds
+    shuffle (measured 5.0 -> 5.9 s; the recorded negative).
 
     The naive ``Window.orderBy(order_col)`` funnels the whole table
     through ONE task — the classic 100 TB cumsum killer. This is the
@@ -218,6 +238,12 @@ def distributed_cumsum(
     <= 32·n small tuples (the boundary sketch), not data.
     """
     spark = df.sparkSession
+    if persist_input:
+        from pyspark import StorageLevel
+
+        # persist BEFORE the sketch so its collect populates the cache
+        # and the two plan branches below read it back
+        df = df.persist(StorageLevel.MEMORY_AND_DISK)
     n = partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
     order_cols = [order_col] if isinstance(order_col, str) else list(order_col)
     key_cols = [F.col(c) for c in order_cols]
@@ -297,6 +323,7 @@ def budget_select(
     value_col: str,
     budget: int,
     out_col: str = "cum_total",
+    persist_input: bool = False,
 ) -> DataFrame:
     """Greedy prefix selection under a resource budget: rank rows by
     ``order_cols`` (a total order — best first, unique tiebreak last)
@@ -318,7 +345,8 @@ def budget_select(
     total (the audit column: max(out_col) is the spend).
     """
     with_cum = distributed_cumsum(
-        df, order_cols, value_col, out_col="__cum_before"
+        df, order_cols, value_col, out_col="__cum_before",
+        persist_input=persist_input,
     )
     return (
         with_cum.withColumn(out_col, F.col("__cum_before") + F.col(value_col))

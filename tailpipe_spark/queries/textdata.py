@@ -370,7 +370,14 @@ def data_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     stays <= the budget. The running sum is the two-phase
     range-partitioned distributed_cumsum — NO single-partition global
     window — so the same plan stands at 100 TB; the oracle replays the
-    ranking with a plain windowed SUM."""
+    ranking with a plain windowed SUM.
+
+    persist_input: the cumsum's three consumers (boundary sketch,
+    offsets branch, row branch) would each re-featurize every document
+    otherwise — featurization is the dominant wall here (1.17 of the
+    4.29 s sf10 total, run 3x). Caching the pruned 4-column projection
+    runs it once: 4.29 -> 2.70 s min-of-5 at sf10 (SCALE_PROOF
+    §token-budget-jobs)."""
     from tailpipe_spark.operators import sampling as sp
 
     feats = tx.quality_features(_docs(spark, sf_dir, parallel=True)).select(
@@ -380,7 +387,8 @@ def data_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         (-F.col("q_words")).alias("neg_words"),
     )
     sel = sp.budget_select(
-        feats, ["not_keep", "neg_words", "doc_id"], "q_words", _TOKEN_BUDGET
+        feats, ["not_keep", "neg_words", "doc_id"], "q_words", _TOKEN_BUDGET,
+        persist_input=True,
     )
     # cum_total is already LONG (F.sum over int + int); no cast needed
     return sel.select("doc_id", "q_words", "cum_total").orderBy("doc_id")
