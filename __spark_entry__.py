@@ -30,16 +30,23 @@ from tailpipe_spark.queries import build_registry
 # entries themselves, and finally the oldest-driver-signal cohort
 # (r4 then r5) to refresh their signal.
 _VERIFY_FIRST = [
-    # --- r12 rotation: plans CHANGED this round first (driver re-hash
-    # the same round, per the standing cadence), then r11's front
+    # --- r13 rotation: plans CHANGED this round first (driver re-hash
+    # the same round, per the standing cadence), then the r12 front
     # (freshest-last order preserved below). Rows-only entries are
     # structurally excluded from the driver window by _rotated() now,
     # so every fronted name here carries oracle SQL. ---
-    # NEW in r12: CCNet-style LM quality scoring — conditional char-
-    # trigram bits-per-gram over a charset-bounded broadcast model —
-    # and symmetric int8 embedding quantization (deterministic codes)
-    "text_lm_score",
+    # changed in r13: emb_quantize_int8 re-surfaced driver-safely
+    # (q_csv CSV serialization of the int8 codes — the raw array<int>
+    # column crashed the driver's pandas canonicalizer in r12; the raw
+    # surface lives in the local_only _arr twin now)
     "emb_quantize_int8",
+    # changed in r13: distributed_cumsum gained persist_input; the
+    # token-budget entry adopts it (featurize once, not 3x — sf10 wall
+    # 4.29 -> 1.86 s), pps shares the touched operator code
+    "data_token_budget",
+    "data_pps_sample",
+    # --- r12 front below ---
+    "text_lm_score",
     "sim_int8_topk",
     # changed in r12: grouped fixed-point long accumulation (dsum_fp /
     # dsum_fp_revenue) replaces the BigDecimal-per-row path — same
@@ -51,10 +58,7 @@ _VERIFY_FIRST = [
     # via broadcast_max_rows=0)
     "q_bloom_prune_join",
     "q_bloom_prune_anti",
-    # changed in r12: distributed_cumsum excludes NaN order keys from
-    # the boundary sketch — both prefix-sum consumers re-verified
-    "data_pps_sample",
-    "data_token_budget",
+    # (r12's prefix-sum pair now leads the r13 front above)
     # changed in r12: unconverged-budget warning added to both CC
     # loops (plan unchanged; re-verify the component chain anyway)
     "dedup_components",

@@ -293,6 +293,14 @@ def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     # scan floor that halves the extraction cost. The fallback's try_*
     # forms keep malformed input null-tolerant (r7 ADVICE) where r7's
     # plain parse_json threw.
+    #
+    # This entry measures the RAW-STRING path because the driver's
+    # testdata stores props as a string. Tables the engine collects
+    # itself declare the column `json`-typed and store variant binary
+    # (parsed once at ingest, the reference's json storage type) —
+    # probing that is 9.4x faster at sf10 (0.444 s vs this plan's
+    # 4.19 s; SCALE_PROOF §json-ingest, functions/json_fast.py
+    # variant_get_int).
     from tailpipe_spark.functions.json_fast import json_get_int
 
     k = json_get_int("props", "k")
