@@ -109,8 +109,13 @@ def _duck_stat_value(physical_type: str, s: str):
         try:
             return int(s)
         except ValueError:
-            # logical TIMESTAMP renders as a timestamp string
-            return _dt.datetime.fromisoformat(str(s))
+            # logical DATE renders as "YYYY-MM-DD" (pyarrow returns
+            # datetime.date there), logical TIMESTAMP as a full
+            # timestamp string (pyarrow returns datetime.datetime)
+            s = str(s)
+            if len(s) == 10:
+                return _dt.date.fromisoformat(s)
+            return _dt.datetime.fromisoformat(s)
     if physical_type in ("FLOAT", "DOUBLE"):
         return float(s)
     if physical_type == "BOOLEAN":
