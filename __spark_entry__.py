@@ -30,11 +30,18 @@ from tailpipe_spark.queries import build_registry
 # entries themselves, and finally the oldest-driver-signal cohort
 # (r4 then r5) to refresh their signal.
 _VERIFY_FIRST = [
-    # --- r13 rotation: plans CHANGED this round first (driver re-hash
-    # the same round, per the standing cadence), then the r12 front
-    # (freshest-last order preserved below). Rows-only entries are
-    # structurally excluded from the driver window by _rotated() now,
+    # --- r14 rotation: plans NEW/CHANGED this round first (driver
+    # re-hash the same round, per the standing cadence), then the r13
+    # front (freshest-last order preserved below). Rows-only entries
+    # are structurally excluded from the driver window by _rotated(),
     # so every fronted name here carries oracle SQL. ---
+    # new in r14: the json storage type's driver-visible surface —
+    # events collected through the engine with props declared `json`
+    # (variant at ingest, cached workspace keyed by fixture signature),
+    # probed via variant_get_int; oracle = DuckDB string path over the
+    # raw fixture (values identical; SCALE_PROOF §json-ingest)
+    "q_json_extract_variant",
+    # --- r13 front below ---
     # changed in r13: emb_quantize_int8 re-surfaced driver-safely
     # (q_csv CSV serialization of the int8 codes — the raw array<int>
     # column crashed the driver's pandas canonicalizer in r12; the raw
@@ -42,7 +49,10 @@ _VERIFY_FIRST = [
     "emb_quantize_int8",
     # changed in r13: distributed_cumsum gained persist_input; the
     # token-budget entry adopts it (featurize once, not 3x — sf10 wall
-    # 4.29 -> 1.86 s), pps shares the touched operator code
+    # 4.29 -> 2.70 s per-execution; the 1.86 s min-of-5 previously
+    # quoted here measured cache-warm reps and is withdrawn — bench.py
+    # now clearCache()s between timed reps, r13 ADVICE), pps shares the
+    # touched operator code
     "data_token_budget",
     "data_pps_sample",
     # --- r12 front below ---

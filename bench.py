@@ -175,6 +175,16 @@ def _run_attempt(
             df.write.format("noop").mode("overwrite").save()  # warm, untimed
             cold = time.time() - t_cold
             for _ in range(max(1, reps)):
+                # Enforce the protocol's "nothing cached between reps":
+                # a plan that embeds persist() (data_token_budget's
+                # featurize-once projection) would otherwise serve every
+                # timed rep from the CacheManager entry the warm rep
+                # populated, while DuckDB re-executes fully each rep
+                # (r13 ADVICE — the 1.86 s cached-rep min vs 2.70 s
+                # honest per-execution). clearCache is a no-op for the
+                # non-persisting plans; JIT/codegen/page-cache warmth
+                # survives it, so the warm rep keeps its purpose.
+                spark.catalog.clearCache()
                 t0 = time.time()
                 df.write.format("noop").mode("overwrite").save()
                 times.append(time.time() - t0)

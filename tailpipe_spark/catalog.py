@@ -55,7 +55,16 @@ class FooterInfo:
     O(footer) cost. Raw stat values keep pyarrow's types (tz-aware UTC
     datetimes for timestamps, int/float/str otherwise) so compaction's
     datetime arithmetic and the file index see one representation
-    regardless of backend."""
+    regardless of backend.
+
+    String-stat caveat (r13 verdict): parquet writers may store
+    TRUNCATED min/max for long BYTE_ARRAY values (a prefix with the
+    last byte bumped for max). Both backends surface the same truncated
+    footer values so backend parity holds, but consumers must treat
+    string stats as RANGE bounds only — never exact-equality prune on
+    them. Today's consumers (compaction time arithmetic, tp_timestamp
+    file index) touch only numeric/temporal stats, which parquet never
+    truncates."""
 
     def __init__(self, path: str):
         try:
@@ -111,7 +120,13 @@ def _duck_stat_value(physical_type: str, s: str):
         except ValueError:
             # logical DATE renders as "YYYY-MM-DD" (pyarrow returns
             # datetime.date there), logical TIMESTAMP as a full
-            # timestamp string (pyarrow returns datetime.datetime)
+            # timestamp string (pyarrow returns datetime.datetime).
+            # HEURISTIC SCOPE (r13 verdict): the length-10 key is sound
+            # only because DATE and TIMESTAMP are the engine's ONLY
+            # logical types riding INT32/64 — a future logical TIME
+            # ("HH:MM:SS.ffffff" can be 10 chars) or decimal-on-int
+            # rendering would misparse here; extend the branch when
+            # adding such a type, don't rely on the fallthrough.
             s = str(s)
             if len(s) == 10:
                 return _dt.date.fromisoformat(s)
@@ -254,6 +269,23 @@ class Catalog:
                     shutil.rmtree(p, ignore_errors=True)
             except OSError:
                 continue
+
+    # --- single-writer discipline ---
+    def writer_lock(self, owner: str):
+        """Reentrant single-writer section for this workspace's
+        metadata — the batch twin of streaming/rollup.py's pidfile+
+        flock discipline (shared protocol: tailpipe_spark.locking).
+        The reference is single-writer by construction
+        (SetMaxOpenConns(1), duck_db.go:62-63); the Spark engine's
+        manifest is read-modify-write JSON, so two concurrent
+        ``collect``/``compact`` runs on one workspace could lose an
+        update. Mutating verbs take this lock for their run: a second
+        LIVE writer is refused loudly (RuntimeError), a stale lock
+        from a crashed writer is stolen, and nesting (collect →
+        post-collect compaction) re-enters without deadlock."""
+        from tailpipe_spark.locking import writer_lock
+
+        return writer_lock(os.path.join(self.metadata_dir, "writer.lock"), owner)
 
     # --- manifest ---
     def _load(self) -> dict:

@@ -40,7 +40,32 @@ class CollectResult:
     to_time: str | None = None
 
 
-def apply_table_mapping(df: DataFrame, table: TableConfig) -> DataFrame:
+def legacy_json_storage(catalog, table: TableConfig) -> bool:
+    """True when an EXISTING table stores its ``json``-declared columns
+    as strings (a workspace collected before ``json`` became a variant
+    storage type). Detection: the manifest's frozen type for a
+    json-declared column reads ``varchar`` — exactly what the legacy
+    engine recorded (StringType → ``varchar`` in to_type_string).
+    Without this gate a new collect would append variant-typed files
+    into a string-typed table; string and variant parquet cannot merge,
+    so every later scan of the table would fail (ADVICE r13). Legacy
+    tables keep string storage for their lifetime; new tables always
+    get variant. A one-time rewrite (recollect with --overwrite into a
+    fresh table) upgrades a legacy table."""
+    try:
+        existing = catalog.table_schema(table.name)
+    except KeyError:
+        return False  # new table → variant storage
+    return any(
+        existing.get(c.name) == "varchar"
+        for c in table.columns
+        if c.type == "json"
+    )
+
+
+def apply_table_mapping(
+    df: DataFrame, table: TableConfig, json_as_variant: bool = True
+) -> DataFrame:
     """Projection/rename (A3), transform expressions (A4), null_if, and
     map_fields auto-mapping — the reference's per-column select clause
     (reference: internal/database/read_json_query.go:105-178)."""
@@ -65,11 +90,18 @@ def apply_table_mapping(df: DataFrame, table: TableConfig) -> DataFrame:
 
             target = parse_type(c.type)
             if isinstance(target, T.VariantType):
-                # json-typed column: tokenize ONCE here, store variant
-                # binary (the reference's json storage type,
-                # ducklake_table.go:77-79). try_* keeps malformed input
-                # null-tolerant, matching the validation contract.
-                col = F.try_parse_json(col.cast("string"))
+                if json_as_variant:
+                    # json-typed column: tokenize ONCE here, store
+                    # variant binary (the reference's json storage
+                    # type, ducklake_table.go:77-79). try_* keeps
+                    # malformed input null-tolerant, matching the
+                    # validation contract.
+                    col = F.try_parse_json(col.cast("string"))
+                else:
+                    # legacy workspace: the table already holds this
+                    # column as string parquet — keep storing string
+                    # (see legacy_json_storage)
+                    col = col.cast("string")
             else:
                 col = col.cast(target)
         null_if = c.null_if if c.null_if is not None else table.null_if
@@ -178,7 +210,31 @@ def collect(
     before the last collected tp_timestamp are skipped — the reference's
     collection-state semantics (reference: internal/config/
     partition.go:105-108). An explicit ``time_from`` wins over resume.
-    """
+
+    Runs under the workspace writer lock (Catalog.writer_lock): a
+    second live ``collect``/``compact`` on the same workspace is
+    refused with RuntimeError instead of racing the manifest — the
+    reference's single-writer discipline (duck_db.go:62-63)."""
+    with catalog.writer_lock(f"collect {table.name}.{partition.name}"):
+        return _collect_impl(
+            spark, catalog, table, partition, source_df, time_from,
+            time_to, overwrite, timestamp_source, required, resume,
+        )
+
+
+def _collect_impl(
+    spark: SparkSession,
+    catalog: Catalog,
+    table: TableConfig,
+    partition: PartitionConfig,
+    source_df: DataFrame | None,
+    time_from: datetime | None,
+    time_to: datetime | None,
+    overwrite: bool,
+    timestamp_source: str,
+    required: tuple[str, ...],
+    resume: bool,
+) -> CollectResult:
     if source_df is None:
         from tailpipe_spark.sources.file_source import FileSource
 
@@ -207,7 +263,15 @@ def collect(
         except KeyError:
             pass  # table doesn't exist yet
 
-    df = apply_table_mapping(source_df, table) if table.columns or table.map_fields != ["*"] else source_df
+    df = (
+        apply_table_mapping(
+            source_df,
+            table,
+            json_as_variant=not legacy_json_storage(catalog, table),
+        )
+        if table.columns or table.map_fields != ["*"]
+        else source_df
+    )
 
     if timestamp_source != "tp_timestamp":
         df = df.withColumn("tp_timestamp", F.col(timestamp_source))

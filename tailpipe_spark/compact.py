@@ -225,7 +225,25 @@ def bucket_rewrite(
     the layout is a deliberate cluster-scale flag and a small
     workspace may be about to grow into it — but the user hears the
     single-node cost before paying it.
+
+    Runs under the workspace writer lock (see compact_table);
+    reentrant when reached through compact_table or collect.
     """
+    with catalog.writer_lock(f"bucket_rewrite {table}"):
+        return _bucket_rewrite_locked(
+            spark, catalog, table, bucket_by, num_buckets, sort_by, force
+        )
+
+
+def _bucket_rewrite_locked(
+    spark: SparkSession,
+    catalog: Catalog,
+    table: str,
+    bucket_by: list[str],
+    num_buckets: int | None,
+    sort_by: list[str] | None,
+    force: bool,
+) -> dict:
     import shutil
 
     stats = catalog.file_stats(table)
@@ -312,7 +330,29 @@ def compact_table(
     routes through :func:`bucket_rewrite` with the manifest's spec (a
     plain time-ordered rewrite would silently destroy the bucket
     clustering the layout promises to readers).
+
+    Runs under the workspace writer lock (Catalog.writer_lock, shared
+    pidfile+flock protocol with collect and the streaming rollup): a
+    second live writer on this workspace is refused, never raced.
     """
+    import shutil
+
+    with catalog.writer_lock(f"compact {table}"):
+        return _compact_table_locked(
+            spark, catalog, table, reindex_expr, small_file_bytes,
+            max_chunk_rows, zorder_by,
+        )
+
+
+def _compact_table_locked(
+    spark: SparkSession,
+    catalog: Catalog,
+    table: str,
+    reindex_expr: str | None,
+    small_file_bytes: int,
+    max_chunk_rows: int,
+    zorder_by: list[str] | None,
+) -> dict:
     import shutil
 
     lay = catalog.table_layout(table)

@@ -185,9 +185,19 @@ def distributed_cumsum(
     instead of three times; SCALE_PROOF §token-budget-jobs). Leave it
     off when df is a cheap scan. Scale bound: what's cached is the
     caller's PRUNED projection (order keys + value, tens of bytes per
-    row — orders of magnitude under corpus bytes), it spills to disk,
-    and the entry is reclaimed by Spark's ContextCleaner once the
-    returned plan is unreachable. A shared-exchange rewrite
+    row — orders of magnitude under corpus bytes) and it spills to
+    disk. LIFECYCLE — the caller owns cleanup: Spark's CacheManager
+    holds a strong reference to the persisted plan for the SESSION
+    lifetime (ContextCleaner reclaims RDD/broadcast/shuffle state of
+    unreachable objects, NOT catalog cache entries), so in a long-lived
+    session the entry accumulates storage until unpersisted, and — the
+    sharper edge — it can serve STALE rows if the upstream table is
+    re-collected or compacted after first materialization (the cache
+    key is the analyzed plan, not the files). The persisted handle is
+    exposed as ``result._persisted_input``; call
+    ``result._persisted_input.unpersist()`` after the result is
+    materialized, or ``spark.catalog.clearCache()`` between pipeline
+    stages (r13 ADVICE). A shared-exchange rewrite
     (repartition on the bucket id as both branches' common child) was
     tried first and does NOT work: column pruning rewrites each
     branch's copy of the exchange child differently, so the subtrees
@@ -307,7 +317,7 @@ def distributed_cumsum(
     offsets = part_totals.select(
         "__bkt", F.coalesce(F.sum("__psum").over(off_w), F.lit(0)).alias("__off")
     )
-    return (
+    out = (
         d.join(F.broadcast(offsets), "__bkt")
         .withColumn(
             out_col,
@@ -315,6 +325,11 @@ def distributed_cumsum(
         )
         .drop("__bkt", "__off")
     )
+    if persist_input:
+        # expose the handle so callers can unpersist once materialized
+        # (CacheManager keeps it for the session otherwise — docstring)
+        out._persisted_input = df
+    return out
 
 
 def budget_select(
@@ -342,17 +357,23 @@ def budget_select(
     60k docs and 100 TB.
 
     Returns the selected rows with ``out_col`` = inclusive running
-    total (the audit column: max(out_col) is the spend).
+    total (the audit column: max(out_col) is the spend). With
+    ``persist_input=True`` the caller owns the cache entry's lifetime
+    (see :func:`distributed_cumsum`); the handle is re-exposed as
+    ``result._persisted_input``.
     """
     with_cum = distributed_cumsum(
         df, order_cols, value_col, out_col="__cum_before",
         persist_input=persist_input,
     )
-    return (
+    out = (
         with_cum.withColumn(out_col, F.col("__cum_before") + F.col(value_col))
         .where(F.col(out_col) <= budget)
         .drop("__cum_before")
     )
+    if persist_input:
+        out._persisted_input = with_cum._persisted_input
+    return out
 
 
 def pps_systematic(

@@ -327,6 +327,117 @@ GROUP BY event_type ORDER BY event_type
 """
 
 
+# --- JSON extraction over the engine's OWN storage type: props collected
+#     as `json` (variant binary, parsed once at ingest) ---
+
+def _fixture_signature(path: str) -> str:
+    """Size+mtime signature of a parquet fixture (file or directory) —
+    cache invalidation key for engine-collected copies of it."""
+    import os
+
+    total, mtime = 0, 0.0
+    if os.path.isdir(path):
+        for root, _d, names in os.walk(path):
+            for n in names:
+                p = os.path.join(root, n)
+                st = os.stat(p)
+                total += st.st_size
+                mtime = max(mtime, st.st_mtime)
+    else:
+        st = os.stat(path)
+        total, mtime = st.st_size, st.st_mtime
+    return f"{os.path.abspath(path)}|{total}|{int(mtime)}"
+
+
+def _variant_events_catalog(spark: SparkSession, sf_dir: str):
+    """Collect the events fixture through the ENGINE once per sf_dir
+    with ``props`` declared ``json`` — so it is tokenized at ingest
+    (collect.apply_table_mapping → try_parse_json) and stored as
+    variant binary, the reference's json storage type
+    (reference: internal/database/ducklake_table.go:77-79,
+    read_json_query.go:25-87 parse-at-convert). The collected workspace
+    is cached under ``<repo>/.vcache`` keyed by the fixture's
+    size+mtime signature, so the one-time ingest cost never rides a
+    per-query measurement; rebuilds happen only when the fixture
+    changes. Returns the Catalog holding the variant-typed ``events``
+    table."""
+    import hashlib
+    import os
+    import shutil
+
+    from tailpipe_spark.catalog import Catalog
+
+    src = f"{sf_dir}/events.parquet"
+    sig = _fixture_signature(src)
+    digest = hashlib.sha1(sig.encode()).hexdigest()[:16]
+    repo_root = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    ws = os.path.join(repo_root, ".vcache", f"events_{digest}")
+    sig_path = os.path.join(ws, "_SIG")
+    try:
+        with open(sig_path) as fh:
+            if fh.read() == sig:
+                return Catalog(ws)
+    except OSError:
+        pass
+    from tailpipe_spark.collect import collect
+    from tailpipe_spark.config import ColumnConfig, PartitionConfig, TableConfig
+
+    tmp = f"{ws}.build.{os.getpid()}"
+    shutil.rmtree(tmp, ignore_errors=True)
+    cat = Catalog(tmp)
+    table = TableConfig(
+        name="events",
+        columns=[
+            ColumnConfig(name="event_id", type="bigint"),
+            ColumnConfig(name="event_type", type="varchar"),
+            ColumnConfig(name="props", type="json"),
+            ColumnConfig(name="tp_timestamp", type="timestamp", source="ts"),
+        ],
+        map_fields=[],
+    )
+    collect(
+        spark,
+        cat,
+        table,
+        PartitionConfig("events", "default"),
+        source_df=_t(spark, sf_dir, "events"),
+    )
+    with open(os.path.join(tmp, "_SIG"), "w") as fh:
+        fh.write(sig)
+    shutil.rmtree(ws, ignore_errors=True)
+    os.rename(tmp, ws)
+    return Catalog(ws)
+
+
+def q_json_extract_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME extraction+agg as q_json_extract, but over the engine's
+    own ``json`` storage type: props is variant binary (parsed ONCE at
+    collect), so the probe navigates the stored binary instead of
+    re-tokenizing every string per query. sf10 A/B (10M events,
+    min-of-5, value-identical): stored-variant probe 0.444 s vs raw
+    string re-parse 4.19 s — 9.4x (SCALE_PROOF §json-ingest). The
+    oracle runs DuckDB's string-path extraction over the RAW fixture;
+    values are identical because ingest is a pure parse."""
+    from tailpipe_spark.functions.json_fast import variant_get_int
+
+    cat = _variant_events_catalog(spark, sf_dir)
+    e = cat.read_table(spark, "events")
+    k = variant_get_int("props", "k")
+    return (
+        e.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
 # --- tp_* enrichment (A6/A7 + collector_synthetic tp columns) ---
 
 def q_tp_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -684,6 +795,7 @@ SPECS = [
     QuerySpec("q_asof_join", q_asof_join, Q_ASOF_SQL, "as-of join (union+window plan vs DuckDB ASOF JOIN)"),
     QuerySpec("q_range_join", q_range_join, Q_RANGE_JOIN_SQL, "interval range join (bucketed equi-join plan)"),
     QuerySpec("q_json_extract", q_json_extract, Q_JSON_SQL, "JSON field extraction + agg"),
+    QuerySpec("q_json_extract_variant", q_json_extract_variant, Q_JSON_SQL, "same extraction over the engine's json storage type: variant binary parsed once at ingest (9.4x vs per-query string parse at sf10)"),
     QuerySpec("q_tp_enrichment", q_tp_enrichment, Q_TP_ENRICH_SQL, "tp_* enrichment semantics (A6/A7)"),
     QuerySpec("q_validate_nulls", q_validate_nulls, Q_VALIDATE_SQL, "required-column null report (A11)"),
     QuerySpec("q_cli_filters", q_cli_filters, Q_CLI_FILTERS_SQL, "--from/--to/--index filters (A10/A17)"),

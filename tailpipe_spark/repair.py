@@ -17,9 +17,27 @@ from __future__ import annotations
 import os
 import re
 
-from tailpipe_spark.catalog import Catalog
+from tailpipe_spark.catalog import Catalog, FooterInfo
 
 INVALID_SUFFIX = ".invalid"
+
+
+def _footer_readable(path: str) -> bool:
+    """True when at least one footer backend can parse the file.
+
+    MUST go through FooterInfo, not bare pyarrow: pyarrow <18 rejects
+    footers carrying logical types it doesn't know — concretely VARIANT,
+    which the engine writes for ``json``-typed columns — with
+    ``OSError: Thrift LogicalType that is not recognized``. Treating
+    that as corruption would quarantine every valid variant-bearing
+    file and silently drop the table's rows; FooterInfo falls back to
+    DuckDB's ``parquet_metadata()`` for exactly that class. A file both
+    backends reject is genuinely corrupt."""
+    try:
+        FooterInfo(path)
+        return True
+    except Exception:  # noqa: BLE001 — any dual-backend failure = corrupt
+        return False
 
 
 def quarantine_invalid_files(catalog: Catalog, table: str) -> list[str]:
@@ -27,8 +45,6 @@ def quarantine_invalid_files(catalog: Catalog, table: str) -> list[str]:
     listing ignores extensions, so an in-place rename would still be
     scanned) into ``<workspace>/quarantine/<table>/…``; returns the
     quarantined paths."""
-    import pyarrow.parquet as pq
-
     base = catalog.table_dir(table)
     qdir = os.path.join(catalog.workspace, "quarantine", table)
     moved = []
@@ -37,9 +53,7 @@ def quarantine_invalid_files(catalog: Catalog, table: str) -> list[str]:
             if not n.endswith(".parquet"):
                 continue
             p = os.path.join(root, n)
-            try:
-                pq.read_metadata(p)
-            except Exception:  # noqa: BLE001 — any footer failure = corrupt
+            if not _footer_readable(p):
                 import time as _time
 
                 rel = os.path.relpath(p, base)

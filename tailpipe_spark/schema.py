@@ -53,6 +53,10 @@ _SCALAR_TYPES: dict[str, T.DataType] = {
     # stored as Spark VARIANT binary, so every later query navigates the
     # binary instead of re-tokenizing 6M strings per probe — measured
     # 9.4x on the sf10 events extraction (SCALE_PROOF §json-ingest).
+    # Pre-variant workspaces (json stored as string, manifest type
+    # "varchar") keep string storage — collect.legacy_json_storage
+    # gates the mapping so string and variant files never mix in one
+    # table.
     "json": T.VariantType(),
     "blob": T.BinaryType(),
     "binary": T.BinaryType(),

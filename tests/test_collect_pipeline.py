@@ -121,6 +121,56 @@ def test_collect_json_column_stored_as_variant(spark, workspace, tmp_path):
     assert workspace.table_schema("jlogs")["props"] == "json"
 
 
+def test_legacy_string_json_table_keeps_string_storage(spark, workspace, tmp_path):
+    """Migration gate (ADVICE r13): a workspace whose json-declared
+    column was collected by the pre-variant engine holds STRING parquet
+    and a manifest type of ``varchar``. A new collect with the same
+    ``json`` declaration must keep appending string (variant and string
+    files cannot merge in one scan) rather than corrupting the table or
+    raising SchemaChangeError at the upgrade boundary."""
+    from pyspark.sql import types as T
+
+    from tailpipe_spark.sources.formats import read_jsonl
+
+    def chunk(path, ids):
+        path.write_text(
+            "\n".join(
+                json.dumps({"id": i, "props": '{"k": %d}' % i,
+                            "time": "2024-05-01T00:00:00"})
+                for i in ids
+            )
+        )
+        return read_jsonl(spark, [str(path)])
+
+    def cfg(props_type):
+        return TableConfig(
+            name="legacyj",
+            columns=[
+                ColumnConfig(name="id", type="bigint"),
+                ColumnConfig(name="props", type=props_type),
+                ColumnConfig(name="tp_timestamp", type="timestamp", source="time"),
+            ],
+            map_fields=[],
+        )
+
+    # legacy collect: the old engine stored json as string → declared
+    # varchar reproduces its on-disk layout and manifest entry exactly
+    collect(spark, workspace, cfg("varchar"),
+            PartitionConfig("legacyj", "default"),
+            source_df=chunk(tmp_path / "l1.jsonl", [1, 2]))
+    assert workspace.table_schema("legacyj")["props"] == "varchar"
+
+    # upgraded engine, same user config now meaning variant: must detect
+    # the legacy layout and keep string
+    collect(spark, workspace, cfg("json"),
+            PartitionConfig("legacyj", "default"),
+            source_df=chunk(tmp_path / "l2.jsonl", [3, 4]))
+    workspace.register_views(spark)
+    view = spark.table("legacyj")
+    assert isinstance(view.schema["props"].dataType, T.StringType)
+    assert view.count() == 4
+
+
 def test_footer_backends_agree(spark, tmp_path):
     """FooterInfo's DuckDB fallback (used when pyarrow can't parse a
     footer carrying VARIANT) must report the SAME num_rows and raw-typed

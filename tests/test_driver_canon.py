@@ -88,8 +88,10 @@ def test_no_driver_facing_entry_surfaces_complex_types(spark):
     the driver's pandas canonicalizer sorts rows over all output columns
     and crashes on list cells (`TypeError: unhashable type: 'list'` —
     emb_quantize_int8's err row in CORRECTNESS_r12). No driver-facing
-    entry may surface an array/map/struct column; serialize (CSV/JSON)
-    or digest instead, and keep the raw surface in a local_only twin."""
+    entry may surface an array/map/struct/variant column (VariantVal
+    cells are likewise unsortable/unhashable in pandas); serialize
+    (CSV/JSON) or digest instead, and keep the raw surface in a
+    local_only twin."""
     import __spark_entry__ as entry_mod
 
     from tools.check_correctness import _complex_cols

@@ -124,3 +124,36 @@ def test_json_get_int_rejects_pathy_keys():
         json_get_int("props", "a.b")
     with pytest.raises(ValueError):
         json_get_int("props", 'x"]')
+
+
+def test_q_json_extract_variant_matches_raw_path(spark):
+    """The driver-visible json-storage entry (r14): events collected
+    through the engine with props declared `json` must (a) actually
+    store VARIANT, (b) produce aggregates identical to the raw-string
+    extraction plan, and (c) reuse the cached workspace on the second
+    call instead of re-collecting."""
+    import os
+
+    from pyspark.sql import types as T
+
+    from tailpipe_spark.queries.timeseries import (
+        _variant_events_catalog,
+        q_json_extract,
+        q_json_extract_variant,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    cat = _variant_events_catalog(spark, sf)
+    view = cat.read_table(spark, "events")
+    assert isinstance(view.schema["props"].dataType, T.VariantType)
+
+    got = {tuple(r) for r in q_json_extract_variant(spark, sf).collect()}
+    want = {tuple(r) for r in q_json_extract(spark, sf).collect()}
+    assert got == want and got
+
+    # second call must be a cache hit: manifest mtime unchanged
+    manifest = cat.manifest_path
+    m0 = os.path.getmtime(manifest)
+    cat2 = _variant_events_catalog(spark, sf)
+    assert cat2.workspace == cat.workspace
+    assert os.path.getmtime(manifest) == m0

@@ -47,6 +47,57 @@ def test_quarantine_corrupt_parquet(spark, workspace, tmp_path):
     assert snaps[-1]["op"] == "quarantine"
 
 
+def test_variant_table_survives_quarantine(spark, workspace, tmp_path):
+    """A collected ``json``-typed (VARIANT parquet) table must NOT be
+    quarantined: pyarrow <18 rejects VARIANT footers with OSError, and a
+    bare-pyarrow corruption test would classify every such valid file as
+    corrupt and silently drop the table's rows. Footer validation goes
+    through FooterInfo's DuckDB fallback instead (ADVICE r13)."""
+    from tailpipe_spark.collect import collect
+    from tailpipe_spark.config import ColumnConfig, PartitionConfig, TableConfig
+    from tailpipe_spark.sources.formats import read_jsonl
+
+    p = tmp_path / "v.jsonl"
+    p.write_text(
+        "\n".join(
+            json.dumps({"id": i, "props": '{"k": %d}' % i,
+                        "time": "2024-05-01T00:00:00"})
+            for i in range(3)
+        )
+    )
+    table = TableConfig(
+        name="vq",
+        columns=[
+            ColumnConfig(name="id", type="bigint"),
+            ColumnConfig(name="props", type="json"),
+            ColumnConfig(name="tp_timestamp", type="timestamp", source="time"),
+        ],
+        map_fields=[],
+    )
+    collect(spark, workspace, table, PartitionConfig("vq", "default"),
+            source_df=read_jsonl(spark, [str(p)]))
+
+    # precondition: the variant footer really is pyarrow-unreadable here
+    # (if a future pyarrow gains VARIANT this test still passes — the
+    # sweep must leave the files alone either way)
+    moved = quarantine_invalid_files(workspace, "vq")
+    assert moved == []
+    assert workspace.read_table(spark, "vq").count() == 3
+
+    # and a genuinely corrupt file in the SAME variant table still goes
+    import os
+
+    part_dir = next(
+        root for root, _d, names in os.walk(workspace.table_dir("vq"))
+        if any(n.endswith(".parquet") for n in names)
+    )
+    with open(os.path.join(part_dir, "part-bad.parquet"), "wb") as f:
+        f.write(b"junk")
+    moved = quarantine_invalid_files(workspace, "vq")
+    assert len(moved) == 1
+    assert workspace.read_table(spark, "vq").count() == 3
+
+
 def test_parse_synthetic_spec():
     s = parse_synthetic_spec("synthetic_50cols_2000000rows_10000chunk_100ms")
     assert (s.cols, s.rows, s.chunk_size, s.interval_ms) == (50, 2000000, 10000, 100)

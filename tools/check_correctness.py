@@ -131,14 +131,18 @@ def _complex_cols(schema) -> list[str]:
     type. Driver-hash-unsafe for a different reason than DECIMAL: the
     driver's pandas canonicalizer sorts rows over all columns, and a list
     cell is unhashable there (`TypeError: unhashable type: 'list'` — the
-    r12 emb_quantize_int8 err row). Only local_only twins may surface
-    them; driver entries serialize (CSV/JSON) or digest instead."""
+    r12 emb_quantize_int8 err row). VariantType is in the same class:
+    VariantVal cells are neither sortable nor hashable in pandas. Only
+    local_only twins may surface them; driver entries serialize
+    (CSV/JSON) or digest instead."""
     from pyspark.sql import types as T
 
     return [
         f.name
         for f in schema.fields
-        if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType))
+        if isinstance(
+            f.dataType, (T.ArrayType, T.MapType, T.StructType, T.VariantType)
+        )
     ]
 
 
