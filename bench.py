@@ -58,6 +58,18 @@ HEADLINE = [
 _DUCKDB_REF_SEC = 2.92
 _CONTENTION_DRIFT = 0.20
 
+# Second, SF-independent contention trigger (r13 verdict ask #6): the
+# DuckDB-drift flag only works where a quiet-box reference is pinned
+# (sf0.1 full-headline runs), so the sf10 weak-set refreshes could ship
+# captures at measurable hypervisor steal (r13: 3.15%) with
+# `contended: false`. Steal measured over the attempt's own window
+# needs no reference — any attempt whose steal_pct exceeds this
+# threshold self-labels contended and triggers the same bounded
+# auto-retry. 1% ≈ the quiet-box ceiling observed across the r12/r13
+# clean sessions (0.2-0.8%); override with SPARK_GRAFT_STEAL_MAX
+# (<=0 disables).
+_STEAL_CONTENTION_PCT = 1.0
+
 
 def _loadavg() -> list[float]:
     try:
@@ -254,13 +266,20 @@ def _run_attempt(
             if abs(sf - 0.1) < 1e-9 and len(common) == len(HEADLINE)
             else 0.0
         )
-    contended = bool(
-        duck_ref > 0 and duck_common > duck_ref * (1 + _CONTENTION_DRIFT)
-    )
     ticks_end = _cpu_ticks()
     d_busy = ticks_end[0] - ticks_start[0]
     d_idle = ticks_end[1] - ticks_start[1]
     d_steal = ticks_end[2] - ticks_start[2]
+    steal_pct = (
+        round(100.0 * d_steal / (d_busy + d_idle), 2)
+        if (d_busy + d_idle) > 0
+        else None
+    )
+    steal_max = float(os.environ.get("SPARK_GRAFT_STEAL_MAX",
+                                     str(_STEAL_CONTENTION_PCT)))
+    contended = bool(
+        duck_ref > 0 and duck_common > duck_ref * (1 + _CONTENTION_DRIFT)
+    ) or bool(steal_max > 0 and steal_pct is not None and steal_pct > steal_max)
     telemetry = {
         "loadavg_start": load_start,
         "loadavg_end": _loadavg(),
@@ -268,11 +287,8 @@ def _run_attempt(
         "running_procs_end": _running_procs(),
         # share of this VM's CPU time stolen by the hypervisor over the
         # whole bench window (steal is counted inside busy)
-        "steal_pct": (
-            round(100.0 * d_steal / (d_busy + d_idle), 2)
-            if (d_busy + d_idle) > 0
-            else None
-        ),
+        "steal_pct": steal_pct,
+        "steal_max_pct": steal_max if steal_max > 0 else None,
         "busy_pct": (
             round(100.0 * d_busy / (d_busy + d_idle), 2)
             if (d_busy + d_idle) > 0

@@ -244,7 +244,16 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     2× the bytes (its probe side explodes into 2 buckets) and AQE
     runtime-broadcasts its ~1.7M-row error side at sf10 unless pinned
     to merge (measured 8 GB driver OOM) — so the 1×-shuffle window
-    frame stays the product plan; the trade is recorded, not guessed."""
+    frame stays the product plan; the trade is recorded, not guessed.
+
+    r14 final A/B — profile CLOSED: the user semi-reduce removes zero
+    rows (100% of users are error-bearing at sf0.1 and sf10) and the
+    time-bloom prefilter (80% window-input reduction, values identical)
+    measured 4.32 s vs this plan's 2.68 s at sf10 — the per-execution
+    bloom build + second scan outweigh the smaller sort
+    (tools/ab_range_join_bloom.py; SCALE_PROOF §range-join-bloom).
+    Every structural lever is now measured; the residual vs DuckDB is
+    the JVM sort constant on a 10M-row window, amortized by fan-out."""
     from tailpipe_spark.operators.range_join import following_window_agg
 
     e = _t(spark, sf_dir, "events")

@@ -160,9 +160,14 @@ def main() -> int:
     con = duckdb.connect()
     for t in TEST_TABLES:
         con.execute(
-            # generated bench sets (tools/gen_sf.py) are directories
+            # generated bench sets (tools/gen_sf.py) are flat
+            # directories; engine-workspace twins (the bucketed-layout
+            # invariance sweep, r14) are HIVE trees — the recursive
+            # glob covers both (zero-or-more dirs), and DuckDB's
+            # auto hive_partitioning surfaces tp_* partition columns,
+            # which named-column oracle SQL never touches
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet"
-            + ("/*.parquet')" if os.path.isdir(f"{sf_dir}/{t}.parquet") else "')")
+            + ("/**/*.parquet')" if os.path.isdir(f"{sf_dir}/{t}.parquet") else "')")
         )
 
     # The full registry INCLUDING local_only exactness twins — the
