@@ -587,13 +587,28 @@ def q_topk_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer's revenue is orders of magnitude under the 2^53-micro-
     unit bound), hash-checked against the UNCHANGED decimal oracle.
     The remaining wall is the 15M-row join + 1.5M-group agg engine
-    constant that scale-out amortizes."""
+    constant that scale-out amortizes.
+
+    r14 (optimization round): aggregate BEFORE the customer join (guide
+    §2.3 "aggregate before you shuffle", lifted to the join input).
+    The customer join only attaches c_nationkey — a PK 1:1 lookup — so
+    grouping the 15M orders by o_custkey first and joining the ~1M
+    aggregated rows afterwards computes the identical per-customer sum
+    (same multiset of longs; long addition is exact and
+    order-independent; the per-group divide happens in the same
+    custkey group either way) while the join and everything after it
+    touch 15x fewer rows. Measured min-of-5 interleaved, values
+    hash-identical (tools/ab_r14_topk_preagg.py): sf10 3.53 -> 2.17 s
+    (-38%), sf0.1 0.476 -> 0.405 s. Scale-safe: when customer outgrows
+    the broadcast threshold the fallback SMJ sorts the 1M-row
+    aggregate, not the 15M-row fact."""
     o = _t(spark, sf_dir, "orders")
     c = _t(spark, sf_dir, "customer")
     rev = (
-        o.join(c, o.o_custkey == c.c_custkey)
-        .groupBy("c_custkey", "c_nationkey")
+        o.groupBy("o_custkey")
         .agg(dsum_fp("o_totalprice", "revenue"))
+        .join(c, F.col("o_custkey") == c.c_custkey)
+        .select("c_custkey", "c_nationkey", "revenue")
     )
     w = Window.partitionBy("c_nationkey").orderBy(
         F.col("revenue").desc(), F.col("c_custkey").asc()
