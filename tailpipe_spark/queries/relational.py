@@ -215,9 +215,25 @@ LIMIT 10
 # --- q05: local-supplier volume (6-way join, broadcast dims) ---
 
 def q05_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Dim-last shape, deliberately: unlike q03, the customer join here
-    # is NOT a pure filter (c_nationkey and n_name must survive), so no
-    # semi-join reduction applies. Three reduction shapes were A/B'd at
+    # r14 (optimization round): the customer join IS a pure filter —
+    # n_name rides supplier.s_nationkey -> nation, and no customer
+    # column survives the projection — so the q03 semi-join lesson
+    # applies after all (earlier rounds' "c_nationkey must survive"
+    # note predated the s_nationkey-keyed nation join). customer is now
+    # a LEFT SEMI join on BOTH equi conditions (o_custkey = c_custkey
+    # AND s_nationkey = c_nationkey); c_custkey is a PK so the inner
+    # form had <=1 match per fact row and row multiplicity is
+    # unchanged — values hash-identical at sf0.1 and sf10
+    # (tools/ab_r14_q05_semi.py). Measured min-of-5 interleaved: sf10
+    # 8.49 -> 6.84 s on a noisy window (-19%; every semi rep under the
+    # inner plan's min), sf0.1 a wash (0.849 vs 0.843). The semi probe
+    # carries no customer payload through the join, and Catalyst's
+    # semi output-size estimate (bounded by the left side) preserves
+    # the scale-adaptive broadcast/SMJ switching the round-9 A/B table
+    # below established.
+    #
+    # Historical shape notes (pre-r14, inner-join regime): three
+    # reduction shapes were A/B'd at
     # three scales (tools/ab_q03_order.py, interleaved rebuild+noop-save
     # reps) and ALL measured worse where it matters:
     #   dim-first inner reorder: sf0.1 0.66, sf1 3.66 (vs current 0.47 /
@@ -257,9 +273,13 @@ def q05_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
-        .filter(cust.c_nationkey == sup.s_nationkey)
+        .join(
+            cust,
+            (orders.o_custkey == cust.c_custkey)
+            & (sup.s_nationkey == cust.c_nationkey),
+            "left_semi",
+        )
         .join(F.broadcast(nation), sup.s_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("n_name")
