@@ -372,12 +372,18 @@ def data_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     window — so the same plan stands at 100 TB; the oracle replays the
     ranking with a plain windowed SUM.
 
-    persist_input: the cumsum's three consumers (boundary sketch,
-    offsets branch, row branch) would each re-featurize every document
-    otherwise — featurization is the dominant wall here (1.17 of the
-    4.29 s sf10 total, run 3x). Caching the pruned 4-column projection
-    runs it once: 4.29 -> 2.70 s min-of-5 at sf10 (SCALE_PROOF
-    §token-budget-jobs)."""
+    r14 (optimization round): every document's q_words is >= 1 (the
+    split of the collapsed normalized text is never empty), so
+    ``unit_lower_bound=1`` lets budget_select bound the selectable
+    prefix at ``_TOKEN_BUDGET`` rows and replace the full-corpus
+    two-phase cumsum with a distributed TakeOrdered + a window over
+    that budget-constant prefix (see the operator docstring's
+    equivalence argument; values hash-identical at sf0.1/sf10,
+    tools/ab_r14_budget_topk.py). One featurize pass instead of
+    sketch+offsets+rows branches: sf0.1 0.824 -> 0.229 s, sf10
+    1.66 -> 1.49 s honest per-execution — and the persist_input cache
+    (plus its session-lifetime ownership burden, r13 ADVICE) is no
+    longer needed at all."""
     from tailpipe_spark.operators import sampling as sp
 
     feats = tx.quality_features(_docs(spark, sf_dir, parallel=True)).select(
@@ -388,7 +394,7 @@ def data_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sel = sp.budget_select(
         feats, ["not_keep", "neg_words", "doc_id"], "q_words", _TOKEN_BUDGET,
-        persist_input=True,
+        unit_lower_bound=1,
     )
     # cum_total is already LONG (F.sum over int + int); no cast needed
     return sel.select("doc_id", "q_words", "cum_total").orderBy("doc_id")

@@ -251,6 +251,60 @@ def test_budget_select_multi_col_order_and_layout_independence(spark):
         assert got == sorted(want)
 
 
+def test_budget_select_unit_lower_bound_matches_generic(spark):
+    """r14 pruned fast path: with a declared value lower bound, the
+    TakeOrdered(budget//bound) + bounded-window plan must select the
+    exact rows and cum totals of the generic distributed-cumsum path,
+    including the boundary row kept at equality."""
+    import random
+
+    rng = random.Random(7)
+    rows = [(i, rng.randint(0, 1), rng.randint(5, 50)) for i in range(500)]
+    df = spark.createDataFrame(rows, ["doc_id", "not_keep", "tokens"]).withColumn(
+        "neg_tokens", -F.col("tokens")
+    )
+    order = ["not_keep", "neg_tokens", "doc_id"]
+    for budget in (80, 1500, 10**6):
+        generic = sorted(
+            (r["doc_id"], r["cum_total"])
+            for r in sampling.budget_select(df, order, "tokens", budget).collect()
+        )
+        pruned = sorted(
+            (r["doc_id"], r["cum_total"])
+            for r in sampling.budget_select(
+                df, order, "tokens", budget, unit_lower_bound=5
+            ).collect()
+        )
+        assert pruned == generic
+    # a huge budget/bound ratio falls back to the generic path (the
+    # prune cap) and still agrees
+    cap_fallback = sampling.budget_select(
+        df, order, "tokens", 10**9, unit_lower_bound=1
+    )
+    assert cap_fallback.count() == 500
+
+
+def test_budget_select_unit_lower_bound_guard_fires(spark):
+    """A row below the declared bound (or NULL, which the generic path
+    counts as 0) must fail the job loudly, not silently truncate."""
+    import pytest as _pytest
+
+    df = spark.createDataFrame(
+        [(1, 10), (2, 0), (3, 7)], ["doc_id", "tokens"]
+    )
+    with _pytest.raises(Exception, match="below the declared bound|ASSERT"):
+        sampling.budget_select(
+            df, ["doc_id"], "tokens", 100, unit_lower_bound=1
+        ).collect()
+    df_null = spark.createDataFrame(
+        [(1, 10), (2, None), (3, 7)], "doc_id int, tokens int"
+    )
+    with _pytest.raises(Exception):
+        sampling.budget_select(
+            df_null, ["doc_id"], "tokens", 100, unit_lower_bound=1
+        ).collect()
+
+
 def test_distributed_cumsum_exact_under_aqe(spark):
     """Regression for the AQE boundary-resample bug: the old
     repartitionByRange + spark_partition_id() bucket derivation was
