@@ -35,7 +35,17 @@ _VERIFY_FIRST = [
     # front (freshest-last order preserved below). Rows-only entries
     # are structurally excluded from the driver window by _rotated(),
     # so every fronted name here carries oracle SQL. ---
-    # new in r14: the json storage type's driver-visible surface —
+    # changed in the r14 OPTIMIZATION pass (plans restructured, values
+    # proven hash-identical pre-adoption — OPTIMIZATION_r14.md):
+    # q_json_extract (fast-path regexp_extract deduplicated 4x -> 2x),
+    # q_topk_window (aggregate-before-join), q05 (customer join as
+    # LEFT SEMI pure filter), data_token_budget (bounded-prefix
+    # TakeOrdered fast path, persist dropped)
+    "q_json_extract",
+    "q_topk_window",
+    "q05_local_supplier",
+    "data_token_budget",
+    # new in r14 build: the json storage type's driver-visible surface —
     # events collected through the engine with props declared `json`
     # (variant at ingest, cached workspace keyed by fixture signature),
     # probed via variant_get_int; oracle = DuckDB string path over the
@@ -52,8 +62,8 @@ _VERIFY_FIRST = [
     # 4.29 -> 2.70 s per-execution; the 1.86 s min-of-5 previously
     # quoted here measured cache-warm reps and is withdrawn — bench.py
     # now clearCache()s between timed reps, r13 ADVICE), pps shares the
-    # touched operator code
-    "data_token_budget",
+    # touched operator code (data_token_budget itself now leads the
+    # r14 front above; only pps remains here)
     "data_pps_sample",
     # --- r12 front below ---
     "text_lm_score",
@@ -61,7 +71,7 @@ _VERIFY_FIRST = [
     # changed in r12: grouped fixed-point long accumulation (dsum_fp /
     # dsum_fp_revenue) replaces the BigDecimal-per-row path — same
     # decimal oracles, values proven bit-identical, sf10 walls -27%/-9%
-    "q_topk_window",
+    # (q_topk_window itself now leads the r14 front above)
     "q03_shipping_priority",
     # changed in r12: both entries now enter through the
     # auto_filter_join planner (single code path; bloom branch pinned
