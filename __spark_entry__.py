@@ -30,6 +30,20 @@ from tailpipe_spark.queries import build_registry
 # entries themselves, and finally the oldest-driver-signal cohort
 # (r4 then r5) to refresh their signal.
 _VERIFY_FIRST = [
+    # --- r15 rotation: the round's one NEW entry first (driver re-hash
+    # the same round, standing cadence), then the embedding trio the
+    # r14 verdict ask #7 rotates back in (deepest r7-cohort signal —
+    # they fell out of the ~50-entry window when r14 fronted its
+    # changed plans; their code is untouched since r7 and they are
+    # hash-green in every local sweep). ---
+    # new in r15: the declared-shredded-column storage variant beside
+    # the variant probe (r14 verdict ask #4) — hot field extracted once
+    # at ingest into a typed int column; oracle = the same DuckDB
+    # string path over the raw fixture
+    "q_json_extract_shredded",
+    "dedup_embedding_cosine",
+    "emb_kmeans_assign",
+    "emb_norm_stats",
     # --- r14 rotation: plans NEW/CHANGED this round first (driver
     # re-hash the same round, per the standing cadence), then the r13
     # front (freshest-last order preserved below). Rows-only entries
@@ -124,9 +138,8 @@ _VERIFY_FIRST = [
     "data_mixture_rates",
     "data_sample_fraction",
     "data_stratified_sample",
-    "dedup_embedding_cosine",
-    "emb_kmeans_assign",
-    "emb_norm_stats",
+    # (dedup_embedding_cosine / emb_kmeans_assign / emb_norm_stats
+    # moved to the r15 front above)
     "mm_video_frames",
     "q_argmax_agg",
     "q_array_explode",

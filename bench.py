@@ -107,9 +107,29 @@ def _running_procs() -> int:
         return -1
 
 
+def _active_cpus() -> int:
+    """The core count this bench run is ACTUALLY allowed to use:
+    $SPARK_GRAFT_CPUS when set (the driver's scaling probe restricts
+    the Spark master with it), else the box's count. r14 verdict
+    "what's wrong" #2: split sizing and DuckDB threads read
+    os.cpu_count() directly, so the c8 probe ran 32-core-shaped scan
+    splits and a 32-thread DuckDB — the c8/c32 comparison could never
+    show parallelism. Measurement-bug fix, not a tuning change: at the
+    driver's main c32 capture env == os.cpu_count() and nothing moves."""
+    return int(os.environ.get("SPARK_GRAFT_CPUS", "0") or 0) or (os.cpu_count() or 8)
+
+
 def _input_bytes(sf_dir: str) -> int:
+    # followlinks: a provisioned layout dir (e.g. the bucketed sf10
+    # twin) serves tables via symlinks into an engine workspace; the
+    # auto-tuning must size from the REAL bytes behind them
     total = 0
-    for root, _dirs, names in os.walk(sf_dir):
+    seen: set[str] = set()
+    for root, _dirs, names in os.walk(sf_dir, followlinks=True):
+        real = os.path.realpath(root)
+        if real in seen:  # symlink cycle guard
+            continue
+        seen.add(real)
         for n in names:
             if n.endswith(".parquet"):
                 total += os.path.getsize(os.path.join(root, n))
@@ -124,7 +144,7 @@ def _auto_max_partition_bytes(total_bytes: int) -> int:
     measured 30-40% off q01/q03 at both sf0.1 and sf1 from this alone.
     Clamped to [4 MB, 128 MB]: at cluster scale total_bytes/(2·cores)
     crosses the cap and the standard default applies."""
-    cores = os.cpu_count() or 8
+    cores = _active_cpus()
     return max(4 << 20, min(128 << 20, total_bytes // (cores * 2)))
 
 
@@ -397,6 +417,16 @@ def main() -> int:
     else:
         headline = HEADLINE
 
+    # Fairness receipt for ingest-cached entries (r14 verdict ask #5):
+    # entries that probe a .vcache workspace (parse-at-ingest storage)
+    # amortize a one-time ingest outside every timed region — the
+    # artifact must carry that cost next to the probe wall. Collected
+    # BEFORE the timed attempts so a cold workspace build never rides a
+    # query's cold/warm timing.
+    from tailpipe_spark.queries.timeseries import ingest_build_walls
+
+    ingest_walls = ingest_build_walls(spark, sf_dir, headline)
+
     # In-artifact baseline setup: DuckDB running the IDENTICAL oracle
     # SQL over the same parquet, same process. Each query's Spark and
     # DuckDB reps run ADJACENT IN TIME (interleaved per query, not two
@@ -412,15 +442,26 @@ def main() -> int:
         import duckdb
 
         con = duckdb.connect()
-        con.execute(f"SET threads TO {os.cpu_count() or 8}")
+        # same active-core contract as the Spark side (_active_cpus):
+        # the scaling probe must restrict BOTH engines
+        con.execute(f"SET threads TO {_active_cpus()}")
         for t in TEST_TABLES:
             # generated bench sets (tools/gen_sf.py) are directories of
-            # part files; DuckDB needs the glob form for those
+            # part files; DuckDB needs the glob form for those. A
+            # provisioned layout (bucketed twin) nests hive dirs, so
+            # the glob is recursive with hive partitioning on — same
+            # rows either way, just a layout-robust listing.
             path = f"{sf_dir}/{t}.parquet"
-            src = f"{path}/*.parquet" if os.path.isdir(path) else path
-            con.execute(
-                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{src}')"
-            )
+            if os.path.isdir(path):
+                src = f"{path}/**/*.parquet"
+                con.execute(
+                    f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{src}', "
+                    f"hive_partitioning=true)"
+                )
+            else:
+                con.execute(
+                    f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')"
+                )
     except Exception as e:  # noqa: BLE001 — baseline is best-effort
         setup_errors["duckdb"] = f"{type(e).__name__}: {e}"[:200]
         con = None
@@ -455,6 +496,10 @@ def main() -> int:
         key=lambda p: p["duckdb_total"] if p["duckdb_total"] > 0 else float("inf"),
     )
     payload["attempt_count"] = len(attempts)
+    if ingest_walls:
+        # one-time workspace build seconds per ingest-cached entry
+        # (amortized across every later query over that storage)
+        payload["ingest_walls"] = ingest_walls
     if len(attempts) > 1:
         payload["attempts_telemetry"] = [
             {

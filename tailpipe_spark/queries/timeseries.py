@@ -358,54 +358,50 @@ def _fixture_signature(path: str) -> str:
     return f"{os.path.abspath(path)}|{total}|{int(mtime)}"
 
 
-def _variant_events_catalog(spark: SparkSession, sf_dir: str):
+def _events_ingest_workspace(spark: SparkSession, sf_dir: str, tag: str, columns):
     """Collect the events fixture through the ENGINE once per sf_dir
-    with ``props`` declared ``json`` — so it is tokenized at ingest
-    (collect.apply_table_mapping → try_parse_json) and stored as
-    variant binary, the reference's json storage type
-    (reference: internal/database/ducklake_table.go:77-79,
-    read_json_query.go:25-87 parse-at-convert). The collected workspace
-    is cached under ``<repo>/.vcache`` keyed by the fixture's
-    size+mtime signature, so the one-time ingest cost never rides a
-    per-query measurement; rebuilds happen only when the fixture
-    changes. Returns the Catalog holding the variant-typed ``events``
-    table."""
+    with the given column config (the reference parses/derives typed
+    columns AT CONVERSION — internal/database/ducklake_table.go:77-79,
+    read_json_query.go:25-87). The collected workspace is cached under
+    ``<repo>/.vcache`` keyed by the fixture's size+mtime signature AND
+    the column config, so the one-time ingest cost never rides a
+    per-query measurement; rebuilds happen only when the fixture or the
+    declared mapping changes. The one-time build wall is recorded in
+    ``_BUILD_SECS`` inside the workspace — the bench fairness receipt
+    (r14 verdict ask #5): any artifact quoting a probe wall over this
+    storage can print the ingest cost next to it. Returns the Catalog
+    holding the ingested ``events`` table."""
     import hashlib
     import os
     import shutil
+    import time
 
     from tailpipe_spark.catalog import Catalog
 
     src = f"{sf_dir}/events.parquet"
-    sig = _fixture_signature(src)
+    sig = _fixture_signature(src) + "|" + repr(columns)
     digest = hashlib.sha1(sig.encode()).hexdigest()[:16]
     repo_root = os.path.dirname(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     )
-    ws = os.path.join(repo_root, ".vcache", f"events_{digest}")
+    ws = os.path.join(repo_root, ".vcache", f"events_{tag}_{digest}")
     sig_path = os.path.join(ws, "_SIG")
     try:
         with open(sig_path) as fh:
-            if fh.read() == sig:
+            if fh.read() == sig and os.path.exists(
+                os.path.join(ws, "_BUILD_SECS")
+            ):
                 return Catalog(ws)
     except OSError:
         pass
     from tailpipe_spark.collect import collect
-    from tailpipe_spark.config import ColumnConfig, PartitionConfig, TableConfig
+    from tailpipe_spark.config import PartitionConfig, TableConfig
 
     tmp = f"{ws}.build.{os.getpid()}"
     shutil.rmtree(tmp, ignore_errors=True)
     cat = Catalog(tmp)
-    table = TableConfig(
-        name="events",
-        columns=[
-            ColumnConfig(name="event_id", type="bigint"),
-            ColumnConfig(name="event_type", type="varchar"),
-            ColumnConfig(name="props", type="json"),
-            ColumnConfig(name="tp_timestamp", type="timestamp", source="ts"),
-        ],
-        map_fields=[],
-    )
+    table = TableConfig(name="events", columns=list(columns), map_fields=[])
+    t0 = time.time()
     collect(
         spark,
         cat,
@@ -413,11 +409,92 @@ def _variant_events_catalog(spark: SparkSession, sf_dir: str):
         PartitionConfig("events", "default"),
         source_df=_t(spark, sf_dir, "events"),
     )
+    build_secs = time.time() - t0
     with open(os.path.join(tmp, "_SIG"), "w") as fh:
         fh.write(sig)
+    with open(os.path.join(tmp, "_BUILD_SECS"), "w") as fh:
+        fh.write(f"{build_secs:.3f}")
     shutil.rmtree(ws, ignore_errors=True)
     os.rename(tmp, ws)
     return Catalog(ws)
+
+
+def _variant_columns():
+    from tailpipe_spark.config import ColumnConfig
+
+    return [
+        ColumnConfig(name="event_id", type="bigint"),
+        ColumnConfig(name="event_type", type="varchar"),
+        ColumnConfig(name="props", type="json"),
+        ColumnConfig(name="tp_timestamp", type="timestamp", source="ts"),
+    ]
+
+
+def _shredded_columns():
+    from tailpipe_spark.config import ColumnConfig
+
+    return [
+        ColumnConfig(name="event_id", type="bigint"),
+        ColumnConfig(name="event_type", type="varchar"),
+        ColumnConfig(name="props", type="json"),
+        # declared shredded column: the hot field extracted ONCE at
+        # conversion into a typed int column (config-expressible as a
+        # plain transform). Same extraction semantics as the stored-
+        # variant probe — try_variant_get over the parse — so values
+        # are identical by construction; the query then scans a typed
+        # parquet column and never touches a parser at all.
+        ColumnConfig(
+            name="k",
+            type="integer",
+            transform="try_variant_get(try_parse_json(props), '$.k', 'int')",
+        ),
+        ColumnConfig(name="tp_timestamp", type="timestamp", source="ts"),
+    ]
+
+
+def _variant_events_catalog(spark: SparkSession, sf_dir: str):
+    """Events with ``props`` declared ``json``: tokenized at ingest
+    (collect.apply_table_mapping → try_parse_json), stored as variant
+    binary — the reference's json storage type."""
+    return _events_ingest_workspace(spark, sf_dir, "v", _variant_columns())
+
+
+def _shredded_events_catalog(spark: SparkSession, sf_dir: str):
+    """Events with the hot field ``k`` ADDITIONALLY shredded to a typed
+    int column at ingest (declared transform column). props stays
+    variant so the stored table is a superset of the variant layout —
+    the file-size fairness point from SCALE_PROOF §json-ingest holds."""
+    return _events_ingest_workspace(spark, sf_dir, "s", _shredded_columns())
+
+
+#: registry entries whose input is an ingest-cached .vcache workspace —
+#: bench.py prints each one's one-time build wall (its workspace's
+#: _BUILD_SECS) next to the probe wall so the amortized cost is always
+#: on the receipt (r14 verdict ask #5)
+INGEST_CACHED_ENTRIES = {
+    "q_json_extract_variant": _variant_events_catalog,
+    "q_json_extract_shredded": _shredded_events_catalog,
+}
+
+
+def ingest_build_walls(spark: SparkSession, sf_dir: str, names) -> dict:
+    """One-time ingest build wall (seconds) for each ingest-cached entry
+    in ``names`` — builds the workspace if absent so the number is the
+    real cost for this fixture, measured once when built."""
+    import os
+
+    out = {}
+    for n in names:
+        builder = INGEST_CACHED_ENTRIES.get(n)
+        if builder is None:
+            continue
+        cat = builder(spark, sf_dir)
+        try:
+            with open(os.path.join(cat.workspace, "_BUILD_SECS")) as fh:
+                out[n] = float(fh.read())
+        except (OSError, ValueError):
+            out[n] = None
+    return out
 
 
 def q_json_extract_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -436,6 +513,33 @@ def q_json_extract_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
     k = variant_get_int("props", "k")
     return (
         e.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def q_json_extract_shredded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME extraction+agg as q_json_extract, over the engine's
+    DECLARED-SHREDDED storage: the hot field ``k`` is extracted once at
+    collect into a typed int column (a config transform column on top
+    of the ``json`` storage type), so the query scans a plain parquet
+    int column — no parser, no variant probe, column-pruned at the
+    scan. This is arm (c) of the SCALE_PROOF §json-ingest A/B (sf10:
+    0.320 s vs 0.444 s stored-variant probe vs 4.19 s per-query string
+    parse); landed as a registry entry per the r14 verdict ask #4. The
+    oracle runs DuckDB's string-path extraction over the RAW fixture;
+    values are identical because the shred is the same try_variant_get
+    the stored-variant probe applies, just applied at conversion."""
+    cat = _shredded_events_catalog(spark, sf_dir)
+    e = cat.read_table(spark, "events")
+    return (
+        e.select("event_type", "k")
         .groupBy("event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
@@ -805,6 +909,7 @@ SPECS = [
     QuerySpec("q_range_join", q_range_join, Q_RANGE_JOIN_SQL, "interval range join (bucketed equi-join plan)"),
     QuerySpec("q_json_extract", q_json_extract, Q_JSON_SQL, "JSON field extraction + agg"),
     QuerySpec("q_json_extract_variant", q_json_extract_variant, Q_JSON_SQL, "same extraction over the engine's json storage type: variant binary parsed once at ingest (9.4x vs per-query string parse at sf10)"),
+    QuerySpec("q_json_extract_shredded", q_json_extract_shredded, Q_JSON_SQL, "same extraction over the engine's declared-shredded storage: hot field extracted once at ingest into a typed int column (scan-only probe, ~13x vs per-query string parse at sf10)"),
     QuerySpec("q_tp_enrichment", q_tp_enrichment, Q_TP_ENRICH_SQL, "tp_* enrichment semantics (A6/A7)"),
     QuerySpec("q_validate_nulls", q_validate_nulls, Q_VALIDATE_SQL, "required-column null report (A11)"),
     QuerySpec("q_cli_filters", q_cli_filters, Q_CLI_FILTERS_SQL, "--from/--to/--index filters (A10/A17)"),

@@ -240,6 +240,31 @@ def parquet_column_range(path: str, col: str) -> tuple | None:
     return (lo, hi) if lo is not None else None
 
 
+@functools.lru_cache(maxsize=256)
+def _provisioned_bucketed_ws(path: str) -> tuple[str, str] | None:
+    """(workspace, table) when ``path`` resolves — typically via a
+    provisioned-layout symlink — into an engine workspace's
+    ``data/<table>`` tree whose manifest records a bucketed layout.
+
+    This is how a provisioned physical layout TRAVELS WITH THE DATA
+    (r14 verdict ask #1): a bench/sf dir whose fact entries are links
+    into a ``compact --bucket-by``-rewritten workspace serves those
+    scans through the catalog's bucket-spec registration, so same-key
+    joins plan with the fact-side Exchanges deleted. A plain fixture
+    dir resolves to itself (parent is not ``data/``) and costs two
+    path checks, cached per path. Layout metadata is read through
+    Catalog, so a layout_rev bump invalidates via the registration
+    name, not this cache."""
+    real = os.path.realpath(path)
+    parent = os.path.dirname(real)
+    if os.path.basename(parent) != "data":
+        return None
+    ws = os.path.dirname(parent)
+    if not os.path.isfile(os.path.join(ws, "metadata", "manifest.json")):
+        return None
+    return ws, os.path.basename(real)
+
+
 #: (applicationId, path) → DataFrame. The driver's testdata is
 #: immutable, so the logical plan (file listing + schema) is reusable;
 #: without this every query pays a driver-side directory listing,
@@ -297,6 +322,7 @@ def read_table(
         _nano_timestamp_cols.cache_clear()
         _split_profile.cache_clear()
         parquet_row_count.cache_clear()
+        _provisioned_bucketed_ws.cache_clear()
     else:
         cached = _DF_CACHE.get(key)
         if cached is not None:
@@ -306,6 +332,22 @@ def read_table(
     for k in [k for k in _DF_CACHE if k[0] != app]:
         del _DF_CACHE[k]
     configure_runtime(spark)
+    # provisioned bucketed layout: serve the scan through the owning
+    # catalog's bucket-spec registration so same-key joins co-locate
+    # (fact-side Exchanges deleted). Only engages when the path
+    # resolves into a workspace data tree AND the manifest records a
+    # bucketed layout for the table; every other path reads plain.
+    prov = _provisioned_bucketed_ws(path)
+    if prov is not None:
+        from tailpipe_spark.catalog import Catalog
+
+        ws, table = prov
+        cat = Catalog(ws)
+        if table in cat.list_tables() and cat.table_layout(table):
+            df = cat.read_table(spark, table)
+            if cache:
+                _DF_CACHE[key] = df
+            return df
     df = spark.read.parquet(path)
     for c in _nano_timestamp_cols(path):
         df = df.withColumn(c, F.timestamp_micros(F.expr(f"CAST(`{c}` DIV 1000 AS BIGINT)")))

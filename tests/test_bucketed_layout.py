@@ -267,6 +267,42 @@ def test_row_count_stale_index_falls_back(spark, two_tables, tmp_path):
     assert ws.row_count("facts_a") == n + 7
 
 
+def test_provisioned_symlink_dir_serves_bucketed_scan(spark, two_tables, tmp_path):
+    """r15: a provisioned layout travels with the data. A fixture dir
+    whose table entry symlinks into a bucketed workspace's data tree is
+    served by session.read_table through the catalog's bucket-spec
+    registration — a join on the bucket key plans with ZERO Exchange —
+    while values stay identical to the plain path read. Non-bucketed
+    workspace trees and plain fixture dirs keep the plain path."""
+    import os
+
+    from tailpipe_spark.session import _provisioned_bucketed_ws
+    from tailpipe_spark.session import read_table as rt
+
+    ws = two_tables
+    d = tmp_path / "sfdir"
+    d.mkdir()
+    os.symlink(ws.table_dir("facts_a"), d / "facts_a.parquet")
+    os.symlink(ws.table_dir("facts_b"), d / "facts_b.parquet")
+    _provisioned_bucketed_ws.cache_clear()
+
+    # before any layout exists the symlinked read takes the plain path
+    plain = rt(spark, str(d / "facts_a.parquet"), cache=False)
+    want = sorted((r.k, r.va) for r in plain.select("k", "va").collect())
+
+    for t in ("facts_a", "facts_b"):
+        bucket_rewrite(spark, ws, t, ["k"], 4)
+    _provisioned_bucketed_ws.cache_clear()
+
+    a = rt(spark, str(d / "facts_a.parquet"), cache=False)
+    b = rt(spark, str(d / "facts_b.parquet"), cache=False)
+    assert sorted((r.k, r.va) for r in a.select("k", "va").collect()) == want
+    j = a.join(b, "k").select("k", "va", "vb")
+    plan = _plan(j)
+    assert "SortMergeJoin" in plan
+    assert "Exchange" not in plan  # both scans co-located via the layout
+
+
 def test_bucket_rewrite_warns_on_fragmenting_layout(spark, two_tables):
     """Small-scale guard (r11 verdict #3): a bucket count that projects
     sub-8MB files per hive-dir x bucket cell warns with the numbers;
