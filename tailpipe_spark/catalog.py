@@ -811,4 +811,16 @@ class Catalog:
                 f"LOCATION '{self.table_dir(table)}'"
             )
             spark.sql(f"MSCK REPAIR TABLE `{reg}`")
+            # Size stats, or the planner can never broadcast this side:
+            # an external catalog table WITHOUT stats reports
+            # defaultSizeInBytes (huge), so a join against it always
+            # planned SortMergeJoin — measured at sf10 (r15): q05's
+            # filtered-orders side lost its broadcast and the forced
+            # SMJ's 60M-row payload sort ate the co-location win
+            # (interleaved A/B: wash vs the plain path's broadcast
+            # plan). NOSCAN fills sizeInBytes from the file listing —
+            # same basis as the path-read estimate — so the planner
+            # keeps choosing broadcast where it fits and the co-located
+            # zero-exchange SMJ only where it is genuinely needed.
+            spark.sql(f"ANALYZE TABLE `{reg}` COMPUTE STATISTICS NOSCAN")
         return spark.table(reg)

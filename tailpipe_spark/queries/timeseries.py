@@ -355,7 +355,9 @@ def _fixture_signature(path: str) -> str:
     else:
         st = os.stat(path)
         total, mtime = st.st_size, st.st_mtime
-    return f"{os.path.abspath(path)}|{total}|{int(mtime)}"
+    # realpath: a provisioned twin dir serves the same fixture through a
+    # symlink — same bytes, same workspace (no duplicate ingest)
+    return f"{os.path.realpath(path)}|{total}|{int(mtime)}"
 
 
 def _events_ingest_workspace(spark: SparkSession, sf_dir: str, tag: str, columns):
