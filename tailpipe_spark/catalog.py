@@ -811,16 +811,29 @@ class Catalog:
                 f"LOCATION '{self.table_dir(table)}'"
             )
             spark.sql(f"MSCK REPAIR TABLE `{reg}`")
-            # Size stats, or the planner can never broadcast this side:
-            # an external catalog table WITHOUT stats reports
-            # defaultSizeInBytes (huge), so a join against it always
-            # planned SortMergeJoin — measured at sf10 (r15): q05's
-            # filtered-orders side lost its broadcast and the forced
-            # SMJ's 60M-row payload sort ate the co-location win
-            # (interleaved A/B: wash vs the plain path's broadcast
-            # plan). NOSCAN fills sizeInBytes from the file listing —
-            # same basis as the path-read estimate — so the planner
-            # keeps choosing broadcast where it fits and the co-located
-            # zero-exchange SMJ only where it is genuinely needed.
-            spark.sql(f"ANALYZE TABLE `{reg}` COMPUTE STATISTICS NOSCAN")
+        # DELIBERATELY no size stats on the registration (r15, measured
+        # both ways at sf10): a partitioned external table without
+        # stats reports defaultSizeInBytes (huge), so the planner can
+        # NEVER broadcast a provisioned fact table. With NOSCAN stats
+        # the compressed-bytes estimate slipped q12's UNFILTERED 15M-row
+        # orders under the 64m threshold — a 9.5 s broadcast build (3x
+        # worse than plain, OOM-fragile in long sessions) where the
+        # co-located SMJ runs the same join in ~2 s. Fact tables are
+        # bucketed precisely because they are too big to ship; the
+        # conservative estimate encodes that. Dimension tables are path
+        # reads and keep their normal file-size estimates/broadcasts.
+        #
+        # Sorted bucket scan: the layout writes each bucket pre-sorted
+        # by the bucket key (one file per bucket per hive cell —
+        # bucket_rewrite aligns task hashing with bucket hashing), so
+        # the scan may report its SORTED BY order and the co-located
+        # SortMergeJoin runs sort-free — measured at sf10: the
+        # lineitem⋈orders merge drops 4.08 -> 2.11 s with the flag on.
+        # Value-correctness is pinned by the bucketed-twin oracle sweep
+        # (CORRECTNESS_SF10_BUCKETED_r15) and an adversarial
+        # interleaved multi-file-bucket probe (Spark 4.1 plans the
+        # merge correctly either way).
+        spark.conf.set(
+            "spark.sql.legacy.bucketedTableScan.outputOrdering", "true"
+        )
         return spark.table(reg)

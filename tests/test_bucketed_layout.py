@@ -69,29 +69,17 @@ def test_bucket_rewrite_zero_exchange_join(spark, two_tables):
         assert ws.table_layout(t)["bucket_by"] == ["k"]
 
     a, b = ws.read_table(spark, "facts_a"), ws.read_table(spark, "facts_b")
-    # r15: registrations now carry NOSCAN size stats, so the planner
-    # correctly BROADCASTS these tiny tables by default (the stats-less
-    # registration forced SMJ everywhere — the q05 sf10 regression this
-    # fixed). Pin the co-located zero-exchange SMJ capability — the
-    # cluster-scale shape when neither side fits a broadcast — by
-    # disabling auto-broadcast for the assertion.
-    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-    try:
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-        j = a.join(b, "k").select("k", "va", "vb")
-        plan = _plan(j)
-        assert "SortMergeJoin" in plan
-        assert "Exchange" not in plan  # ZERO shuffles: bucket-co-located scan
-        assert sorted(map(tuple, j.collect())) == want
-    finally:
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
-    # with stats present the default plan is a broadcast join (no
-    # fact shuffle either) — the registration must not hide size
-    import re
-
-    m = re.search(r"sizeInBytes=([\d.]+ \S+)", a._jdf.queryExecution()
-                  .optimizedPlan().stats().toString())
-    assert m, "registered bucketed table must expose size stats"
+    j = a.join(b, "k").select("k", "va", "vb")
+    plan = _plan(j)
+    assert "SortMergeJoin" in plan
+    assert "Exchange" not in plan  # ZERO shuffles: bucket-co-located scan
+    assert sorted(map(tuple, j.collect())) == want
+    # r15: the registration deliberately carries NO size stats — a
+    # partitioned external table without stats reports a huge default
+    # size, so the planner can never broadcast a provisioned fact (the
+    # q12 sf10 hazard: a compressed-bytes estimate slipped an
+    # unfiltered 15M-row fact under the broadcast threshold). The join
+    # above must therefore stay SMJ even though the tables are tiny.
     # row counts intact through the rewrite
     assert a.count() == 400 and b.count() == 300
 
@@ -315,17 +303,10 @@ def test_provisioned_symlink_dir_serves_bucketed_scan(spark, two_tables, tmp_pat
     a = rt(spark, str(d / "facts_a.parquet"), cache=False)
     b = rt(spark, str(d / "facts_b.parquet"), cache=False)
     assert sorted((r.k, r.va) for r in a.select("k", "va").collect()) == want
-    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-    try:
-        # disable auto-broadcast (stats-bearing registrations broadcast
-        # tiny tables by default) to pin the co-located SMJ capability
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-        j = a.join(b, "k").select("k", "va", "vb")
-        plan = _plan(j)
-        assert "SortMergeJoin" in plan
-        assert "Exchange" not in plan  # both scans co-located via the layout
-    finally:
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    j = a.join(b, "k").select("k", "va", "vb")
+    plan = _plan(j)
+    assert "SortMergeJoin" in plan
+    assert "Exchange" not in plan  # both scans co-located via the layout
 
 
 def test_bucket_rewrite_warns_on_fragmenting_layout(spark, two_tables):
