@@ -148,6 +148,23 @@ def _auto_max_partition_bytes(total_bytes: int) -> int:
     return max(4 << 20, min(128 << 20, total_bytes // (cores * 2)))
 
 
+def _auto_advisory_bytes(total_bytes: int) -> int:
+    """AQE post-shuffle coalescing target, sized to keep ~4 coalesced
+    partitions per core for the ACTIVE dataset instead of Spark's flat
+    64 MB (r15 measured pass, interleaved sweep at sf10/32 cores,
+    tools/ab_r15_aqe.py: advisory 64m -> 8m moved dedup_ngram_jaccard
+    27.3 -> 25.0 s, dedup_minhash_fast 6.6 -> 4.3 s, q_range_join
+    5.5 -> 3.2 s, q03 3.4 -> 2.5 s; parallelismFirst=false and AQE-off
+    both measured worse on at least one entry). The flat default
+    coalesces a ~1 GB workload's exploded shuffles onto a fraction of
+    the cores. Clamped to [4 MB, 64 MB]: past the cap — any real
+    cluster-scale dataset — Spark's default applies unchanged, where
+    the guide's 100 MB-1 GB shuffle-partition sizing takes over via
+    shuffle.partitions and AQE skew splitting."""
+    cores = _active_cpus()
+    return max(4 << 20, min(64 << 20, total_bytes // (cores * 4)))
+
+
 def _auto_shuffle_partitions(total_bytes: int) -> int:
     """Size shuffle parallelism to the data, not the core count: one
     partition per ~64 MB of input, floor 8, cap 2000. At sf0.1 (~60 MB)
@@ -364,6 +381,10 @@ def main() -> int:
     spark.conf.set(
         "spark.sql.files.maxPartitionBytes",
         str(_auto_max_partition_bytes(total_bytes)),
+    )
+    spark.conf.set(
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        str(_auto_advisory_bytes(total_bytes)),
     )
     registry = build_registry()
 
